@@ -1,0 +1,124 @@
+"""SCD-1 upsert (MERGE) semantics expressed as a batch full-outer join.
+
+Reference semantics: script_08_delta_merge_scd1_customer.py:16-36 (DataFrame
+merge API: whenMatchedUpdate / whenNotMatchedInsert) and
+script_09_sql_merge_inventory.py:15-26 (SQL MERGE with a conditional
+`WHEN MATCHED AND s.updated_at >= t.updated_at` update clause).
+
+Delta Lake is an optional dependency that is absent in this environment, so
+the engine expresses the same row-level semantics relationally: a full outer
+join of target and deduplicated source, with CASE logic selecting the
+surviving column values. On a cluster with Delta available,
+`merge_scd1_delta` (below) shows the same operation against a Delta table —
+it is import-gated and not part of the oracle surface.
+
+Scale notes: the dedup-latest uses a (key ORDER BY ts DESC) row_number — one
+shuffle; the merge join is a shuffle hash join on the merge key. With the
+target stored bucketed by the merge key, the join is co-located and
+shuffle-free on the target side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..registry import register
+
+
+@register(
+    "scd1_merge_customer",
+    oracle="""
+    WITH latest AS (
+      SELECT user_id, new_acctbal, updated_at FROM (
+        SELECT
+          user_id,
+          ROUND(value * 100, 2) AS new_acctbal,
+          CAST(ts AS TIMESTAMP) AS updated_at,
+          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT
+      COALESCE(c.c_custkey, s.user_id) AS custkey,
+      CASE
+        WHEN c.c_custkey IS NULL THEN 'NEW-CUSTOMER'
+        ELSE c.c_name
+      END AS name,
+      CASE
+        WHEN c.c_custkey IS NULL THEN s.new_acctbal
+        WHEN s.user_id IS NOT NULL AND s.new_acctbal >= 500 THEN s.new_acctbal
+        ELSE c.c_acctbal
+      END AS acctbal,
+      CASE
+        WHEN c.c_custkey IS NULL THEN 'inserted'
+        WHEN s.user_id IS NOT NULL AND s.new_acctbal >= 500 THEN 'updated'
+        ELSE 'kept'
+      END AS merge_action,
+      s.updated_at AS updated_at
+    FROM customer c
+    FULL OUTER JOIN latest s ON c.c_custkey = s.user_id
+    """,
+)
+def scd1_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target = customer snapshot; source = latest per-user event.
+
+    WHEN MATCHED AND new_acctbal >= 500 THEN UPDATE (conditional clause as in
+    script_09:19), WHEN NOT MATCHED THEN INSERT; unmatched target rows kept
+    (SCD-1 keeps history-free current state).
+    """
+    customer = load(spark, sf_dir, "customer").alias("c")
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    latest = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 2).alias("new_acctbal"),
+            F.col("ts").alias("updated_at"),
+        )
+        .alias("s")
+    )
+    joined = customer.join(latest, F.col("c.c_custkey") == F.col("s.user_id"), "full_outer")
+    inserted = F.col("c.c_custkey").isNull()
+    updated = F.col("s.user_id").isNotNull() & (F.col("s.new_acctbal") >= 500)
+    return joined.select(
+        F.coalesce(F.col("c.c_custkey"), F.col("s.user_id")).alias("custkey"),
+        F.when(inserted, F.lit("NEW-CUSTOMER")).otherwise(F.col("c.c_name")).alias("name"),
+        F.when(inserted, F.col("s.new_acctbal"))
+        .when(updated, F.col("s.new_acctbal"))
+        .otherwise(F.col("c.c_acctbal"))
+        .alias("acctbal"),
+        F.when(inserted, F.lit("inserted"))
+        .when(updated, F.lit("updated"))
+        .otherwise(F.lit("kept"))
+        .alias("merge_action"),
+        F.col("s.updated_at").alias("updated_at"),
+    )
+
+
+def merge_scd1_delta(spark: SparkSession, target_path: str, updates: DataFrame, key: str) -> None:
+    """Delta-backed variant of the same merge (script_08:16-36 surface).
+
+    Import-gated: raises RuntimeError when delta-spark is not installed.
+    """
+    try:
+        from delta.tables import DeltaTable  # type: ignore
+    except ImportError as exc:  # pragma: no cover - delta absent in test env
+        raise RuntimeError("delta-spark not available in this environment") from exc
+
+    if not DeltaTable.isDeltaTable(spark, target_path):  # pragma: no cover
+        updates.withColumn("ingested_at", F.current_timestamp()).write.format("delta").mode(
+            "overwrite"
+        ).save(target_path)
+        return
+    tgt = DeltaTable.forPath(spark, target_path)  # pragma: no cover
+    (
+        tgt.alias("t")
+        .merge(updates.alias("s"), f"t.{key} = s.{key}")
+        .whenMatchedUpdateAll()
+        .whenNotMatchedInsertAll()
+        .execute()
+    )

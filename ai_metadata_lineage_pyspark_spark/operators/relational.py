@@ -1,0 +1,141 @@
+"""Scalar / projection / filter / join / SQL-CTE operator surface.
+
+Mirrors the reference's modeled pipeline capabilities (SURVEY.md §2B;
+reference citations in each docstring) re-phrased over the fixture tables.
+Everything here is pure built-in-function DataFrame/SQL code — whole-stage
+codegen end to end, no Python UDFs, so plans scale by partitioning alone.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import ensure_engine_confs, load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# bronze_orders_cleanup — script_01_bronze_ingest_orders.py:12-22 semantics:
+# casts, to_date, coalesce+lit defaults, upper/lower, multi-branch when,
+# abs. (CSV ingest options are exercised in tests/test_sources.py; here the
+# scan is parquet so filters/pruning push down.)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bronze_orders_cleanup",
+    oracle="""
+    SELECT
+      CAST(o_orderkey AS VARCHAR) AS order_id,
+      CAST(o_custkey AS VARCHAR)  AS customer_id,
+      CAST(o_orderdate AS DATE)   AS order_date,
+      CASE WHEN o_orderstatus = 'F' THEN -o_totalprice ELSE o_totalprice END AS amount,
+      UPPER(COALESCE(NULLIF(o_orderpriority, ''), 'none')) AS priority_code,
+      LOWER(COALESCE(o_orderstatus, 'unknown')) AS channel,
+      CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_refund,
+      ABS(CASE WHEN o_orderstatus = 'F' THEN -o_totalprice ELSE o_totalprice END) AS abs_amount
+    FROM orders
+    """,
+)
+def bronze_orders_cleanup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    amount = F.when(F.col("o_orderstatus") == "F", -F.col("o_totalprice")).otherwise(
+        F.col("o_totalprice")
+    )
+    return orders.select(
+        F.col("o_orderkey").cast("string").alias("order_id"),
+        F.col("o_custkey").cast("string").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        amount.alias("amount"),
+        F.upper(F.coalesce(F.nullif(F.col("o_orderpriority"), F.lit("")), F.lit("none"))).alias(
+            "priority_code"
+        ),
+        F.lower(F.coalesce(F.col("o_orderstatus"), F.lit("unknown"))).alias("channel"),
+        F.when(F.col("o_orderstatus") == "F", F.lit(1)).otherwise(F.lit(0)).alias("is_refund"),
+        F.abs(amount).alias("abs_amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_customer_join — script_03_fact_orders_enriched.py:7-20: df.alias +
+# left equi-join with expression condition + qualified-column select.
+# customer is small relative to orders -> explicit broadcast hint (at 100 TB
+# orders this is the difference between a shuffle join and a map-side join).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_customer_join",
+    oracle="""
+    SELECT
+      o.o_orderkey   AS order_id,
+      o.o_custkey    AS customer_id,
+      c.c_name       AS customer_name,
+      c.c_mktsegment AS customer_segment,
+      c.c_acctbal    AS customer_acctbal,
+      CAST(o.o_orderdate AS DATE) AS order_date,
+      o.o_orderstatus AS order_status,
+      o.o_totalprice  AS amount
+    FROM orders o
+    LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+)
+def orders_customer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").alias("o")
+    customer = F.broadcast(load(spark, sf_dir, "customer").alias("c"))
+    return orders.join(
+        customer, F.col("o.o_custkey") == F.col("c.c_custkey"), "left"
+    ).select(
+        F.col("o.o_orderkey").alias("order_id"),
+        F.col("o.o_custkey").alias("customer_id"),
+        F.col("c.c_name").alias("customer_name"),
+        F.col("c.c_mktsegment").alias("customer_segment"),
+        F.col("c.c_acctbal").alias("customer_acctbal"),
+        F.to_date("o.o_orderdate").alias("order_date"),
+        F.col("o.o_orderstatus").alias("order_status"),
+        F.col("o.o_totalprice").alias("amount"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# dim_part_sql_cte — script_04_dim_product_sql_cte.py:12-44: multi-CTE SQL
+# (cleaned -> metrics -> SELECT), CAST/TRIM/LOWER/UPPER/COALESCE, guarded
+# division, CASE normalization. Run through spark.sql on a temp view so the
+# SQL front-end path is exercised, not just the DataFrame DSL.
+# ---------------------------------------------------------------------------
+
+_DIM_PART_SQL = """
+WITH cleaned AS (
+  SELECT
+    CAST(p_partkey AS {string_t}) AS product_id,
+    LOWER(TRIM(p_type))  AS category,
+    UPPER(COALESCE(p_brand, 'NOBRAND')) AS brand,
+    CAST(p_size AS INT) AS size,
+    CASE WHEN p_retailprice IS NULL OR p_retailprice <= 0 THEN 0 ELSE p_retailprice END AS price_norm,
+    ROUND(p_retailprice * 0.6, 2) AS cost
+  FROM part
+),
+metrics AS (
+  SELECT
+    product_id, category, brand, size, price_norm, cost,
+    (price_norm - cost) AS unit_margin,
+    CASE WHEN price_norm = 0 THEN NULL
+         ELSE ROUND((price_norm - cost) / price_norm, 6) END AS margin_pct
+  FROM metrics_src
+)
+SELECT product_id, category, brand, size, price_norm, cost,
+       ROUND(unit_margin, 2) AS unit_margin, margin_pct
+FROM metrics
+"""
+
+
+def _dim_part_sql(string_t: str) -> str:
+    # one source CTE name; Spark and DuckDB both allow referencing the prior CTE
+    return _DIM_PART_SQL.replace("metrics_src", "cleaned").format(string_t=string_t)
+
+
+@register("dim_part_sql_cte", oracle=_dim_part_sql("VARCHAR"))
+def dim_part_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ensure_engine_confs(spark)
+    load(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_dim_part_sql("STRING"))

@@ -1,0 +1,292 @@
+"""Aggregation operator surface: multi-key hash aggregation with aliases,
+post-agg derivation, conditional aggregation, and the flagship 2-level
+customer-value rollup (the ``entry()`` query).
+
+Reference semantics: script_a (groupBy.agg(sum.alias) + withColumn on agg
+result), script_b (agg join + derived flag), script_06/script_10 SQL GROUP BY
+shapes (MIN/MAX/COUNT/COUNT DISTINCT, SUM(CASE WHEN), re-aggregation over an
+aggregate CTE, CASE segmentation).
+
+Determinism contract: money aggregations run in DECIMAL (exact, summation-
+order-independent — float sums would differ between engines and between
+partitionings of the same cluster) and are cast to DOUBLE at the output
+boundary, so results are bit-identical at any scale factor / parallelism.
+
+Scale notes: all aggregations are partial-aggregated map-side by Catalyst
+(hash aggregate with partial_merge), so the shuffle carries one row per
+(key, grouping) per map task, not raw data. The 2-level rollup reuses the
+same `customer_id` partitioning for both levels — one exchange, two aggs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..registry import register
+
+# Exact-decimal building blocks shared by the money aggregations.
+_ONE = F.lit(1).cast("decimal(3,2)")
+
+
+def _dec(col: str, t: str = "decimal(12,2)") -> Column:
+    return F.col(col).cast(t)
+
+
+def _disc_price() -> Column:
+    """l_extendedprice * (1 - l_discount), exact decimal(18,4)."""
+    return _dec("l_extendedprice") * (_ONE - _dec("l_discount", "decimal(4,2)"))
+
+
+# ---------------------------------------------------------------------------
+# pricing_summary — TPC-H Q1 shape exercising the script_06:26-36 /
+# script_10:25-45 SQL aggregate surface (SUM/AVG/MIN/MAX/COUNT/COUNT
+# DISTINCT + arithmetic inside agg). Headline bench query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
+      COUNT(*) AS count_order,
+      COUNT(DISTINCT l_orderkey) AS distinct_orders
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    bench=True,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    qty = _dec("l_quantity")
+    ext = _dec("l_extendedprice")
+    disc = _dec("l_discount", "decimal(4,2)")
+    tax = _dec("l_tax", "decimal(4,2)")
+    n = F.count(F.lit(1))
+    return (
+        li.filter(F.to_date("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(ext).cast("double").alias("sum_base_price"),
+            F.sum(ext * (_ONE - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (_ONE - disc) * (_ONE + tax)).cast("double").alias("sum_charge"),
+            (F.sum(qty).cast("double") / n).alias("avg_qty"),
+            (F.sum(ext).cast("double") / n).alias("avg_price"),
+            (F.sum(disc).cast("double") / n).alias("avg_disc"),
+            n.alias("count_order"),
+            F.countDistinct("l_orderkey").alias("distinct_orders"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_agg — script_a_customer_agg.py:5-11: multi-key groupBy with
+# aliased sums + post-aggregation withColumn derivation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_agg",
+    oracle="""
+    SELECT
+      l_orderkey, l_partkey,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)      AS total_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS total_revenue,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+        + CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS big_amount
+    FROM lineitem
+    GROUP BY l_orderkey, l_partkey
+    """,
+)
+def customer_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey", "l_partkey")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_revenue"),
+        )
+        .withColumn("big_amount", F.col("total_qty") + F.col("total_revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_products_flag — script_b_join_products.py:6-10: aggregate output
+# joined to a dimension on column name (left), derived margin + boolean
+# profitability flag. part is broadcast (small dim).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_products_flag",
+    oracle="""
+    WITH agg AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS net_revenue,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS total_qty
+      FROM lineitem
+      GROUP BY l_partkey
+    )
+    SELECT
+      a.l_partkey, a.net_revenue, a.total_qty,
+      p.p_name, p.p_retailprice,
+      a.net_revenue - p.p_retailprice AS margin,
+      CASE WHEN a.net_revenue - p.p_retailprice > 0 THEN TRUE ELSE FALSE END AS is_profitable
+    FROM agg a
+    LEFT JOIN part p ON a.l_partkey = p.p_partkey
+    """,
+)
+def join_products_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    part = F.broadcast(load(spark, sf_dir, "part"))
+    agg = li.groupBy("l_partkey").agg(
+        F.sum(_disc_price()).cast("double").alias("net_revenue"),
+        F.sum(_dec("l_quantity")).cast("double").alias("total_qty"),
+    )
+    return (
+        agg.join(part, agg.l_partkey == part.p_partkey, "left")
+        .withColumn("margin", F.col("net_revenue") - F.col("p_retailprice"))
+        .withColumn(
+            "is_profitable",
+            F.when(F.col("net_revenue") - F.col("p_retailprice") > 0, F.lit(True)).otherwise(
+                F.lit(False)
+            ),
+        )
+        .select(
+            "l_partkey", "net_revenue", "total_qty", "p_name", "p_retailprice", "margin",
+            "is_profitable",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# mart_customer_value — FLAGSHIP (entry()). script_10_mart_customer_value.py
+# :13-65: base join -> daily conditional agg -> customer rollup -> dimension
+# join -> CASE segmentation. orders↔lineitem shuffle-hash-joins on orderkey;
+# both aggregation levels share the customer_id hash partitioning.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mart_customer_value",
+    oracle="""
+    WITH base AS (
+      SELECT
+        o.o_custkey AS customer_id,
+        CAST(o.o_orderdate AS DATE) AS order_date,
+        CAST(l.l_extendedprice AS DECIMAL(12,2))
+          * (CAST(1 AS DECIMAL(3,2)) - CAST(l.l_discount AS DECIMAL(4,2))) AS amount,
+        CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS is_refund,
+        COALESCE(l.l_discount, 0) AS raw_risk_score,
+        CASE WHEN l.l_returnflag = 'R' THEN 'high' ELSE 'low' END AS risk_bucket
+      FROM orders o
+      JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    daily AS (
+      SELECT
+        customer_id, order_date,
+        SUM(amount) AS daily_spend,
+        SUM(CASE WHEN is_refund = 1 THEN amount ELSE CAST(0 AS DECIMAL(18,4)) END) AS daily_refund_amt,
+        MAX(raw_risk_score) AS max_risk_score_day,
+        MAX(CASE WHEN risk_bucket IN ('critical', 'high') THEN 1 ELSE 0 END) AS any_high_risk_day
+      FROM base
+      GROUP BY customer_id, order_date
+    ),
+    customer_rollup AS (
+      SELECT
+        customer_id,
+        CAST(SUM(daily_spend) AS DOUBLE) AS total_spend,
+        CAST(SUM(daily_refund_amt) AS DOUBLE) AS total_refunds,
+        CAST(SUM(daily_spend) - SUM(daily_refund_amt) AS DOUBLE) AS net_spend,
+        CAST(SUM(daily_spend) AS DOUBLE) / COUNT(*) AS avg_daily_spend,
+        MAX(max_risk_score_day) AS max_risk_score,
+        MAX(any_high_risk_day) AS ever_high_risk
+      FROM daily
+      GROUP BY customer_id
+    )
+    SELECT
+      c.c_custkey AS customer_id,
+      c.c_mktsegment AS customer_tier,
+      cr.total_spend, cr.total_refunds, cr.net_spend, cr.avg_daily_spend,
+      cr.max_risk_score, cr.ever_high_risk,
+      CASE
+        WHEN cr.total_spend >= 500000 AND cr.ever_high_risk = 0 THEN 'VIP_SAFE'
+        WHEN cr.total_spend >= 500000 AND cr.ever_high_risk = 1 THEN 'VIP_RISK'
+        WHEN cr.total_spend >= 150000 THEN 'HIGH_VALUE'
+        ELSE 'STANDARD'
+      END AS customer_segment
+    FROM customer c
+    LEFT JOIN customer_rollup cr ON c.c_custkey = cr.customer_id
+    """,
+    bench=True,
+)
+def mart_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders").alias("o")
+    li = load(spark, sf_dir, "lineitem").alias("l")
+    customer = load(spark, sf_dir, "customer").alias("c")
+
+    amount = _dec("l.l_extendedprice") * (_ONE - _dec("l.l_discount", "decimal(4,2)"))
+    base = orders.join(li, F.col("o.o_orderkey") == F.col("l.l_orderkey"), "inner").select(
+        F.col("o.o_custkey").alias("customer_id"),
+        F.to_date("o.o_orderdate").alias("order_date"),
+        amount.alias("amount"),
+        F.when(F.col("l.l_returnflag") == "R", 1).otherwise(0).alias("is_refund"),
+        F.coalesce(F.col("l.l_discount"), F.lit(0.0)).alias("raw_risk_score"),
+        F.when(F.col("l.l_returnflag") == "R", "high").otherwise("low").alias("risk_bucket"),
+    )
+
+    daily = base.groupBy("customer_id", "order_date").agg(
+        F.sum("amount").alias("daily_spend"),
+        F.sum(
+            F.when(F.col("is_refund") == 1, F.col("amount")).otherwise(
+                F.lit(0).cast("decimal(18,4)")
+            )
+        ).alias("daily_refund_amt"),
+        F.max("raw_risk_score").alias("max_risk_score_day"),
+        F.max(
+            F.when(F.col("risk_bucket").isin("critical", "high"), 1).otherwise(0)
+        ).alias("any_high_risk_day"),
+    )
+
+    rollup = daily.groupBy("customer_id").agg(
+        F.sum("daily_spend").cast("double").alias("total_spend"),
+        F.sum("daily_refund_amt").cast("double").alias("total_refunds"),
+        (F.sum("daily_spend") - F.sum("daily_refund_amt")).cast("double").alias("net_spend"),
+        (F.sum("daily_spend").cast("double") / F.count(F.lit(1))).alias("avg_daily_spend"),
+        F.max("max_risk_score_day").alias("max_risk_score"),
+        F.max("any_high_risk_day").alias("ever_high_risk"),
+    )
+
+    # customer LEFT JOIN rollup: both sides are per-customer cardinality, so a
+    # broadcast hint would be wrong at scale; the rollup side arrives already
+    # hash-partitioned by customer_id, so the shuffle is one-sided.
+    return customer.join(rollup, F.col("c.c_custkey") == rollup.customer_id, "left").select(
+        F.col("c.c_custkey").alias("customer_id"),
+        F.col("c.c_mktsegment").alias("customer_tier"),
+        "total_spend",
+        "total_refunds",
+        "net_spend",
+        "avg_daily_spend",
+        "max_risk_score",
+        "ever_high_risk",
+        F.when((F.col("total_spend") >= 500000) & (F.col("ever_high_risk") == 0), "VIP_SAFE")
+        .when((F.col("total_spend") >= 500000) & (F.col("ever_high_risk") == 1), "VIP_RISK")
+        .when(F.col("total_spend") >= 150000, "HIGH_VALUE")
+        .otherwise("STANDARD")
+        .alias("customer_segment"),
+    )

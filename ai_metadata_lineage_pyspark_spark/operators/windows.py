@@ -1,0 +1,351 @@
+"""Window-function operator surface: dedup-by-latest, ranking tiers,
+lag/lead/rolling frames, percent_rank bucketing, gap-based sessionization.
+
+Reference semantics: script_02 (row_number latest-per-key), script_03
+(lag/lead + rowsBetween rolling sums), script_05 (rank/dense_rank + top-N
+flag), script_06 (gap sessionization), script_07 (scoring + percent_rank
+buckets). All window orderings carry a unique tiebreaker column so results
+are deterministic across engines.
+
+Scale notes: every window here partitions by a high-cardinality key
+(user_id / o_custkey / order_date), so state per partition stays small and
+the shuffle is a single hash exchange that AQE can coalesce; no global sorts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# latest_event_per_user — script_02_dim_customer_latest.py:8-22: row_number
+# over (key, ts desc) + rn==1 filter + drop + when/otherwise tiering +
+# regexp_extract. Tiebreak on event_id keeps row choice deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    WITH ranked AS (
+      SELECT
+        event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value, props,
+        ROW_NUMBER()  OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        RANK()        OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rnk,
+        DENSE_RANK()  OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS drnk
+      FROM events
+    )
+    SELECT
+      event_id, user_id, ts, event_type, value, props, rnk, drnk,
+      CASE WHEN value >= 15 THEN 'platinum'
+           WHEN value >= 10 THEN 'gold'
+           WHEN value >= 5  THEN 'silver'
+           ELSE 'bronze' END AS user_tier,
+      REGEXP_EXTRACT(props, '"k": (\\d+)', 1) AS props_k
+    FROM ranked
+    WHERE rn = 1
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .withColumn("rnk", F.rank().over(w))
+        .withColumn("drnk", F.dense_rank().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "ts_us")
+        .withColumn(
+            "user_tier",
+            F.when(F.col("value") >= 15, "platinum")
+            .when(F.col("value") >= 10, "gold")
+            .when(F.col("value") >= 5, "silver")
+            .otherwise("bronze"),
+        )
+        .withColumn("props_k", F.regexp_extract(F.col("props"), r'"k": (\d+)', 1))
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_lag_lead_rolling — script_03_fact_orders_enriched.py:22-33: lag /
+# lead / delta-vs-prev / rowsBetween(-6,0) and (-29,0) rolling sums per
+# customer ordered by (order_date, order_id).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_lag_lead_rolling",
+    oracle="""
+    SELECT
+      o_orderkey AS order_id,
+      o_custkey  AS customer_id,
+      CAST(o_orderdate AS DATE) AS order_date,
+      o_totalprice AS amount,
+      LAG(o_totalprice, 1)  OVER w AS prev_amount,
+      LEAD(o_totalprice, 1) OVER w AS next_amount,
+      ROUND(o_totalprice - COALESCE(LAG(o_totalprice, 1) OVER w, 0.0), 2) AS amount_delta_prev,
+      ROUND(SUM(o_totalprice) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)  AS rolling_7_orders_sum,
+      ROUND(SUM(o_totalprice) OVER (w ROWS BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS rolling_30_orders_sum
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+    """,
+)
+def orders_lag_lead_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("amount"),
+        F.lag("o_totalprice", 1).over(w).alias("prev_amount"),
+        F.lead("o_totalprice", 1).over(w).alias("next_amount"),
+        F.round(
+            F.col("o_totalprice") - F.coalesce(F.lag("o_totalprice", 1).over(w), F.lit(0.0)), 2
+        ).alias("amount_delta_prev"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(-6, 0)), 2).alias("rolling_7_orders_sum"),
+        F.round(F.sum("o_totalprice").over(w.rowsBetween(-29, 0)), 2).alias(
+            "rolling_30_orders_sum"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# web_sessionization — script_06_web_sessionization.py:13-38: lag -> gap ->
+# new-session flag -> running sum session number -> concat_ws session id ->
+# GROUP BY session with MIN/MAX/COUNT/COUNT DISTINCT. Gap arithmetic runs on
+# integer epoch-microseconds so both engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+@register(
+    "web_sessionization",
+    oracle=f"""
+    WITH evts AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us, event_type
+      FROM events
+    ),
+    flagged AS (
+      SELECT *,
+        CASE WHEN LAG(ts_us) OVER w IS NULL
+                  OR ts_us - LAG(ts_us) OVER w > {_SESSION_GAP_US}
+             THEN 1 ELSE 0 END AS new_session_flag
+      FROM evts
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)
+    ),
+    numbered AS (
+      SELECT *,
+        SUM(new_session_flag) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS session_num
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT *,
+        CAST(user_id AS VARCHAR) || '-' || CAST(CAST(ts AS DATE) AS VARCHAR)
+          || '-' || CAST(session_num AS VARCHAR) AS session_id
+      FROM numbered
+    )
+    SELECT
+      user_id, session_id,
+      MIN(ts) AS session_start_ts,
+      MAX(ts) AS session_end_ts,
+      COUNT(1) AS events,
+      COUNT(DISTINCT event_type) AS unique_event_types
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def web_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts_us").asc(), F.col("event_id").asc())
+    sessions = (
+        events.withColumn("prev_us", F.lag("ts_us").over(w))
+        .withColumn(
+            "new_session_flag",
+            F.when(
+                F.col("prev_us").isNull()
+                | ((F.col("ts_us") - F.col("prev_us")) > F.lit(_SESSION_GAP_US)),
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("session_num", F.sum("new_session_flag").over(w))
+        .withColumn(
+            "session_id",
+            F.concat_ws(
+                "-",
+                F.col("user_id").cast("string"),
+                F.to_date("ts").cast("string"),
+                F.col("session_num").cast("string"),
+            ),
+        )
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start_ts"),
+        F.max("ts").alias("session_end_ts"),
+        F.count(F.lit(1)).alias("events"),
+        F.countDistinct("event_type").alias("unique_event_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# sales_margin_rank — script_05_sales_margin_rank.py:8-29: inner + left
+# multi-join, derived cost/margin columns with coalesce defaults and guarded
+# division, rank/dense_rank within day, top-10 flag. part is broadcast.
+# All derived doubles come from the same IEEE mul/sub/div chain in both
+# engines, so they are bit-identical and need no rounding.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "sales_margin_rank",
+    oracle="""
+    WITH enriched AS (
+      SELECT
+        l.l_orderkey, l.l_linenumber,
+        CAST(o.o_orderdate AS DATE) AS order_date,
+        l.l_extendedprice * (1 - l.l_discount) AS gross_sales,
+        l.l_quantity * COALESCE(p.p_retailprice, 0.0) * 0.6 AS est_cost
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      LEFT JOIN part p ON l.l_partkey = p.p_partkey
+    ),
+    m AS (
+      SELECT *, gross_sales - est_cost AS est_margin FROM enriched
+    ),
+    ranked AS (
+      SELECT *,
+        RANK()       OVER (PARTITION BY order_date ORDER BY est_margin DESC) AS margin_rank_day,
+        DENSE_RANK() OVER (PARTITION BY order_date ORDER BY est_margin DESC) AS margin_dense_rank_day
+      FROM m
+    )
+    SELECT
+      l_orderkey, l_linenumber, order_date,
+      gross_sales, est_cost, est_margin,
+      CASE WHEN gross_sales = 0 THEN NULL ELSE est_margin / gross_sales END AS est_margin_pct,
+      margin_rank_day, margin_dense_rank_day,
+      CASE WHEN margin_rank_day <= 10 THEN 1 ELSE 0 END AS top_10_flag
+    FROM ranked
+    """,
+    bench=True,
+)
+def sales_margin_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").alias("l")
+    orders = load(spark, sf_dir, "orders").alias("o")
+    part = F.broadcast(load(spark, sf_dir, "part").alias("p"))
+    gross = F.col("l.l_extendedprice") * (F.lit(1) - F.col("l.l_discount"))
+    est_cost = F.col("l.l_quantity") * F.coalesce(F.col("p.p_retailprice"), F.lit(0.0)) * F.lit(0.6)
+    df = (
+        li.join(orders, F.col("l.l_orderkey") == F.col("o.o_orderkey"), "inner")
+        .join(part, F.col("l.l_partkey") == F.col("p.p_partkey"), "left")
+        .select(
+            F.col("l.l_orderkey").alias("l_orderkey"),
+            F.col("l.l_linenumber").alias("l_linenumber"),
+            F.to_date("o.o_orderdate").alias("order_date"),
+            gross.alias("gross_sales"),
+            est_cost.alias("est_cost"),
+        )
+        .withColumn("est_margin", F.col("gross_sales") - F.col("est_cost"))
+    )
+    w = Window.partitionBy("order_date").orderBy(F.col("est_margin").desc())
+    return (
+        df.withColumn("margin_rank_day", F.rank().over(w))
+        .withColumn("margin_dense_rank_day", F.dense_rank().over(w))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "order_date",
+            "gross_sales",
+            "est_cost",
+            "est_margin",
+            F.when(F.col("gross_sales") == 0, F.lit(None))
+            .otherwise(F.col("est_margin") / F.col("gross_sales"))
+            .alias("est_margin_pct"),
+            "margin_rank_day",
+            "margin_dense_rank_day",
+            F.when(F.col("margin_rank_day") <= 10, 1).otherwise(0).alias("top_10_flag"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# fraud_scoring — script_07_fraud_scoring.py:8-34: isin / multi-branch when
+# scoring summed into raw_risk_score, percent_rank within day (desc score,
+# desc amount), threshold bucketing. percent_rank = (rank-1)/(n-1) is exact
+# integer-ratio arithmetic -> identical across engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "fraud_scoring",
+    oracle="""
+    WITH scored AS (
+      SELECT
+        o_orderkey AS order_id,
+        CAST(o_orderdate AS DATE) AS order_date,
+        o_totalprice AS amount,
+        CASE WHEN o_totalprice >= 200000 THEN 1 ELSE 0 END AS high_value_flag,
+        CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 2
+             WHEN o_orderpriority = '3-MEDIUM' THEN 1
+             ELSE 0 END AS risk_from_priority,
+        CASE WHEN o_orderstatus = 'F' THEN 3 ELSE 0 END AS risk_from_status
+      FROM orders
+    ),
+    summed AS (
+      SELECT *, high_value_flag + risk_from_priority + risk_from_status AS raw_risk_score
+      FROM scored
+    ),
+    ranked AS (
+      SELECT *,
+        RANK() OVER w AS risk_rank_day,
+        PERCENT_RANK() OVER w AS pr
+      FROM summed
+      WINDOW w AS (PARTITION BY order_date ORDER BY raw_risk_score DESC, amount DESC)
+    )
+    SELECT
+      order_id, order_date, amount, high_value_flag, risk_from_priority,
+      risk_from_status, raw_risk_score, risk_rank_day,
+      ROUND(pr, 6) AS risk_percent_rank_day,
+      CASE WHEN pr >= 0.99 THEN 'critical'
+           WHEN pr >= 0.95 THEN 'high'
+           WHEN pr >= 0.80 THEN 'medium'
+           ELSE 'low' END AS risk_bucket
+    FROM ranked
+    """,
+)
+def fraud_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    scored = orders.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.to_date("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("amount"),
+        F.when(F.col("o_totalprice") >= 200000, 1).otherwise(0).alias("high_value_flag"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 2)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 1)
+        .otherwise(0)
+        .alias("risk_from_priority"),
+        F.when(F.col("o_orderstatus") == "F", 3).otherwise(0).alias("risk_from_status"),
+    ).withColumn(
+        "raw_risk_score",
+        F.col("high_value_flag") + F.col("risk_from_priority") + F.col("risk_from_status"),
+    )
+    w = Window.partitionBy("order_date").orderBy(
+        F.col("raw_risk_score").desc(), F.col("amount").desc()
+    )
+    return (
+        scored.withColumn("risk_rank_day", F.rank().over(w))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("risk_percent_rank_day", F.round(F.col("pr"), 6))
+        .withColumn(
+            "risk_bucket",
+            F.when(F.col("pr") >= 0.99, "critical")
+            .when(F.col("pr") >= 0.95, "high")
+            .when(F.col("pr") >= 0.80, "medium")
+            .otherwise("low"),
+        )
+        .drop("pr")
+    )

@@ -1,0 +1,74 @@
+"""Query registry: maps a query name to (spark callable, oracle SQL).
+
+Every operator the engine claims is registered here; __spark_entry__.py's
+``queries()`` / ``oracle_sql()`` are thin views over this registry, and
+bench.py times a subset of it.
+
+A registered spark callable has signature ``(spark, sf_dir) -> DataFrame``.
+``oracle`` is the equivalent ANSI SQL for DuckDB over the same parquet
+tables (views: region nation customer supplier part orders lineitem events
+documents embeddings), or None for ops that are not SQL-expressible (the
+driver then records a weaker rows-only check).
+
+Column-naming contract: the driver sorts columns by name before hashing, so
+the Spark result and the oracle must use identical column names — alias
+everything on both sides. Floating-point outputs are rounded on BOTH sides
+(well away from representation noise) so value hashes are stable across
+engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass
+class RegisteredQuery:
+    name: str
+    fn: SparkQuery
+    oracle: str | None
+    bench: bool = False  # include in bench.py headline timings
+
+
+_REGISTRY: dict[str, RegisteredQuery] = {}
+
+
+def register(name: str, oracle: str | None = None, bench: bool = False):
+    def deco(fn: SparkQuery) -> SparkQuery:
+        _REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, bench=bench)
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, RegisteredQuery]:
+    _ensure_loaded()
+    return dict(_REGISTRY)
+
+
+_LOADED = False
+
+
+def _ensure_loaded() -> None:
+    """Import every module that registers queries (idempotent)."""
+    global _LOADED
+    if _LOADED:
+        return
+    from .operators import (  # noqa: F401
+        dedup,
+        graph,
+        merge,
+        relational,
+        rollup,
+        similarity,
+        text,
+        windows,
+    )
+    from .lineage import queries as lineage_queries  # noqa: F401
+
+    _LOADED = True

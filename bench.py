@@ -1,0 +1,57 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed to completion with a cheap count-style sink (collect
+for small results) after a warmup of the Spark session + parquet footer
+reads. Wall-clock per query is end-to-end including planning.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
+from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    # warm the JVM + parquet footers so per-query numbers measure the plan,
+    # not session startup
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
+    timings: dict[str, float] = {}
+    for name, q in queries.items():
+        t0 = time.time()
+        df = q.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
