@@ -1,1 +1,372 @@
-"""(filled in during round 1 build-out)"""
+"""Deduplication operators for training-data pipelines over `documents` /
+`embeddings`: exact (hash groupBy), MinHash signatures + LSH banding,
+SimHash, character-n-gram Jaccard, and embedding-cosine near-dup.
+
+Beyond-reference operators (BASELINE.json north-star). Design notes per
+operator are inline; the common theme for 100 TB scale:
+
+* per-document work (shingling, hashing, signatures) is JVM higher-order
+  array functions — no shuffle, no Python, runs at scan speed;
+* candidate generation never does an all-pairs join: MinHash-LSH buckets by
+  band key, n-gram Jaccard buckets by (lang, length band), cosine near-dup
+  buckets by label — each is an equi-join whose key bounds the blow-up;
+* verification (exact Jaccard / cosine) runs only on bucket-local pairs.
+
+Determinism contract: MinHash uses lexicographic min over md5 hex strings
+(equivalent to numeric min over uniform 128-bit hashes, and identical across
+engines); Jaccard ratios are int/int double divisions; cosine is the
+bit-exact double fold from functions/vectors.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..functions.vectors import cosine_expr
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# Shared shingling expressions (Spark SQL expr strings / DuckDB SQL).
+# Spark array indexing `t[i]` is 0-based; DuckDB list indexing is 1-based.
+# ---------------------------------------------------------------------------
+
+_TOKENS = "split(lower(text), '\\\\s+')"
+_SHINGLES = (
+    "array_distinct(transform(sequence(0, size({t}) - 3),"
+    " i -> concat_ws(' ', {t}[i], {t}[i + 1], {t}[i + 2])))"
+).format(t=_TOKENS)
+
+_SQL_TOKENS = "regexp_split_to_array(lower(text), '\\s+')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(len({t}) - 2),"
+    " i -> {t}[i + 1] || ' ' || {t}[i + 2] || ' ' || {t}[i + 3]))"
+).format(t=_SQL_TOKENS)
+
+_N_SIGS = 8
+
+
+def _sig_exprs_spark() -> list[str]:
+    return [
+        f"array_min(transform(shingles, s -> md5(concat('{j}|', s)))) AS sig_{j}"
+        for j in range(_N_SIGS)
+    ]
+
+
+def _sig_exprs_sql() -> str:
+    return ",\n        ".join(
+        f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min') AS sig_{j}"
+        for j in range(_N_SIGS)
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact_dedup — hash-groupBy duplicate detection: one row per distinct
+# normalized text, canonical doc = min(doc_id). Map-side partial agg means
+# the shuffle carries one row per distinct hash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "exact_dedup",
+    oracle="""
+    SELECT
+      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+      MIN(doc_id) AS canonical_doc_id,
+      COUNT(*) AS n_copies,
+      MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+    """,
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    return docs.groupBy(norm_hash.alias("text_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min("n_chars").alias("n_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_signatures — word-3-gram shingles -> 8 MinHash values per doc.
+# min over md5('<seed>|' || shingle) hex strings == min over uniform 128-bit
+# integers (fixed-width hex is order-isomorphic), so P[sig_a == sig_b] ≈
+# Jaccard(a, b) exactly as in classic MinHash.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "minhash_signatures",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    )
+    SELECT doc_id,
+        len(shingles) AS n_shingles,
+        {_sig_exprs_sql()}
+    FROM sh
+    """,
+)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        .selectExpr("doc_id", "size(shingles) AS n_shingles", *_sig_exprs_spark())
+    )
+
+
+# ---------------------------------------------------------------------------
+# minhash_lsh_pairs — banding: 4 bands × 2 rows over the 8 signatures; a
+# candidate pair is any two docs sharing a band key; candidates are verified
+# with exact shingle-set Jaccard >= 0.5. The band-key groupBy/join is the
+# only shuffle; at scale, bucket skew is bounded because identical band keys
+# imply high similarity.
+# ---------------------------------------------------------------------------
+
+_JACCARD_T = 0.5
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    sigs AS (
+      SELECT doc_id, shingles,
+        {_sig_exprs_sql()}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, 0 AS band, md5(sig_0 || sig_1) AS band_key FROM sigs
+      UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
+      UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
+      UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {_JACCARD_T}
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    sh = (
+        docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
+        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+    )
+    sigs = sh.selectExpr("doc_id", "shingles", *_sig_exprs_spark())
+    band_cols = ", ".join(
+        f"{b}, md5(concat(sig_{2 * b}, sig_{2 * b + 1}))" for b in range(_N_SIGS // 2)
+    )
+    bands = sigs.selectExpr(
+        "doc_id", f"stack({_N_SIGS // 2}, {band_cols}) AS (band, band_key)"
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")),
+        )
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    jaccard = (
+        F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).cast("double")
+        / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
+    )
+    return (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash — 32-bit SimHash over whitespace tokens (with multiplicity): each
+# token contributes ±1 per bit from its md5; the fingerprint takes the sign
+# of each bit-sum. Spark computes the whole fingerprint per row with a
+# zip_with fold over a 32-int accumulator (no shuffle); the oracle replays
+# it relationally (unnest tokens × bit positions, group-sum).
+# ---------------------------------------------------------------------------
+
+# Per-token 32-bit weight vector: bits of the first 8 md5 hex digits.
+_TOKEN_BITS = (
+    "transform(sequence(0, 31), k ->"
+    " 2 * ((instr('0123456789abcdef', substr(md5(t), k div 4 + 1, 1)) - 1)"
+    " div shiftleft(1, 3 - k % 4) % 2) - 1)"
+)
+_SIMHASH_SUMS = (
+    f"aggregate({_TOKENS}, array_repeat(cast(0 as bigint), 32),"
+    f" (acc, t) -> zip_with(acc, {_TOKEN_BITS}, (x, y) -> x + y))"
+)
+
+
+@register(
+    "simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, (j.j * 4 + k.k) AS bit_index,
+        2 * (((strpos('0123456789abcdef', substr(md5(t), j.j + 1, 1)) - 1)
+              // (1 << (3 - k.k))) % 2) - 1 AS w
+      FROM tok, range(8) j(j), range(4) k(k)
+    ),
+    sums AS (SELECT doc_id, bit_index, SUM(w) AS s FROM bits GROUP BY doc_id, bit_index),
+    bitvals AS (SELECT doc_id, bit_index, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM sums),
+    ints AS (
+      SELECT doc_id, SUM(CAST(b AS BIGINT) << (31 - bit_index)) AS simhash_int
+      FROM bitvals GROUP BY doc_id
+    ),
+    digits AS (
+      SELECT doc_id, bit_index // 4 AS j, SUM(b * (1 << (3 - bit_index % 4))) AS d
+      FROM bitvals GROUP BY doc_id, bit_index // 4
+    ),
+    hexes AS (
+      SELECT doc_id,
+        string_agg(substr('0123456789abcdef', CAST(d AS INT) + 1, 1), '' ORDER BY j) AS simhash_hex
+      FROM digits GROUP BY doc_id
+    )
+    SELECT i.doc_id, CAST(i.simhash_int AS BIGINT) AS simhash_int, h.simhash_hex
+    FROM ints i JOIN hexes h ON i.doc_id = h.doc_id
+    """,
+)
+def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    return docs.selectExpr(
+        "doc_id",
+        f"{_SIMHASH_SUMS} AS bit_sums",
+    ).selectExpr(
+        "doc_id",
+        # sign of each bit-sum -> packed 32-bit integer
+        "aggregate(zip_with(bit_sums, sequence(0, 31),"
+        " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 31 - k), cast(0 as bigint))),"
+        " cast(0 as bigint), (acc, v) -> acc + v) AS simhash_int",
+        # hex rendering of the same 32 bits
+        "aggregate(transform(sequence(0, 7), j ->"
+        "   if(bit_sums[j * 4] > 0, 8, 0) + if(bit_sums[j * 4 + 1] > 0, 4, 0)"
+        " + if(bit_sums[j * 4 + 2] > 0, 2, 0) + if(bit_sums[j * 4 + 3] > 0, 1, 0)),"
+        " '', (acc, d) -> concat(acc, substr('0123456789abcdef', d + 1, 1))) AS simhash_hex",
+    )
+
+
+# ---------------------------------------------------------------------------
+# ngram_jaccard_pairs — character-3-gram Jaccard near-dup within
+# (lang, length-band) candidate buckets. The bucket key turns the quadratic
+# all-pairs problem into bounded per-bucket joins; docs whose length bands
+# differ are (by design) never compared — that's the documented pruning.
+# ---------------------------------------------------------------------------
+
+_CHAR_GRAMS = (
+    "array_distinct(transform(sequence(0, length(txt) - 3), i -> substr(txt, i + 1, 3)))"
+)
+_SQL_CHAR_GRAMS = "list_distinct(list_transform(range(length(txt) - 2), i -> substr(txt, i + 1, 3)))"
+_NGRAM_T = 0.4
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars // 100 AS len_band,
+        {_SQL_CHAR_GRAMS} AS grams
+      FROM (SELECT doc_id, lang, n_chars, lower(text) AS txt FROM documents)
+      WHERE length(txt) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+    FROM t a
+    JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+        / len(list_distinct(list_concat(a.grams, b.grams))) >= {_NGRAM_T}
+    """,
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents").withColumn("txt", F.lower(F.col("text")))
+    t = docs.filter(F.length("txt") >= 3).select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+        F.expr(_CHAR_GRAMS).alias("grams"),
+    )
+    jaccard = (
+        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
+        / F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    )
+    return (
+        t.alias("a")
+        .join(
+            t.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.len_band") == F.col("b.len_band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.lang").alias("lang"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _NGRAM_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_cosine_neardup — near-duplicate embedding pairs within label
+# buckets, cosine >= 0.3. At scale the label bucket becomes an IVF/LSH
+# bucket (see operators/similarity.py); the join stays an equi-join.
+# ---------------------------------------------------------------------------
+
+_COS_T = 0.3
+
+
+@register(
+    "embedding_cosine_neardup",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+      list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= {_COS_T}
+    """,
+)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
+    return (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COS_T)
+    )

@@ -1,1 +1,175 @@
-"""(filled in during round 1 build-out)"""
+"""Similarity search over the `embeddings` table (array<float>, dim 64):
+
+* `cosine_topk` — exact brute-force top-k per query vector. The baseline:
+  a broadcast of the (small) query set against a full scan of the corpus,
+  per-partition partial top-k via window rank. Cost O(|Q|·N) but fully
+  scan-parallel; correct at any scale where |Q| is modest.
+* `ann_lsh_topk` — the scale path: random-hyperplane LSH. Each vector gets a
+  sign-bit bucket from 8 fixed pseudo-random hyperplanes (deterministically
+  derived from md5 — the "matrix" is embedded as literals in both engines);
+  top-k search only compares query/candidate pairs within the same bucket.
+  At 100 TB this turns the crossJoin into an equi-join on bucket id with
+  ~N/256 candidates per bucket; recall is tunable by bands/tables.
+
+Cosine math is the bit-exact double fold from functions/vectors.py, so no
+rounding is needed and ranking ties cannot diverge across engines (ties in
+exact value are broken by vec_id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..functions.vectors import cosine_expr, dot_expr
+from ..registry import register
+
+_TOP_K = 10
+_QUERY_MOD = 50  # vec_id % 50 == 0 -> query set (~2% of corpus)
+
+
+@register(
+    "cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+    """,
+    bench=True,
+)
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN: reference A36's FAISS IndexFlatL2 top-k (qa/embed_index.py:
+    41-46, qa/ask.py:135-152) re-expressed as broadcast-join + windowed
+    top-k, with cosine in place of L2 (equivalent ordering for normalized
+    Titan-style vectors)."""
+    emb = load(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+        )
+    )
+    scored = (
+        q.join(emb.alias("c"), F.col("query_id") != F.col("c.vec_id"))
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.expr(cosine_expr("q_embedding", "c.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_lsh_topk — random-hyperplane LSH bucketing.
+# The hyperplane matrix (8 planes × 64 dims) is derived from md5 digests at
+# import time (pure Python, no RNG state) and inlined as array literals in
+# both the Spark plan and the oracle SQL, so both engines use the identical
+# matrix.
+# ---------------------------------------------------------------------------
+
+_N_PLANES = 8
+_DIM = 64
+
+
+def _plane_weight(p: int, d: int) -> float:
+    """Deterministic pseudo-random weight in [-1, 1) from md5."""
+    h = hashlib.md5(f"plane:{p}:{d}".encode()).hexdigest()
+    return int(h[:8], 16) / float(1 << 31) - 1.0
+
+
+_PLANES = [[_plane_weight(p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
+
+
+def _planes_spark() -> str:
+    rows = ", ".join(
+        "array(" + ", ".join(repr(w) + "D" for w in row) + ")" for row in _PLANES
+    )
+    return f"array({rows})"
+
+
+def _planes_sql() -> str:
+    rows = ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]::DOUBLE[]" for row in _PLANES
+    )
+    return f"[{rows}]"
+
+
+def _bucket_spark(vec: str) -> str:
+    """Concatenated sign bits of the 8 hyperplane projections."""
+    return (
+        f"array_join(transform({_planes_spark()},"
+        f" pl -> if({dot_expr('pl', vec)} > 0D, '1', '0')), '')"
+    )
+
+
+def _bucket_sql(vec: str) -> str:
+    return (
+        f"array_to_string(list_transform({_planes_sql()},"
+        f" pl -> CASE WHEN list_dot_product(pl, {vec}::DOUBLE[]) > 0 THEN '1' ELSE '0' END),"
+        " '')"
+    )
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket
+      FROM embeddings
+    ),
+    q AS (SELECT * FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, q.bucket AS bucket,
+        list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+      FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, bucket, cosine, rank
+    FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate NN: bucket-local exact top-k after hyperplane LSH."""
+    emb = load(spark, sf_dir, "embeddings")
+    bucketed = emb.select(
+        "vec_id", "embedding", F.expr(_bucket_spark("embedding")).alias("bucket")
+    )
+    q = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_embedding"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    scored = (
+        q.join(
+            bucketed.alias("c"),
+            (F.col("q_bucket") == F.col("c.bucket"))
+            & (F.col("query_id") != F.col("c.vec_id")),
+        )
+        .select(
+            "query_id",
+            F.col("c.vec_id").alias("neighbor_id"),
+            F.col("q_bucket").alias("bucket"),
+            F.expr(cosine_expr("q_embedding", "c.embedding")).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOP_K)

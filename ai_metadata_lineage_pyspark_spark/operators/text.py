@@ -1,1 +1,232 @@
-"""(filled in during round 1 build-out)"""
+"""Text-analysis operators for training-data pipelines over `documents`:
+language-ID (stopword-hit heuristic), quality scoring, token statistics,
+and document fingerprinting.
+
+These are beyond-reference operators (BASELINE.json north-star): the large-
+scale LLM-data-pipeline surface layered on the fixture `documents` table.
+
+Scale notes: everything is per-row JVM expression work (split / higher-order
+array functions / regexp / hashes) — no shuffle at all, embarrassingly
+parallel, whole-stage codegen. At 100 TB these run at scan speed with
+column pruning (only `doc_id`/`text` are read).
+
+Determinism contract: all ratios are int/int double divisions (exact IEEE,
+identical across engines); token arrays use the same `\\s+` split in Spark
+and DuckDB; hashes are md5/sha256 hex strings (identical).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..registry import register
+
+# Tokenization shared by all text operators (lower + whitespace split).
+_TOKENS = "split(lower(text), '\\\\s+')"
+
+# Tiny per-language stopword lists for the heuristic language classifier.
+# Deterministic argmax with fixed preference order on ties.
+_LANG_STOPWORDS = {
+    "en": ("the", "and", "of", "to", "is", "in", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "pas", "pour", "avec"),
+    "es": ("el", "la", "los", "que", "es", "no", "por", "con"),
+}
+
+
+def _hits_expr(words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"size(filter({_TOKENS}, x -> x IN ({quoted})))"
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x IN ({quoted})))"
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_actual,
+        {_hits_sql(_LANG_STOPWORDS['en'])} AS en_hits,
+        {_hits_sql(_LANG_STOPWORDS['de'])} AS de_hits,
+        {_hits_sql(_LANG_STOPWORDS['fr'])} AS fr_hits,
+        {_hits_sql(_LANG_STOPWORDS['es'])} AS es_hits
+      FROM documents
+    )
+    SELECT doc_id, lang_actual, en_hits, de_hits, fr_hits, es_hits,
+      CASE
+        WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+        WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+        WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+        WHEN fr_hits >= es_hits THEN 'fr'
+        ELSE 'es'
+      END AS lang_pred
+    FROM hits
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword hit counts + argmax.
+
+    Beyond-reference op (north-star); corpus-document text handling parallels
+    qa/build_corpus.py:50-79, which treats doc text as opaque strings.
+    """
+    docs = load(spark, sf_dir, "documents")
+    hits = docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_actual"),
+        *[
+            F.expr(_hits_expr(words)).alias(f"{lang}_hits")
+            for lang, words in _LANG_STOPWORDS.items()
+        ],
+    )
+    en, de, fr, es = (F.col(f"{code}_hits") for code in ("en", "de", "fr", "es"))
+    return hits.withColumn(
+        "lang_pred",
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, n_chars,
+        regexp_split_to_array(lower(text), '\\s+') AS toks,
+        regexp_extract_all(lower(text), '[a-z]+') AS word_toks
+      FROM documents
+    )
+    SELECT doc_id, n_chars,
+      len(toks) AS n_tokens,
+      len(list_distinct(toks)) AS n_unique_tokens,
+      len(word_toks) AS n_word_tokens,
+      list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_token_chars,
+      CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
+        / len(toks) AS avg_token_len,
+      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio
+    FROM t
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + regex word tokens + uniqueness.
+
+    The `[a-z]+` regex pass is the BPE-ish pre-tokenizer stand-in; both are
+    per-row JVM work.
+    """
+    docs = load(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_unique_tokens"),
+        F.expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))").alias("n_word_tokens"),
+        F.expr(f"aggregate({_TOKENS}, 0, (acc, x) -> acc + length(x))").alias(
+            "total_token_chars"
+        ),
+        F.expr(
+            f"cast(aggregate({_TOKENS}, 0, (acc, x) -> acc + length(x)) as double)"
+            f" / size({_TOKENS})"
+        ).alias("avg_token_len"),
+        F.expr(f"cast(size(array_distinct({_TOKENS})) as double) / size({_TOKENS})").alias(
+            "unique_ratio"
+        ),
+    )
+
+
+@register(
+    "text_quality_score",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, lang, n_chars,
+        len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+        len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS n_unique,
+        length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+            x -> x IN ('the', 'and', 'of', 'to', 'is', 'in', 'a', 'for'))) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id, lang, n_chars, n_tokens,
+      CAST(n_punct AS DOUBLE) / n_chars AS punct_ratio,
+      CAST(n_digit AS DOUBLE) / n_chars AS digit_ratio,
+      CAST(n_stop AS DOUBLE) / n_tokens AS stopword_ratio,
+      CAST(n_unique AS DOUBLE) / n_tokens AS unique_ratio,
+      (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.2 THEN 1 ELSE 0 END
+       + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens > 0.3 THEN 1 ELSE 0 END
+       + CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS quality_score
+    FROM t
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring from length / punctuation / digit / stopword /
+    uniqueness ratios, combined into an integer 0-5 score."""
+    docs = load(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_unique"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
+        F.expr(
+            f"size(filter({_TOKENS}, x -> x IN ('the', 'and', 'of', 'to', 'is', 'in', 'a', 'for')))"
+        ).alias("n_stop"),
+    )
+    punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
+    digit_ratio = F.col("n_digit").cast("double") / F.col("n_chars")
+    stop_ratio = F.col("n_stop").cast("double") / F.col("n_tokens")
+    uniq_ratio = F.col("n_unique").cast("double") / F.col("n_tokens")
+    score = (
+        F.when(F.col("n_tokens").between(10, 100000), 1).otherwise(0)
+        + F.when(punct_ratio < 0.1, 1).otherwise(0)
+        + F.when(digit_ratio < 0.2, 1).otherwise(0)
+        + F.when(uniq_ratio > 0.3, 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 100, 1).otherwise(0)
+    )
+    return t.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        "n_tokens",
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        uniq_ratio.alias("unique_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+      md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_md5,
+      sha256(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp_sha256,
+      substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 8) AS fp_prefix
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: whitespace-normalized md5/sha256 digest.
+
+    The reference derives SHA-1 doc ids from text (qa/build_corpus.py:33-35);
+    md5/sha256 are used here because both engines implement them identically.
+    """
+    docs = load(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.sha2(norm, 256).alias("fp_sha256"),
+        F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
+    )
