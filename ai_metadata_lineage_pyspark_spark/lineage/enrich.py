@@ -1,0 +1,106 @@
+"""Pluggable LLM enrichment + answer generation.
+
+The reference calls Amazon Bedrock (Nova for enrichment/answers, Titan for
+embeddings) — extractor/bedrock_enrich.py:169-248, qa/ask.py:82-113. This
+engine keeps the same contract and budgets but isolates every model call
+behind `ModelClient`, honoring the reference's core rule: "LLMs assist
+understanding — they never define lineage truth" (README.md:111-113).
+Deterministic artifacts (facts, edges, stitching, closure, evidence) never
+depend on a client; enrichment output is merged under a separate key and
+never overwrites static facts (bedrock_enrich.py:234-242 semantics).
+
+No cloud SDK is imported here: `BedrockClient` is a documented integration
+point, import-gated so the engine runs fully offline.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass
+from typing import Protocol
+
+ENRICH_MAX_TOKENS = 2500  # bedrock_enrich.py:95-97
+ENRICH_TEMPERATURE = 0.0
+ANSWER_MAX_TOKENS = 900  # qa/ask.py:104
+ANSWER_TEMPERATURE = 0.1
+PROMPT_TRUNCATION = 12_000  # bedrock_enrich.py:185-189
+UNKNOWN_ANSWER = "Unknown from available lineage metadata."
+
+
+class ModelClient(Protocol):
+    def complete(self, prompt: str, max_tokens: int, temperature: float) -> str: ...
+
+
+@dataclass
+class MockModelClient:
+    """Deterministic offline client: echoes a fixed JSON envelope, so tests
+    can exercise the merge/parse plumbing without asserting model output."""
+
+    payload: dict | None = None
+
+    def complete(self, prompt: str, max_tokens: int, temperature: float) -> str:
+        body = self.payload if self.payload is not None else {
+            "group_by": [], "aggregations": [], "derived_columns": [],
+            "joins": [], "sql_blocks": [],
+        }
+        return "```json\n" + json.dumps(body) + "\n```"
+
+
+def extract_json_object(text: str) -> dict | None:
+    """Robust JSON extraction: strip code fences, direct parse, else first
+    balanced {...} block (bedrock_enrich.py:27-60 semantics, fresh impl)."""
+    cleaned = re.sub(r"^```(?:json)?\s*|\s*```$", "", text.strip(), flags=re.MULTILINE)
+    try:
+        obj = json.loads(cleaned)
+        return obj if isinstance(obj, dict) else None
+    except json.JSONDecodeError:
+        pass
+    start = cleaned.find("{")
+    while start != -1:
+        depth = 0
+        for i in range(start, len(cleaned)):
+            if cleaned[i] == "{":
+                depth += 1
+            elif cleaned[i] == "}":
+                depth -= 1
+                if depth == 0:
+                    try:
+                        obj = json.loads(cleaned[start : i + 1])
+                        return obj if isinstance(obj, dict) else None
+                    except json.JSONDecodeError:
+                        break
+        start = cleaned.find("{", start + 1)
+    return None
+
+
+def build_enrich_prompt(script_source: str, base_facts_json: str) -> str:
+    """Prompt = truncated script + truncated base facts + strict JSON schema
+    instruction (bedrock_enrich.py:169-213 contract)."""
+    return (
+        "Analyze this PySpark script and its statically-extracted lineage facts.\n"
+        "Return ONLY a JSON object with keys: group_by, aggregations, "
+        "derived_columns, joins, sql_blocks.\n\n"
+        f"SCRIPT:\n{script_source[:PROMPT_TRUNCATION]}\n\n"
+        f"BASE FACTS:\n{base_facts_json[:PROMPT_TRUNCATION]}\n"
+    )
+
+
+def enrich_one(client: ModelClient, script_source: str, base_facts: dict) -> dict:
+    """Merge enrichment under its own key; never overwrite static truth."""
+    prompt = build_enrich_prompt(script_source, json.dumps(base_facts))
+    raw = client.complete(prompt, ENRICH_MAX_TOKENS, ENRICH_TEMPERATURE)
+    enrichment = extract_json_object(raw) or {}
+    merged = dict(base_facts)
+    merged["model_enrichment"] = enrichment
+    return merged
+
+
+def answer_question(client: ModelClient, question: str, evidence: str) -> str:
+    """Constrained answer generation (qa/ask.py:82-113 contract)."""
+    prompt = (
+        "Answer ONLY from the EVIDENCE below. If the evidence is "
+        f'insufficient, reply exactly "{UNKNOWN_ANSWER}"\n\n'
+        f"EVIDENCE:\n{evidence}\n\nQUESTION: {question}\n"
+    )
+    return client.complete(prompt, ANSWER_MAX_TOKENS, ANSWER_TEMPERATURE)

@@ -1,1 +1,273 @@
-"""(filled in during round 1 build-out)"""
+"""Registry entries for the lineage engine (SURVEY.md §2A surface).
+
+Inputs are the repo's own fixture pipelines (tests/fixtures/pipelines/*.py,
+written fresh for this engine); the extraction -> facts -> edges -> stitch ->
+closure -> corpus chain runs live on Spark for every call.
+
+Oracle strategy: the fact/edge/stitch/corpus entries check against golden
+VALUES (hand-verified against the fixture scripts — the reference's own
+golden-artifact test model, SURVEY.md §5). The closure entry is an
+algorithmic check: Spark's iterative-frontier BFS vs a DuckDB recursive CTE
+over the same edge list — the one genuinely recursive operator (A31/A33).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..registry import register
+from .extract import assets_table, columns_table, dataframes_table, extract_from_dir
+from .postprocess import edges_table
+from .stitch import stitch_links
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "tests",
+    "fixtures",
+    "pipelines",
+)
+
+
+def _facts(spark: SparkSession) -> DataFrame:
+    return extract_from_dir(spark, FIXTURE_DIR)
+
+
+def _values_sql(rows: list[tuple], cols: list[str]) -> str:
+    def lit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, int):
+            return str(v)
+        return "'" + str(v).replace("'", "''") + "'"
+
+    body = ",\n      ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"SELECT * FROM (VALUES\n      {body}\n    ) AS t({', '.join(cols)})"
+
+
+# --- golden fact rows (verified by hand against tests/fixtures/pipelines) ---
+
+_ASSETS_GOLDEN = [
+    ("p01_ingest_readings", "read", "csv", "s3a://fleet-lake/raw/readings/", "readings"),
+    ("p01_ingest_readings", "write", "parquet", "s3a://fleet-lake/bronze/readings/", "bronze"),
+    ("p02_device_latest", "read", "parquet", "s3a://fleet-lake/raw/device_registry/", "registry"),
+    ("p02_device_latest", "write", "parquet", "s3a://fleet-lake/silver/device_dim/", "device_dim"),
+    ("p03_readings_enriched", "read", "parquet", "s3a://fleet-lake/bronze/readings/", "readings"),
+    ("p03_readings_enriched", "read", "parquet", "s3a://fleet-lake/silver/device_dim/", "devices"),
+    ("p03_readings_enriched", "write", "parquet", "s3a://fleet-lake/gold/readings_enriched/", "enriched"),
+    ("p04_health_sql", "read", "parquet", "s3a://fleet-lake/gold/readings_enriched/", "enriched"),
+    ("p04_health_sql", "write", "parquet", "s3a://fleet-lake/gold/device_health/", "health"),
+    ("p05_alerts", "read", "parquet", "s3a://fleet-lake/gold/device_health/", "health"),
+    ("p05_alerts", "read", "parquet", "s3a://fleet-lake/gold/readings_enriched/", "enriched"),
+    ("p05_alerts", "write", "parquet", "s3a://fleet-lake/gold/alerts/", "alerts"),
+    ("p06_fleet_agg", "read", "parquet", "s3a://fleet-lake/gold/alerts/", "alerts"),
+    ("p06_fleet_agg", "write", "parquet", "s3a://fleet-lake/gold/fleet_rollup/", "fleet"),
+]
+
+_DATAFRAMES_GOLDEN = [
+    ("p01_ingest_readings", "bronze", "sink", "readings", 2),
+    ("p01_ingest_readings", "readings", "source", None, 1),
+    ("p02_device_latest", "device_dim", "sink", "registry", 2),
+    ("p02_device_latest", "registry", "source", None, 1),
+    ("p03_readings_enriched", "devices", "source", None, 2),
+    ("p03_readings_enriched", "enriched", "sink", "joined", 4),
+    ("p03_readings_enriched", "joined", "intermediate", "readings", 3),
+    ("p03_readings_enriched", "readings", "source", None, 1),
+    ("p04_health_sql", "enriched", "source", None, 1),
+    ("p04_health_sql", "health", "sink", None, 2),
+    ("p05_alerts", "alerts", "sink", "enriched", 3),
+    ("p05_alerts", "enriched", "source", None, 2),
+    ("p05_alerts", "health", "source", None, 1),
+    ("p06_fleet_agg", "alerts", "source", None, 1),
+    ("p06_fleet_agg", "fleet", "sink", "alerts", 2),
+]
+
+_COLUMNS_GOLDEN = [
+    ("p01_ingest_readings", "bronze", "device_id", "withColumn", "device_id"),
+    ("p01_ingest_readings", "bronze", "is_anomaly", "withColumn", "temp_c"),
+    ("p01_ingest_readings", "bronze", "reading_date", "withColumn", "reading_ts"),
+    ("p01_ingest_readings", "bronze", "reading_ts", "withColumn", "reading_ts"),
+    ("p01_ingest_readings", "bronze", "site", "withColumn", "site"),
+    ("p01_ingest_readings", "bronze", "temp_c", "withColumn", "temp_c"),
+    ("p02_device_latest", "device_dim", "rn", "withColumn", ""),
+    ("p02_device_latest", "device_dim", "site_code", "withColumn", "site_uri"),
+    ("p02_device_latest", "device_dim", "support_tier", "withColumn", "contract_value"),
+    ("p03_readings_enriched", "enriched", "prev_temp", "withColumn", "temp_c"),
+    ("p03_readings_enriched", "enriched", "rolling_24_avg", "withColumn", "temp_c"),
+    ("p03_readings_enriched", "enriched", "temp_delta", "withColumn", "temp_c,prev_temp"),
+    ("p03_readings_enriched", "joined", "__join__devices", "join", "device_id"),
+    ("p05_alerts", "alerts", "__join__health", "join", "device_id"),
+    ("p05_alerts", "alerts", "alert_flag", "withColumn", "alert_score"),
+    ("p05_alerts", "alerts", "alert_score", "withColumn", "support_tier,health_state,temp_delta"),
+    ("p06_fleet_agg", "fleet", "n_readings", "aggregation", "device_id"),
+    ("p06_fleet_agg", "fleet", "reading_date", "groupByKey", "reading_date"),
+    ("p06_fleet_agg", "fleet", "score_per_reading", "withColumn", "site_alert_score,n_readings"),
+    ("p06_fleet_agg", "fleet", "site", "groupByKey", "site"),
+    ("p06_fleet_agg", "fleet", "site_alert_score", "aggregation", "alert_score"),
+]
+
+_EDGES_GOLDEN = [
+    ("p01_ingest_readings", "bronze", "device_id", "readings", "device_id"),
+    ("p01_ingest_readings", "bronze", "is_anomaly", "readings", "temp_c"),
+    ("p01_ingest_readings", "bronze", "reading_date", "readings", "reading_ts"),
+    ("p01_ingest_readings", "bronze", "reading_ts", "readings", "reading_ts"),
+    ("p01_ingest_readings", "bronze", "site", "readings", "site"),
+    ("p01_ingest_readings", "bronze", "temp_c", "readings", "temp_c"),
+    ("p02_device_latest", "device_dim", "site_code", "registry", "site_uri"),
+    ("p02_device_latest", "device_dim", "support_tier", "registry", "contract_value"),
+    ("p03_readings_enriched", "enriched", "prev_temp", "joined", "temp_c"),
+    ("p03_readings_enriched", "enriched", "rolling_24_avg", "joined", "temp_c"),
+    ("p03_readings_enriched", "enriched", "temp_delta", "joined", "prev_temp"),
+    ("p03_readings_enriched", "enriched", "temp_delta", "joined", "temp_c"),
+    ("p03_readings_enriched", "joined", "__join__devices", "readings", "device_id"),
+    ("p05_alerts", "alerts", "__join__health", "enriched", "device_id"),
+    ("p05_alerts", "alerts", "alert_flag", "enriched", "alert_score"),
+    ("p05_alerts", "alerts", "alert_score", "enriched", "health_state"),
+    ("p05_alerts", "alerts", "alert_score", "enriched", "support_tier"),
+    ("p05_alerts", "alerts", "alert_score", "enriched", "temp_delta"),
+    ("p06_fleet_agg", "fleet", "n_readings", "alerts", "device_id"),
+    ("p06_fleet_agg", "fleet", "reading_date", "alerts", "reading_date"),
+    ("p06_fleet_agg", "fleet", "score_per_reading", "alerts", "n_readings"),
+    ("p06_fleet_agg", "fleet", "score_per_reading", "alerts", "site_alert_score"),
+    ("p06_fleet_agg", "fleet", "site", "alerts", "site"),
+    ("p06_fleet_agg", "fleet", "site_alert_score", "alerts", "alert_score"),
+]
+
+_LINKS_GOLDEN = [
+    ("p01_ingest_readings", "p03_readings_enriched", "s3a://fleet-lake/bronze/readings"),
+    ("p02_device_latest", "p03_readings_enriched", "s3a://fleet-lake/silver/device_dim"),
+    ("p03_readings_enriched", "p04_health_sql", "s3a://fleet-lake/gold/readings_enriched"),
+    ("p03_readings_enriched", "p05_alerts", "s3a://fleet-lake/gold/readings_enriched"),
+    ("p04_health_sql", "p05_alerts", "s3a://fleet-lake/gold/device_health"),
+    ("p05_alerts", "p06_fleet_agg", "s3a://fleet-lake/gold/alerts"),
+]
+
+
+@register(
+    "lineage_extract_assets",
+    oracle=_values_sql(
+        _ASSETS_GOLDEN, ["script_name", "direction", "format", "path", "df_name"]
+    ),
+)
+def lineage_extract_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A7/A12: script scan + read/write asset detection."""
+    return assets_table(_facts(spark)).select(
+        "script_name", "direction", "format", "path", "df_name"
+    )
+
+
+@register(
+    "lineage_extract_dataframes",
+    oracle=_values_sql(
+        _DATAFRAMES_GOLDEN,
+        ["script_name", "df_name", "df_type", "primary_input", "df_order"],
+    ),
+)
+def lineage_extract_dataframes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 (fixed semantics): source/sink by actual read/write usage."""
+    return dataframes_table(_facts(spark)).select(
+        "script_name",
+        "df_name",
+        "df_type",
+        F.get("input_dfs", 0).alias("primary_input"),
+        F.col("order").alias("df_order"),
+    )
+
+
+@register(
+    "lineage_extract_columns",
+    oracle=_values_sql(
+        _COLUMNS_GOLDEN,
+        ["script_name", "df_name", "col_name", "transformation", "derived_from_csv"],
+    ),
+)
+def lineage_extract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8-A11: withColumn / groupBy / agg-alias / join column records."""
+    return columns_table(_facts(spark)).select(
+        "script_name",
+        "df_name",
+        "col_name",
+        "transformation",
+        F.array_join("derived_from", ",").alias("derived_from_csv"),
+    )
+
+
+@register(
+    "lineage_edges",
+    oracle=_values_sql(
+        _EDGES_GOLDEN, ["script_name", "df_name", "target_col", "src_df", "src_col"]
+    ),
+)
+def lineage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17-A19: canonical edge derivation + dedup."""
+    facts = _facts(spark)
+    return edges_table(columns_table(facts), dataframes_table(facts)).select(
+        "script_name", "df_name", "target_col", "src_df", "src_col"
+    )
+
+
+@register(
+    "lineage_repo_stitch",
+    oracle=_values_sql(_LINKS_GOLDEN, ["from_script", "to_script", "asset"]),
+)
+def lineage_repo_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: write-path == read-path broadcast equi-join."""
+    return stitch_links(assets_table(_facts(spark)))
+
+
+# --- closure: algorithmic BFS-vs-recursive-CTE check -----------------------
+
+_COLUMN_GRAPH = [
+    ("temp_c", "is_anomaly"),
+    ("reading_ts", "reading_date"),
+    ("site_uri", "site_code"),
+    ("contract_value", "support_tier"),
+    ("temp_c", "prev_temp"),
+    ("temp_c", "rolling_24_avg"),
+    ("prev_temp", "temp_delta"),
+    ("temp_c", "temp_delta"),
+    ("device_id", "__join__devices"),
+    ("device_id", "__join__health"),
+    ("alert_score", "alert_flag"),
+    ("health_state", "alert_score"),
+    ("support_tier", "alert_score"),
+    ("temp_delta", "alert_score"),
+    ("device_id", "n_readings"),
+    ("n_readings", "score_per_reading"),
+    ("site_alert_score", "score_per_reading"),
+    ("alert_score", "site_alert_score"),
+]
+
+_CLOSURE_SEED = "temp_c"
+
+
+@register(
+    "lineage_column_closure",
+    oracle=f"""
+    WITH RECURSIVE e(src, dst) AS (
+      {_values_sql(_COLUMN_GRAPH, ['src', 'dst']).replace('SELECT * FROM ', 'SELECT src, dst FROM ')}
+    ),
+    c AS (
+      SELECT '{_CLOSURE_SEED}' AS node, 0 AS depth
+      UNION ALL
+      SELECT e.dst AS node, c.depth + 1 AS depth
+      FROM c JOIN e ON c.node = e.src
+      WHERE c.depth < 20
+    )
+    SELECT node AS impacted_col, MIN(depth) AS depth
+    FROM c WHERE depth > 0 GROUP BY node
+    """,
+)
+def lineage_column_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: downstream column closure — iterative frontier BFS on Spark
+    checked against DuckDB's recursive CTE over the same edge list."""
+    from .graphqa import column_closure, column_graph
+
+    facts = _facts(spark)
+    edges = edges_table(columns_table(facts), dataframes_table(facts))
+    graph = column_graph(edges)
+    return column_closure(graph, _CLOSURE_SEED).withColumn(
+        "depth", F.col("depth").cast("int")
+    )
