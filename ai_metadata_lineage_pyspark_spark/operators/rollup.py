@@ -27,7 +27,13 @@ from ..functions.io import load
 from ..registry import register
 
 # Exact-decimal building blocks shared by the money aggregations.
-_ONE = F.lit(1).cast("decimal(3,2)")
+# NB: built lazily — constructing a Column at module import requires an active
+# SparkContext, which breaks import-before-session callers (bench, pytest
+# collection, the driver's queries() probe).
+
+
+def _one() -> Column:
+    return F.lit(1).cast("decimal(3,2)")
 
 
 def _dec(col: str, t: str = "decimal(12,2)") -> Column:
@@ -36,7 +42,7 @@ def _dec(col: str, t: str = "decimal(12,2)") -> Column:
 
 def _disc_price() -> Column:
     """l_extendedprice * (1 - l_discount), exact decimal(18,4)."""
-    return _dec("l_extendedprice") * (_ONE - _dec("l_discount", "decimal(4,2)"))
+    return _dec("l_extendedprice") * (_one() - _dec("l_discount", "decimal(4,2)"))
 
 
 # ---------------------------------------------------------------------------
@@ -82,8 +88,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(ext).cast("double").alias("sum_base_price"),
-            F.sum(ext * (_ONE - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ext * (_ONE - disc) * (_ONE + tax)).cast("double").alias("sum_charge"),
+            F.sum(ext * (_one() - disc)).cast("double").alias("sum_disc_price"),
+            F.sum(ext * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
             (F.sum(qty).cast("double") / n).alias("avg_qty"),
             (F.sum(ext).cast("double") / n).alias("avg_price"),
             (F.sum(disc).cast("double") / n).alias("avg_disc"),
@@ -240,7 +246,7 @@ def mart_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").alias("l")
     customer = load(spark, sf_dir, "customer").alias("c")
 
-    amount = _dec("l.l_extendedprice") * (_ONE - _dec("l.l_discount", "decimal(4,2)"))
+    amount = _dec("l.l_extendedprice") * (_one() - _dec("l.l_discount", "decimal(4,2)"))
     base = orders.join(li, F.col("o.o_orderkey") == F.col("l.l_orderkey"), "inner").select(
         F.col("o.o_custkey").alias("customer_id"),
         F.to_date("o.o_orderdate").alias("order_date"),
