@@ -1,0 +1,38 @@
+"""BFS closure semantics on hand-built graphs: min-depth, cycle safety,
+multi-seed, depth cap."""
+
+from __future__ import annotations
+
+from ai_metadata_lineage_pyspark_spark.operators.graph import bfs_closure
+
+
+def closure_dict(spark, edges, seeds, **kw):
+    e = spark.createDataFrame(edges, ["src", "dst"])
+    s = spark.createDataFrame([(x,) for x in seeds], ["seed"])
+    rows = bfs_closure(e, s, **kw).collect()
+    return {(r.seed, r.node): r.depth for r in rows}
+
+
+def test_min_depth_on_diamond(spark):
+    # a->b->d and a->c->d plus shortcut a->d: d must be reported at depth 1.
+    got = closure_dict(spark, [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("a", "d")], ["a"])
+    assert got == {("a", "b"): 1, ("a", "c"): 1, ("a", "d"): 1}
+
+
+def test_cycle_terminates_and_excludes_nothing(spark):
+    got = closure_dict(spark, [("a", "b"), ("b", "c"), ("c", "a")], ["a"], max_depth=10)
+    # seed is re-reached through the cycle but already known at depth 0 ->
+    # closure reports only b and c.
+    assert got == {("a", "b"): 1, ("a", "c"): 2}
+
+
+def test_multi_seed_independent_closures(spark):
+    got = closure_dict(spark, [("a", "b"), ("x", "y"), ("y", "b")], ["a", "x"])
+    assert got == {("a", "b"): 1, ("x", "y"): 1, ("x", "b"): 2}
+
+
+def test_depth_cap(spark):
+    chain = [(str(i), str(i + 1)) for i in range(6)]
+    got = closure_dict(spark, chain, ["0"], max_depth=3)
+    assert set(got.values()) == {1, 2, 3}
+    assert ("0", "4") not in got

@@ -1,0 +1,54 @@
+"""Driver-contract tests: registry shape, __spark_entry__ views, oracle
+hygiene (no unknown tables, aliased columns on both sides).
+"""
+
+from __future__ import annotations
+
+import re
+
+import __spark_entry__ as entry_mod
+from ai_metadata_lineage_pyspark_spark.registry import all_queries
+
+ALLOWED_TABLES = set(
+    "region nation customer supplier part orders lineitem events documents embeddings".split()
+)
+
+
+def test_registry_imports_without_spark_session():
+    # all_queries() must work before any SparkSession exists — the driver
+    # and bench probe the registry first. (Regression: module-level F.lit.)
+    qs = all_queries()
+    assert len(qs) >= 30
+
+
+def test_entry_views_match_registry():
+    qs = all_queries()
+    assert set(entry_mod.queries()) == set(qs)
+    oracles = entry_mod.oracle_sql()
+    for name, sql in oracles.items():
+        assert sql == qs[name].oracle
+
+
+def test_every_query_has_an_oracle():
+    # Stronger than the driver's requirement: we currently claim full SQL
+    # expressibility. If a future op is genuinely non-SQL, drop it from this
+    # assertion explicitly.
+    for name, q in all_queries().items():
+        assert q.oracle, f"{name} has no oracle"
+
+
+def test_oracle_references_only_known_tables():
+    # Any FROM/JOIN target must be a fixture view, a CTE defined in the same
+    # statement, or an inline VALUES subquery.
+    for name, q in all_queries().items():
+        sql = q.oracle
+        ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?\s+AS\s*\(", sql, re.I))
+        refs = set(re.findall(r"(?:FROM|JOIN)\s+(\w+)", sql, re.I))
+        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet"}
+        # inline VALUES produce derived tables aliased AS t(...): FROM (VALUES...)
+        assert not unknown, f"{name}: unknown tables {unknown}"
+
+
+def test_bench_queries_are_registered():
+    bench = [n for n, q in all_queries().items() if q.bench]
+    assert len(bench) >= 3
