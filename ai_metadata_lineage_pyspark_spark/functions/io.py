@@ -39,3 +39,21 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return load_events(spark, sf_dir)
     ensure_engine_confs(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition an under-partitioned input before CPU-heavy
+    per-row work (shingling, hashing, signature folds).
+
+    Parquet splitting is byte-based (`spark.sql.files.maxPartitionBytes`), so
+    a small file lands in one partition and serializes expensive expressions
+    onto one core no matter how many the cluster has. At real scale inputs
+    arrive in many splits and this is a no-op (we only repartition when the
+    scan yields fewer partitions than the target), so the shuffle cost is
+    paid exactly when it buys parallelism.
+    """
+    spark = df.sparkSession
+    target = min_partitions or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.io import load
+from ..functions.io import fan_out, load
 from ..functions.vectors import cosine_expr
 from ..registry import register
 
@@ -81,7 +81,7 @@ def _sig_exprs_sql() -> str:
     """,
 )
 def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     return docs.groupBy(norm_hash.alias("text_hash")).agg(
         F.min("doc_id").alias("canonical_doc_id"),
@@ -113,7 +113,7 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return (
         docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
         .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
@@ -167,10 +167,16 @@ _JACCARD_T = 0.5
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    # The shingle arrays feed three downstream consumers (signatures + both
+    # sides of the verification join) and the signature computation is 8 md5
+    # evaluations per shingle — persist both so each is computed once per
+    # partition, not once per consumer. MEMORY_AND_DISK (persist default)
+    # spills rather than OOMs at scale.
     sh = (
         docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
         .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        .persist()
     )
     sigs = sh.selectExpr("doc_id", "shingles", *_sig_exprs_spark())
     band_cols = ", ".join(
@@ -178,7 +184,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bands = sigs.selectExpr(
         "doc_id", f"stack({_N_SIGS // 2}, {band_cols}) AS (band, band_key)"
-    )
+    ).persist()
     cand = (
         bands.alias("a")
         .join(
@@ -254,7 +260,7 @@ _SIMHASH_SUMS = (
     """,
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.selectExpr(
         "doc_id",
         f"{_SIMHASH_SUMS} AS bit_sums",
@@ -305,13 +311,15 @@ _NGRAM_T = 0.4
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load(spark, sf_dir, "documents").withColumn("txt", F.lower(F.col("text")))
+    docs = fan_out(load(spark, sf_dir, "documents")).withColumn("txt", F.lower(F.col("text")))
+    # gram arrays are consumed by both sides of the self-join: persist so the
+    # per-doc gram extraction runs once, not twice.
     t = docs.filter(F.length("txt") >= 3).select(
         "doc_id",
         "lang",
         (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
         F.expr(_CHAR_GRAMS).alias("grams"),
-    )
+    ).persist()
     jaccard = (
         F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
         / F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
@@ -354,7 +362,7 @@ _COS_T = 0.3
     """,
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
     return (
         emb.alias("a")

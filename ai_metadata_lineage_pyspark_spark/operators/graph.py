@@ -26,7 +26,6 @@ def bfs_closure(
     edges: DataFrame,
     seeds: DataFrame,
     max_depth: int = 6,
-    checkpoint_every: int = 4,
     src: str = "src",
     dst: str = "dst",
 ) -> DataFrame:
@@ -36,9 +35,24 @@ def bfs_closure(
     Returns (seed, node, depth) with the minimum depth ≤ max_depth at which
     `node` is reachable from `seed` (depth ≥ 1; seeds themselves excluded,
     mirroring qa/ask.py:211-223 which yields only downstream nodes).
+
+    Iteration discipline (the classic iterative-Spark failure modes, both
+    handled here):
+    * the edge list is localCheckpoint-ed ONCE up front — otherwise every hop
+      re-executes the full upstream plan that produced it (for lineage
+      closures that plan includes the AST-extraction UDF; for event chains a
+      window over the whole table);
+    * each frontier is localCheckpoint-ed — the emptiness probe and the next
+      hop's join then read materialized partitions instead of recursively
+      recomputing join(join(join(...))), which otherwise grows the lineage
+      (and runtime) exponentially with depth.
     """
-    edges = edges.select(F.col(src).alias("__bfs_src"), F.col(dst).alias("__bfs_dst"))
-    frontier = seeds.select(F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth"))
+    edges = edges.select(
+        F.col(src).alias("__bfs_src"), F.col(dst).alias("__bfs_dst")
+    ).localCheckpoint(eager=True)
+    frontier = seeds.select(
+        F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth")
+    ).localCheckpoint(eager=True)
     reached = frontier
     for depth in range(1, max_depth + 1):
         f, e = frontier.alias("f"), edges.alias("e")
@@ -52,9 +66,9 @@ def bfs_closure(
             .distinct()
         )
         # keep only newly discovered (seed, node) pairs -> min-depth semantics
-        nxt = nxt.join(reached.select("seed", "node"), ["seed", "node"], "left_anti")
-        if checkpoint_every and depth % checkpoint_every == 0:
-            nxt = nxt.localCheckpoint(eager=True)
+        nxt = nxt.join(
+            reached.select("seed", "node"), ["seed", "node"], "left_anti"
+        ).localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         reached = reached.unionByName(nxt)

@@ -23,7 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.io import load
+from ..functions.io import fan_out, load
 from ..functions.vectors import cosine_expr, dot_expr
 from ..registry import register
 
@@ -54,7 +54,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     41-46, qa/ask.py:135-152) re-expressed as broadcast-join + windowed
     top-k, with cosine in place of L2 (equivalent ordering for normalized
     Titan-style vectors)."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
     q = F.broadcast(
         emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
             F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
@@ -149,10 +149,12 @@ def _bucket_sql(vec: str) -> str:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: bucket-local exact top-k after hyperplane LSH."""
-    emb = load(spark, sf_dir, "embeddings")
+    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    # bucket assignment is 8 × dim-64 dot products per row and feeds both the
+    # query side and the candidate side of the bucket join — persist it.
     bucketed = emb.select(
         "vec_id", "embedding", F.expr(_bucket_spark("embedding")).alias("bucket")
-    )
+    ).persist()
     q = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),

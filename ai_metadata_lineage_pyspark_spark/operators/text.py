@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.io import load
+from ..functions.io import fan_out, load
 from ..registry import register
 
 # Tokenization shared by all text operators (lower + whitespace split).
@@ -74,7 +74,7 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     Beyond-reference op (north-star); corpus-document text handling parallels
     qa/build_corpus.py:50-79, which treats doc text as opaque strings.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     hits = docs.select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
@@ -120,7 +120,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     The `[a-z]+` regex pass is the BPE-ish pre-tokenizer stand-in; both are
     per-row JVM work.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         "n_chars",
@@ -169,7 +169,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from length / punctuation / digit / stopword /
     uniqueness ratios, combined into an integer 0-5 score."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         "lang",
@@ -222,7 +222,7 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     The reference derives SHA-1 doc ids from text (qa/build_corpus.py:33-35);
     md5/sha256 are used here because both engines implement them identically.
     """
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
     return docs.select(
         "doc_id",
