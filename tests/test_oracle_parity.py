@@ -23,6 +23,7 @@ FAST_SUBSET = [
     "cosine_topk",            # similarity
     "lineage_edges",          # lineage engine
     "lineage_repo_stitch",    # stitching
+    "streaming_session_window",  # structured streaming
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
