@@ -1,0 +1,245 @@
+"""Multimodal column handling: image/audio/video as opaque binary columns
+with typed metadata.
+
+Beyond-reference surface (BASELINE.json north-star; the reference models no
+binary data at all). The container ships no image/audio libraries, so the
+actual codec step is STUBBED (`decode_image` raises NotImplementedError and
+documents the real integration point); everything Spark-side — binary
+schema, Arrow-batched mapInPandas decode plumbing, per-batch shape, frame
+sampling, partitioning — is real and oracle-tested against a deterministic
+byte-level "decode" that both engines can compute.
+
+The fixture carries no binary column, so `payload` is synthesized as the
+UTF-8 encoding of `documents.text` (identical bytes in Spark `encode` and
+DuckDB `encode`), and modality is assigned round-robin from doc_id — the
+plumbing doesn't care that the bytes aren't real JPEGs.
+
+Scale notes: binary payloads ride in parquet as regular columns; the decode
+path is mapInPandas (Arrow batches, zero JVM<->Python row overhead), which is
+exactly how a real PIL/ffmpeg stage would run at 100 TB — per-row CPU work
+with no shuffle. Frame sampling is a JVM-side explode over byte offsets: the
+expensive part (hashing sampled windows) stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.io import fan_out, load
+from ..registry import register
+
+_MODALITIES = ["image", "audio", "video"]
+
+# hex pair -> int, portable between Spark (conv) and DuckDB (instr math)
+_SPARK_HEX2 = "cast(conv(substring({h}, {p}, 2), 16, 10) as int)"
+_SQL_HEX2 = (
+    "((instr('0123456789abcdef', substr({h}, {p}, 1)) - 1) * 16"
+    " + (instr('0123456789abcdef', substr({h}, {p} + 1, 1)) - 1))"
+)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Real image decode — requires pillow, which this environment does not
+    ship. Integration point: replace the deterministic fake in
+    `image_meta_extract`'s mapInPandas stage with PIL.Image.open(BytesIO(b))
+    and emit true (width, height, mode). The Spark-side contract (schema,
+    batching, partitioning) is identical either way.
+    """
+    raise NotImplementedError(
+        "image decoding requires pillow; this environment stubs the codec "
+        "step — see image_meta_extract for the deterministic stand-in"
+    )
+
+
+def with_payload(docs: DataFrame) -> DataFrame:
+    """documents -> multimodal manifest rows: opaque binary payload + typed
+    metadata (modality, byte length, content hash)."""
+    return docs.select(
+        "doc_id",
+        F.element_at(
+            F.array(*[F.lit(m) for m in _MODALITIES]),
+            (F.col("doc_id") % len(_MODALITIES) + 1).cast("int"),
+        ).alias("modality"),
+        F.encode("text", "UTF-8").alias("payload"),
+        "lang",
+    )
+
+
+_MANIFEST_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id,
+        ['image', 'audio', 'video'][CAST(doc_id % 3 AS INT) + 1] AS modality,
+        text AS payload,  -- fixture text is pure ASCII: VARCHAR ops == byte ops
+        lang
+      FROM documents
+    )
+    SELECT modality,
+      COUNT(*) AS n_docs,
+      SUM(strlen(payload)) AS total_bytes,
+      COUNT(DISTINCT lang) AS n_langs,
+      MIN(md5(payload)) AS min_content_hash
+    FROM m
+    GROUP BY modality
+"""
+
+
+@register("multimodal_manifest", oracle=_MANIFEST_ORACLE)
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column manifest: modality assignment + per-modality stats over
+    the opaque payload (length, content hash) — the catalog layer a training
+    pipeline keys shard/placement decisions on."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        with_payload(docs)
+        .groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.octet_length("payload")).alias("total_bytes"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.min(F.md5("payload")).alias("min_content_hash"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# image_meta_extract — Arrow-batched mapInPandas "decode".
+# ---------------------------------------------------------------------------
+
+_IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("content_hash", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("batch_size", T.IntegerType()),
+    ]
+)
+
+
+def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Deterministic fake decoder, one Arrow batch at a time.
+
+    Stand-in for decode_image(): 'width'/'height'/'channels' are derived
+    from the payload's md5 so the oracle can replay them relationally.
+    batch_size is emitted to make the Arrow batch shape observable in tests.
+    """
+    for pdf in batches:
+        payloads = pdf["payload"]
+        hashes = [hashlib.md5(b).hexdigest() for b in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in payloads],
+                "content_hash": hashes,
+                "width": [1 + (int(h[0:2], 16) % 64) for h in hashes],
+                "height": [1 + (int(h[2:4], 16) % 64) for h in hashes],
+                "channels": [1 + (int(h[4:6], 16) % 4) for h in hashes],
+                "batch_size": len(pdf),
+            }
+        )
+
+
+_IMAGE_META_ORACLE = f"""
+    WITH m AS (
+      SELECT doc_id, text AS payload  -- ASCII fixture: VARCHAR == bytes
+      FROM documents
+      WHERE doc_id % 3 = 0
+    ),
+    h AS (SELECT doc_id, payload, md5(payload) AS ch FROM m)
+    SELECT doc_id,
+      strlen(payload) AS n_bytes,
+      ch AS content_hash,
+      1 + ({_SQL_HEX2.format(h="ch", p=1)} % 64) AS width,
+      1 + ({_SQL_HEX2.format(h="ch", p=3)} % 64) AS height,
+      1 + ({_SQL_HEX2.format(h="ch", p=5)} % 4) AS channels
+    FROM h
+"""
+
+
+@register("image_meta_extract", oracle=_IMAGE_META_ORACLE)
+def image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInPandas decode stage over the image-modality payloads.
+
+    The Python stage is the real integration point for PIL/torchvision
+    (decode_image documents the swap); its deterministic stand-in keeps the
+    stage oracle-checkable. batch_size is dropped from the comparison but
+    asserted in unit tests (Arrow batch shape).
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    images = with_payload(docs).filter(F.col("modality") == "image")
+    meta = images.select("doc_id", "payload").mapInPandas(
+        _decode_batches, schema=_IMAGE_META_SCHEMA
+    )
+    return meta.select(
+        "doc_id", "n_bytes", "content_hash", "width", "height", "channels"
+    )
+
+
+# ---------------------------------------------------------------------------
+# video_frame_sample — JVM-side frame sampling over byte offsets.
+# ---------------------------------------------------------------------------
+
+_FRAME_BYTES = 256
+_FRAME_STRIDE = 1024
+
+
+@register(
+    "video_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text AS payload  -- ASCII fixture: VARCHAR == bytes
+      FROM documents
+      WHERE doc_id % 3 = 2
+    ),
+    idx AS (
+      SELECT doc_id, payload,
+        unnest(range(0, GREATEST(strlen(payload) - {_FRAME_BYTES} + 1, 1),
+                     {_FRAME_STRIDE})) AS frame_offset
+      FROM v
+    )
+    SELECT doc_id,
+      CAST(frame_offset / {_FRAME_STRIDE} AS BIGINT) AS frame_index,
+      frame_offset,
+      md5(substring(payload, CAST(frame_offset AS INT) + 1, {_FRAME_BYTES})) AS frame_hash
+    FROM idx
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample fixed-size 'frames' every _FRAME_STRIDE bytes from the video
+    payloads: explode over offsets + hash the sampled window, all JVM-side.
+    A real ffmpeg keyframe extractor would replace the hash with a mapInPandas
+    stage exactly like image_meta_extract's."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    videos = with_payload(docs).filter(F.col("modality") == "video")
+    return (
+        videos.select(
+            "doc_id",
+            "payload",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(
+                        F.octet_length("payload") - F.lit(_FRAME_BYTES),
+                        F.lit(0),
+                    ),
+                    F.lit(_FRAME_STRIDE),
+                )
+            ).alias("frame_offset"),
+        )
+        .select(
+            "doc_id",
+            (F.col("frame_offset") / _FRAME_STRIDE).cast("bigint").alias("frame_index"),
+            F.col("frame_offset").cast("bigint").alias("frame_offset"),
+            F.md5(
+                F.expr(f"substring(payload, frame_offset + 1, {_FRAME_BYTES})")
+            ).alias("frame_hash"),
+        )
+    )

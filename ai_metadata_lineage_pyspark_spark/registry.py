@@ -63,6 +63,7 @@ def _ensure_loaded() -> None:
         dedup,
         graph,
         merge,
+        multimodal,
         relational,
         rollup,
         similarity,
