@@ -32,7 +32,10 @@ FIXTURE_DIR = os.path.join(
 
 
 def _facts(spark: SparkSession) -> DataFrame:
-    return extract_from_dir(spark, FIXTURE_DIR)
+    # lazily checkpointed: every registered query derives several tables from
+    # the same facts DataFrame (assets/dataframes/columns/edges), and without
+    # truncation each table re-runs the AST-extraction UDF chain.
+    return extract_from_dir(spark, FIXTURE_DIR).localCheckpoint(eager=False)
 
 
 def _values_sql(rows: list[tuple], cols: list[str]) -> str:
@@ -241,6 +244,81 @@ _COLUMN_GRAPH = [
 ]
 
 _CLOSURE_SEED = "temp_c"
+
+
+# --- corpus + retrieval (A24-A28, A36) -------------------------------------
+
+_CORPUS_ROLLUP_GOLDEN = [
+    ("aggregation", 2, "40247f5d4462bbfde1c2a0978fc52d527cd6a59d3ba1bf2690e451676543153c", "51b327b47a6b2a7472e8da7e756f1273decd5c59ddb60fc6caee3340a5f03c53"),
+    ("derived", 15, "09f14c20f7614943a7e2ab18a93ad1d3a9bf6976616c03722fcd932ad7ee24c5", "ebeb211571f560059f6a5eb84066c657399a6aeaf6a947ae61837865d3f1b238"),
+    ("join", 2, "04a98af69089bdc6158f1435ec72cac2000e389191cef7a5cb44afa5e91eb332", "6cf5804c638b820089cd27a0bdbf7a746f75a94ee384003ec772926b356b49be"),
+    ("lineage_edge", 24, "08d1e76d1c6b8dc382ea0365ce0f77f0e88c2b890487b8f515e8d37316fa4dfa", "eda7a692c0c947ed649d067826b7a9f65b5956bd07b0de3f6f59bb9f2c15c4b5"),
+    ("script", 6, "9e81212e9de48849fdac323d7dc91c7d1d8b2cbcc93fff8e6debb88e265ff635", "fd0926308fc3cacdaf18b6d8935f5585c85f29b5cdc76fa28e15ae964a2368c7"),
+]
+
+
+def _corpus(spark: SparkSession) -> DataFrame:
+    from .corpus import build_corpus
+
+    facts = _facts(spark)
+    cols, dfs = columns_table(facts), dataframes_table(facts)
+    return build_corpus(assets_table(facts), dfs, cols, edges_table(cols, dfs))
+
+
+@register(
+    "lineage_corpus_stats",
+    oracle=_values_sql(
+        _CORPUS_ROLLUP_GOLDEN, ["doc_type", "n_docs", "min_doc_id", "max_doc_id"]
+    ),
+)
+def lineage_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A24-A27: corpus builder (script/edge/derived/aggregation/join docs
+    with sha256 content ids), checked as a per-type rollup whose min/max
+    content hashes pin the full document text (golden-artifact model,
+    SURVEY.md §5). Note: implements the INTENDED lineage_edge docs — the
+    reference's builder is schema-mismatched and ships 0 of them (A25)."""
+    corpus = _corpus(spark)
+    return corpus.groupBy("doc_type").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
+_RETRIEVAL_GOLDEN = [
+    (1, "aggregation", "p06_fleet_agg.fleet.site_alert_score"),
+    (2, "lineage_edge", "p01_ingest_readings.bronze.temp_c"),
+    (3, "lineage_edge", "p03_readings_enriched.enriched.temp_delta"),
+    (4, "lineage_edge", "p06_fleet_agg.fleet.site_alert_score"),
+    (5, "lineage_edge", "p06_fleet_agg.fleet.score_per_reading"),
+    (6, "lineage_edge", "p01_ingest_readings.bronze.is_anomaly"),
+    (7, "lineage_edge", "p03_readings_enriched.enriched.prev_temp"),
+    (8, "lineage_edge", "p03_readings_enriched.enriched.rolling_24_avg"),
+    (9, "derived", "p01_ingest_readings.bronze.reading_date"),
+    (10, "aggregation", "p06_fleet_agg.fleet.n_readings"),
+]
+
+_RETRIEVAL_QUESTION = "which columns derive from temp_c and what writes to gold alerts"
+
+
+@register(
+    "lineage_retrieval_topk",
+    oracle=_values_sql(_RETRIEVAL_GOLDEN, ["rank", "doc_type", "ref"]),
+)
+def lineage_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28+A36: hash-embed the corpus (batched mapInPandas — the pluggable
+    stand-in for Titan), embed the question, exact cosine top-10 with
+    doc_id tie-break. Ranking is pinned by golden values; scores are pure
+    double folds and deterministic but excluded to keep the golden readable."""
+    from .embed import embed_documents, hash_embed, retrieve_top_k
+
+    corpus = _corpus(spark).localCheckpoint(eager=False)
+    emb = embed_documents(corpus)
+    top = retrieve_top_k(emb, hash_embed(_RETRIEVAL_QUESTION), k=10)
+    return (
+        top.join(corpus, "doc_id")
+        .select(F.col("rank").cast("int").alias("rank"), "doc_type", "ref")
+    )
 
 
 @register(
