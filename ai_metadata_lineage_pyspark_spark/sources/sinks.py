@@ -1,0 +1,130 @@
+"""Source/sink round-trips: CSV ingest, partitioned parquet writes with
+partition pruning, and SQL DDL over an external location.
+
+Covers the §2B scan/sink rows the pure-read queries can't: CSV read with
+header+inferSchema (script_01:6-9), partitionBy writes (script_01:25-27,
+script_03:35, script_05:29, script_06:41, script_07:38 — 1- and 2-key), and
+`CREATE TABLE ... USING ... LOCATION` (script_09:9-13). Delta sinks
+(script_08/09) are import-gated in operators/merge.py; the parquet DDL here
+is the catalog-equivalent surface available in this environment.
+
+Each query writes into a git-ignored scratch dir under the repo (overwrite
+mode — idempotent per run) and reads its own output back, so the oracle
+can be phrased over the original fixture tables: a round-trip that loses or
+mangles rows fails the value-hash.
+
+Scale notes: partitionBy on a low-cardinality key is the canonical layout
+for partition-pruned scans; the read-back filter compiles to a pruned scan
+(PartitionFilters in .explain), not a full read. CSV inference samples the
+file once — at 100 TB you pin an explicit schema instead (both paths shown).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import load
+from ..registry import register
+
+_SCRATCH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".scratch",
+)
+
+
+def _scratch(name: str) -> str:
+    os.makedirs(_SCRATCH, exist_ok=True)
+    return os.path.join(_SCRATCH, name)
+
+
+@register(
+    "csv_roundtrip_ingest",
+    oracle="""
+    SELECT r.r_regionkey, r.r_name, n.n_name,
+      CAST(length(n.n_name) AS INT) AS name_len
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    """,
+)
+def csv_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV sink + source with header and schema inference (script_01:6-9
+    shape): write region+nation out as CSV, read back inferring int keys,
+    then join — proving the ingest path preserves types and values."""
+    out = _scratch("csv_region_nation")
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    region.write.mode("overwrite").option("header", "true").csv(f"{out}/region")
+    nation.write.mode("overwrite").option("header", "true").csv(f"{out}/nation")
+    r = spark.read.option("header", "true").option("inferSchema", "true").csv(f"{out}/region")
+    n = spark.read.option("header", "true").option("inferSchema", "true").csv(f"{out}/nation")
+    return (
+        r.alias("r")
+        .join(n.alias("n"), F.col("n.n_regionkey") == F.col("r.r_regionkey"))
+        .select(
+            "r.r_regionkey",
+            "r.r_name",
+            "n.n_name",
+            F.length("n.n_name").cast("int").alias("name_len"),
+        )
+    )
+
+
+@register(
+    "partitioned_write_pruned_read",
+    oracle="""
+    SELECT o_orderpriority,
+      CAST(o_orderdate AS DATE) AS order_date,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+    GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+    """,
+)
+def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partitioned parquet sink + pruned scan (script_01:25-27 / script_07:38
+    shape): write orders partitioned by priority, read back filtering two
+    partitions — the filter hits PartitionFilters, so only 2/5 of the data
+    is scanned."""
+    out = _scratch("orders_by_priority")
+    orders = load(spark, sf_dir, "orders")
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    back = spark.read.parquet(out)
+    return (
+        back.filter(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy("o_orderpriority", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(14,2)")).cast("double").alias("total_price"),
+        )
+    )
+
+
+@register(
+    "sql_ddl_external_table",
+    oracle="""
+    SELECT n_regionkey, COUNT(*) AS n_nations,
+      MIN(n_name) AS first_nation
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`CREATE TABLE ... USING parquet LOCATION` DDL (script_09:9-13 shape):
+    register an external table over a parquet location in the session
+    catalog, then aggregate through the catalog name via spark.sql."""
+    out = _scratch("nation_external")
+    load(spark, sf_dir, "nation").write.mode("overwrite").parquet(out)
+    spark.sql("DROP TABLE IF EXISTS nation_ext")
+    spark.sql(f"CREATE TABLE nation_ext USING parquet LOCATION '{out}'")
+    return spark.sql(
+        """
+        SELECT n_regionkey, COUNT(*) AS n_nations,
+          MIN(n_name) AS first_nation
+        FROM nation_ext
+        GROUP BY n_regionkey
+        """
+    )
