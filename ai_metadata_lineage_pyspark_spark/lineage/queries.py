@@ -199,6 +199,7 @@ def lineage_extract_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lineage_edges",
+    bench=True,
     oracle=_values_sql(
         _EDGES_GOLDEN, ["script_name", "df_name", "target_col", "src_df", "src_col"]
     ),

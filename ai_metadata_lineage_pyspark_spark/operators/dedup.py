@@ -70,6 +70,7 @@ def _sig_exprs_sql() -> str:
 
 @register(
     "exact_dedup",
+    bench=True,
     oracle="""
     SELECT
       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
@@ -134,6 +135,7 @@ _JACCARD_T = 0.5
 
 @register(
     "minhash_lsh_pairs",
+    bench=True,
     oracle=f"""
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles

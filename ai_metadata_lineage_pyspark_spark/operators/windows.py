@@ -125,6 +125,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000
 
 @register(
     "web_sessionization",
+    bench=True,
     oracle=f"""
     WITH evts AS (
       SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,

@@ -79,6 +79,7 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
 
 @register(
     "streaming_session_window",
+    bench=True,
     oracle=f"""
     WITH e AS (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
