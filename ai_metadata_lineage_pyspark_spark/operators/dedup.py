@@ -157,15 +157,18 @@ _JACCARD_T = 0.5
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
       WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.doc_a, c.doc_b,
+        len(list_intersect(sa.shingles, sb.shingles)) AS i,
+        len(sa.shingles) + len(sb.shingles) AS ab
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
     )
-    SELECT c.doc_a, c.doc_b,
-      CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS jaccard
-    FROM cand c
-    JOIN sh sa ON sa.doc_id = c.doc_a
-    JOIN sh sb ON sb.doc_id = c.doc_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-        / len(list_distinct(list_concat(sa.shingles, sb.shingles))) >= {_JACCARD_T}
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ab - i) AS jaccard
+    FROM scored
+    WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -197,14 +200,22 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    jaccard = (
-        F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).cast("double")
-        / F.size(F.array_union(F.col("sa.shingles"), F.col("sb.shingles")))
-    )
+    # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct): one
+    # set-intersection per pair instead of intersect + materialized union.
     return (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))).alias("i"),
+            (F.size("sa.shingles") + F.size("sb.shingles")).alias("ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / (F.col("ab") - F.col("i"))).alias("jaccard"),
+        )
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
 
@@ -303,13 +314,16 @@ _NGRAM_T = 0.4
       FROM (SELECT doc_id, lang, n_chars, lower(text) AS txt FROM documents)
       WHERE length(txt) >= 3
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
-      CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
-    FROM t a
-    JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-        / len(list_distinct(list_concat(a.grams, b.grams))) >= {_NGRAM_T}
+    , scored AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.lang AS lang,
+        len(list_intersect(a.grams, b.grams)) AS i,
+        len(a.grams) + len(b.grams) AS ab
+      FROM t a
+      JOIN t b ON a.lang = b.lang AND a.len_band = b.len_band AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, lang, CAST(i AS DOUBLE) / (ab - i) AS jaccard
+    FROM scored
+    WHERE CAST(i AS DOUBLE) / (ab - i) >= {_NGRAM_T}
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -322,10 +336,8 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
         F.expr(_CHAR_GRAMS).alias("grams"),
     ).persist()
-    jaccard = (
-        F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).cast("double")
-        / F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    )
+    # |A ∪ B| from sizes (gram arrays are distinct): one set-intersection per
+    # candidate pair instead of intersect + materialized union.
     return (
         t.alias("a")
         .join(
@@ -338,7 +350,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
             F.col("a.lang").alias("lang"),
-            jaccard.alias("jaccard"),
+            F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams"))).alias("i"),
+            (F.size("a.grams") + F.size("b.grams")).alias("ab"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "lang",
+            (F.col("i").cast("double") / (F.col("ab") - F.col("i"))).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= _NGRAM_T)
     )
