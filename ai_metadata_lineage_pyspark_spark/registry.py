@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         relational,
         rollup,
         similarity,
+        skew,
         text,
         windows,
     )
