@@ -139,3 +139,43 @@ def dim_part_sql_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_engine_confs(spark)
     load(spark, sf_dir, "part").createOrReplaceTempView("part")
     return spark.sql(_dim_part_sql("STRING"))
+
+
+# ---------------------------------------------------------------------------
+# json_props_parse — semi-structured column handling: parse the events
+# `props` JSON into a typed struct, bucket by the extracted field. At scale
+# from_json runs in whole-stage codegen (Jackson in the JVM) — never a
+# Python UDF for JSON.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "json_props_parse",
+    oracle="""
+    SELECT
+      CAST(json_extract(props, '$.k') AS INT) // 10 AS k_decile,
+      event_type,
+      COUNT(*) AS n_events,
+      MIN(CAST(json_extract(props, '$.k') AS INT)) AS min_k,
+      MAX(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    parsed = events.filter(F.col("props").isNotNull()).withColumn(
+        "k", F.from_json("props", "k INT").getField("k")
+    )
+    return (
+        parsed.groupBy(
+            (F.col("k") / 10).cast("int").alias("k_decile"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
