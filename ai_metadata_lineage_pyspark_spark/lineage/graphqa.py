@@ -131,10 +131,15 @@ def build_evidence(
         sections.append(
             f"COLUMN IMPACT {cand} -> ({len(impacted)}): {', '.join(impacted) or '(none)'}"
         )
-        reasons = [
-            r.reason
-            for r in graph.filter(F.col("src") == cand).limit(MAX_REASON_SHOW).collect()
-        ]
+        reason_rows = (
+            graph.filter(F.col("src") == cand)
+            .select("dst", "reason")
+            .distinct()
+            .orderBy("dst", "reason")
+            .limit(MAX_REASON_SHOW)
+            .collect()
+        )
+        reasons = [f"{cand} -> {r.dst}: {r.reason}" for r in reason_rows]
         if reasons:
             sections.append(f"ONE-HOP REASONS {cand}: " + " | ".join(reasons))
         seeds = seed_scripts(columns, cand)

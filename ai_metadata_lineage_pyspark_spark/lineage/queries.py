@@ -221,6 +221,41 @@ def lineage_repo_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stitch_links(assets_table(_facts(spark)))
 
 
+# --- evidence assembly (A29 + A37) ------------------------------------------
+
+_EVIDENCE_QUESTION = "which columns derive from temp_c and what writes to gold alerts"
+
+_EVIDENCE_GOLDEN = [
+    (1, "QUESTION: which columns derive from temp_c and what writes to gold alerts"),
+    (2, "CANDIDATE COLUMNS: temp_c"),
+    (3, "COLUMN IMPACT temp_c -> (8): is_anomaly, prev_temp, rolling_24_avg, temp_delta, alert_score, alert_flag, site_alert_score, score_per_reading"),
+    (4, "ONE-HOP REASONS temp_c: temp_c -> is_anomaly: p01_ingest_readings: withColumn temp_c | temp_c -> prev_temp: p03_readings_enriched: withColumn temp_c | temp_c -> rolling_24_avg: p03_readings_enriched: withColumn temp_c | temp_c -> temp_delta: p03_readings_enriched: withColumn temp_c"),
+    (5, "IMPACTED SCRIPTS (5): p01_ingest_readings, p03_readings_enriched, p04_health_sql, p05_alerts, p06_fleet_agg"),
+    (6, "GOLD OUTPUTS (4): s3a://fleet-lake/gold/alerts/, s3a://fleet-lake/gold/device_health/, s3a://fleet-lake/gold/fleet_rollup/, s3a://fleet-lake/gold/readings_enriched/"),
+]
+
+
+@register(
+    "lineage_evidence",
+    oracle=_values_sql(_EVIDENCE_GOLDEN, ["line_no", "line"]),
+)
+def lineage_evidence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29 + A37: candidate-column extraction from a question plus the full
+    capped, ordered evidence assembly (column impact / one-hop reasons /
+    impacted scripts / gold outputs; qa/ask.py:226-244, 391-450). The LLM
+    answer step (A38) stays behind the pluggable client — deterministic
+    evidence never depends on it (README.md:111-113 rule)."""
+    from .graphqa import build_evidence
+
+    facts = _facts(spark)
+    cols, dfs = columns_table(facts), dataframes_table(facts)
+    evidence = build_evidence(
+        _EVIDENCE_QUESTION, cols, edges_table(cols, dfs), assets_table(facts)
+    )
+    rows = [(i, line) for i, line in enumerate(evidence.split("\n"), 1)]
+    return spark.createDataFrame(rows, "line_no int, line string")
+
+
 # --- closure: algorithmic BFS-vs-recursive-CTE check -----------------------
 
 _COLUMN_GRAPH = [
@@ -320,6 +355,80 @@ def lineage_retrieval_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         top.join(corpus, "doc_id")
         .select(F.col("rank").cast("int").alias("rank"), "doc_type", "ref")
     )
+
+
+# --- asset graph: script BFS + gold outputs (A32-A35) ----------------------
+
+_IMPACT_COLUMN = "temp_c"
+
+_GOLD_GOLDEN = [
+    ("p03_readings_enriched", "s3a://fleet-lake/gold/readings_enriched/"),
+    ("p04_health_sql", "s3a://fleet-lake/gold/device_health/"),
+    ("p05_alerts", "s3a://fleet-lake/gold/alerts/"),
+    ("p06_fleet_agg", "s3a://fleet-lake/gold/fleet_rollup/"),
+]
+
+
+def _impacted_scripts(spark: SparkSession):
+    """seed scripts for _IMPACT_COLUMN (A35) ∪ downstream closure (A33)."""
+    from .graphqa import downstream_scripts, seed_scripts
+
+    facts = _facts(spark)
+    assets = assets_table(facts)
+    seeds = seed_scripts(columns_table(facts), _IMPACT_COLUMN)
+    down = downstream_scripts(assets, seeds)
+    scripts = seeds.select(F.col("seed").alias("script_name")).union(down).distinct()
+    return assets, scripts
+
+
+@register(
+    "lineage_downstream_scripts",
+    oracle=f"""
+    WITH RECURSIVE cols AS (
+      {_values_sql(_COLUMNS_GOLDEN, ['script_name', 'df_name', 'col_name', 'transformation', 'derived_from_csv'])}
+    ),
+    seeds AS (
+      SELECT DISTINCT script_name AS node FROM cols
+      WHERE col_name = '{_IMPACT_COLUMN}'
+         OR list_contains(string_split(derived_from_csv, ','), '{_IMPACT_COLUMN}')
+    ),
+    e AS (
+      SELECT from_script AS src, to_script AS dst
+      FROM ({_values_sql(_LINKS_GOLDEN, ['from_script', 'to_script', 'asset'])})
+    ),
+    c AS (
+      SELECT node, 0 AS depth FROM seeds
+      UNION ALL
+      SELECT e.dst AS node, c.depth + 1 AS depth
+      FROM c JOIN e ON c.node = e.src
+      WHERE c.depth < 10
+    )
+    SELECT DISTINCT node AS script_name FROM c WHERE depth > 0
+    """,
+)
+def lineage_downstream_scripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A32/A33/A35: seed-script lookup for a candidate column + iterative
+    script-level BFS over the stitched asset graph (qa/ask.py:295-340),
+    checked against a DuckDB recursive CTE over the same seed rule + links."""
+    from .graphqa import downstream_scripts, seed_scripts
+
+    facts = _facts(spark)
+    seeds = seed_scripts(columns_table(facts), _IMPACT_COLUMN)
+    return downstream_scripts(assets_table(facts), seeds)
+
+
+@register(
+    "lineage_gold_outputs",
+    oracle=_values_sql(_GOLD_GOLDEN, ["script_name", "path"]),
+)
+def lineage_gold_outputs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: write paths with a /gold/ path segment among the scripts impacted
+    by _IMPACT_COLUMN (qa/ask.py:343-360), via semi-join against the
+    seed ∪ downstream script set."""
+    from .graphqa import gold_outputs
+
+    assets, scripts = _impacted_scripts(spark)
+    return gold_outputs(assets, scripts)
 
 
 @register(
