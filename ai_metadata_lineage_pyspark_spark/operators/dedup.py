@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.io import fan_out, load
-from ..functions.vectors import cosine_expr
+from ..functions.vectors import cosine_from_norms_expr, norm_expr
 from ..registry import register
 
 # ---------------------------------------------------------------------------
@@ -383,8 +383,11 @@ _COS_T = 0.3
     """,
 )
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
-    cos = F.expr(cosine_expr("a.embedding", "b.embedding"))
+    # norm precomputed once per row so the pairwise stage is one fold per pair
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "label", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cos = F.expr(cosine_from_norms_expr("a.embedding", "b.embedding", "a.norm", "b.norm"))
     return (
         emb.alias("a")
         .join(

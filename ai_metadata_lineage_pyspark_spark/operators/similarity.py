@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.io import fan_out, load
-from ..functions.vectors import cosine_expr, dot_expr
+from ..functions.vectors import cosine_from_norms_expr, dot_expr, norm_expr
 from ..registry import register
 
 _TOP_K = 10
@@ -54,10 +54,16 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     41-46, qa/ask.py:135-152) re-expressed as broadcast-join + windowed
     top-k, with cosine in place of L2 (equivalent ordering for normalized
     Titan-style vectors)."""
-    emb = fan_out(load(spark, sf_dir, "embeddings"))
+    # norms are computed once per row (N + |Q| folds), not once per pair
+    # (|Q|·N folds) — the pairwise stage then does a single dot-product fold.
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("c_norm")
+    )
     q = F.broadcast(
         emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_embedding")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("c_norm").alias("q_norm"),
         )
     )
     scored = (
@@ -65,7 +71,9 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
-            F.expr(cosine_expr("q_embedding", "c.embedding")).alias("cosine"),
+            F.expr(
+                cosine_from_norms_expr("q_embedding", "c.embedding", "q_norm", "c.c_norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -151,14 +159,19 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: bucket-local exact top-k after hyperplane LSH."""
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     # bucket assignment is 8 × dim-64 dot products per row and feeds both the
-    # query side and the candidate side of the bucket join — persist it.
+    # query side and the candidate side of the bucket join — persist it
+    # (norm precomputed here too, so the pairwise stage is one fold per pair).
     bucketed = emb.select(
-        "vec_id", "embedding", F.expr(_bucket_spark("embedding")).alias("bucket")
+        "vec_id",
+        "embedding",
+        F.expr(_bucket_spark("embedding")).alias("bucket"),
+        F.expr(norm_expr("embedding")).alias("norm"),
     ).persist()
     q = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),
         F.col("bucket").alias("q_bucket"),
+        F.col("norm").alias("q_norm"),
     )
     scored = (
         q.join(
@@ -170,7 +183,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
             F.col("q_bucket").alias("bucket"),
-            F.expr(cosine_expr("q_embedding", "c.embedding")).alias("cosine"),
+            F.expr(
+                cosine_from_norms_expr("q_embedding", "c.embedding", "q_norm", "c.norm")
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
