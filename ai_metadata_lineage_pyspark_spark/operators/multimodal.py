@@ -184,6 +184,110 @@ def image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# audio_chunk_features — JVM-side chunking + Arrow-batched Python features.
+# ---------------------------------------------------------------------------
+
+_CHUNK_BYTES = 512
+
+_AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("chunk_index", T.LongType()),
+        T.StructField("chunk_offset", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("byte_sum", T.LongType()),
+        T.StructField("energy", T.DoubleType()),
+        T.StructField("chunk_hash", T.StringType()),
+    ]
+)
+
+
+def _audio_feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-chunk feature extraction, one Arrow batch at a time.
+
+    Integration point for a real audio library (librosa/torchaudio): swap the
+    byte-level energy for MFCC/spectrogram features over the decoded PCM.
+    The stand-in computes REAL byte statistics (exact integer sum via numpy,
+    energy = byte_sum / n_bytes in double) so the stage stays oracle-checkable.
+    """
+    import numpy as np
+
+    for pdf in batches:
+        chunks = [bytes(c) for c in pdf["chunk"]]
+        sums = [int(np.frombuffer(c, dtype=np.uint8).astype(np.int64).sum()) for c in chunks]
+        lens = [len(c) for c in chunks]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "chunk_index": pdf["chunk_index"],
+                "chunk_offset": pdf["chunk_offset"],
+                "n_bytes": lens,
+                "byte_sum": sums,
+                "energy": [s / n for s, n in zip(sums, lens)],
+                "chunk_hash": [hashlib.md5(c).hexdigest() for c in chunks],
+            }
+        )
+
+
+@register(
+    "audio_chunk_features",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text AS payload  -- ASCII fixture: VARCHAR == bytes
+      FROM documents
+      WHERE doc_id % 3 = 1
+    ),
+    idx AS (
+      SELECT doc_id, payload,
+        unnest(range(0, strlen(payload), {_CHUNK_BYTES})) AS chunk_offset
+      FROM a
+    ),
+    c AS (
+      SELECT doc_id, chunk_offset,
+        substring(payload, CAST(chunk_offset AS INT) + 1, {_CHUNK_BYTES}) AS chunk
+      FROM idx
+    )
+    SELECT doc_id,
+      CAST(chunk_offset / {_CHUNK_BYTES} AS BIGINT) AS chunk_index,
+      chunk_offset,
+      CAST(strlen(chunk) AS BIGINT) AS n_bytes,
+      CAST(list_sum(list_transform(range(strlen(chunk)),
+                    i -> ord(substr(chunk, CAST(i AS INT) + 1, 1)))) AS BIGINT) AS byte_sum,
+      CAST(list_sum(list_transform(range(strlen(chunk)),
+                    i -> ord(substr(chunk, CAST(i AS INT) + 1, 1)))) AS DOUBLE)
+        / strlen(chunk) AS energy,
+      md5(chunk) AS chunk_hash
+    FROM c
+    """,
+)
+def audio_chunk_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio path: fixed-size chunking of the opaque payload (JVM explode
+    over byte offsets — stays in whole-stage codegen) followed by an
+    Arrow-batched mapInPandas feature stage over the chunk bytes. This is the
+    shape of a real resample/MFCC pipeline at 100 TB: chunking and shuffle-free
+    scan parallelism JVM-side, per-chunk DSP in vectorized Python batches."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    audio = with_payload(docs).filter(F.col("modality") == "audio")
+    chunks = audio.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.octet_length("payload") - F.lit(1),
+                F.lit(_CHUNK_BYTES),
+            )
+        ).alias("chunk_offset"),
+        "payload",
+    ).select(
+        "doc_id",
+        (F.col("chunk_offset") / _CHUNK_BYTES).cast("bigint").alias("chunk_index"),
+        F.col("chunk_offset").cast("bigint").alias("chunk_offset"),
+        F.expr(f"substring(payload, chunk_offset + 1, {_CHUNK_BYTES})").alias("chunk"),
+    )
+    return chunks.mapInPandas(_audio_feature_batches, schema=_AUDIO_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # video_frame_sample — JVM-side frame sampling over byte offsets.
 # ---------------------------------------------------------------------------
 

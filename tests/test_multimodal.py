@@ -56,6 +56,24 @@ def test_mapinpandas_decode_batch_shape(spark):
     assert 1 <= r0.channels <= 4
 
 
+def test_audio_chunk_features(spark, tmp_path):
+    # an "audio" payload of 1300 bytes with 512-byte chunks -> offsets
+    # 0, 512, 1024; the last chunk is the 276-byte tail. doc_id % 3 == 1
+    # selects audio modality.
+    text = "ab" * 650
+    spark.createDataFrame([(1, text, "en", 1300)], ["doc_id", "text", "lang", "n_chars"]) \
+        .write.parquet(str(tmp_path / "documents.parquet"))
+    from ai_metadata_lineage_pyspark_spark.operators.multimodal import audio_chunk_features
+
+    rows = sorted(audio_chunk_features(spark, str(tmp_path)).collect(), key=lambda r: r.chunk_offset)
+    assert [r.chunk_offset for r in rows] == [0, 512, 1024]
+    assert [r.n_bytes for r in rows] == [512, 512, 276]
+    first = b"ab" * 256
+    assert rows[0].byte_sum == sum(first)
+    assert rows[0].energy == sum(first) / 512
+    assert rows[0].chunk_hash == hashlib.md5(first).hexdigest()
+
+
 def test_frame_sample_offsets(spark, tmp_path):
     # a "video" payload of 3000 bytes with stride 1024 and frame 256 ->
     # offsets 0, 1024, 2048 (last full window start <= 3000-256=2744)
