@@ -46,17 +46,36 @@ _SQL_SHINGLES = (
 
 _N_SIGS = 8
 
+# MinHash via Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
+# into two 32-bit halves (h1, h2); the j-th hash function is h1 + j*h2
+# (classic result: a pairwise combination of two hashes preserves the
+# min-wise estimator quality). This replaces 8 md5 evaluations per shingle
+# with 1 md5 + 2 hex-parses — the signature stage is the hot loop of the
+# dedup pipeline at scale. Values stay < 2^35, well inside BIGINT.
+_HASH_PAIRS_SPARK = (
+    "transform(shingles, s -> array("
+    " cast(conv(substr(md5(s), 1, 8), 16, 10) as bigint),"
+    " cast(conv(substr(md5(s), 9, 8), 16, 10) as bigint)))"
+)
+_HASH_PAIRS_SQL = (
+    "list_transform(shingles, s -> ["
+    " ('0x' || substr(md5(s), 1, 8))::BIGINT,"
+    " ('0x' || substr(md5(s), 9, 8))::BIGINT])"
+)
+
 
 def _sig_exprs_spark() -> list[str]:
+    # over a precomputed `hp` column (array of [h1, h2] pairs; 0-based index)
     return [
-        f"array_min(transform(shingles, s -> md5(concat('{j}|', s)))) AS sig_{j}"
+        f"array_min(transform(hp, h -> h[0] + {j} * h[1])) AS sig_{j}"
         for j in range(_N_SIGS)
     ]
 
 
 def _sig_exprs_sql() -> str:
+    # over a precomputed `hp` column (1-based list index)
     return ",\n        ".join(
-        f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min') AS sig_{j}"
+        f"list_aggregate(list_transform(hp, h -> h[1] + {j} * h[2]), 'min') AS sig_{j}"
         for j in range(_N_SIGS)
     )
 
@@ -106,11 +125,14 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM documents
       WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    hp AS (
+      SELECT doc_id, len(shingles) AS n_shingles, {_HASH_PAIRS_SQL} AS hp
+      FROM sh
     )
-    SELECT doc_id,
-        len(shingles) AS n_shingles,
+    SELECT doc_id, n_shingles,
         {_sig_exprs_sql()}
-    FROM sh
+    FROM hp
     """,
 )
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -118,7 +140,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
         .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
-        .selectExpr("doc_id", "size(shingles) AS n_shingles", *_sig_exprs_spark())
+        .selectExpr(
+            "doc_id", "size(shingles) AS n_shingles", f"{_HASH_PAIRS_SPARK} AS hp"
+        )
+        .selectExpr("doc_id", "n_shingles", *_sig_exprs_spark())
     )
 
 
@@ -142,16 +167,19 @@ _JACCARD_T = 0.5
       FROM documents
       WHERE len({_SQL_TOKENS}) >= 3
     ),
+    hp AS (
+      SELECT doc_id, shingles, {_HASH_PAIRS_SQL} AS hp FROM sh
+    ),
     sigs AS (
       SELECT doc_id, shingles,
         {_sig_exprs_sql()}
-      FROM sh
+      FROM hp
     ),
     bands AS (
-      SELECT doc_id, 0 AS band, md5(sig_0 || sig_1) AS band_key FROM sigs
-      UNION ALL SELECT doc_id, 1, md5(sig_2 || sig_3) FROM sigs
-      UNION ALL SELECT doc_id, 2, md5(sig_4 || sig_5) FROM sigs
-      UNION ALL SELECT doc_id, 3, md5(sig_6 || sig_7) FROM sigs
+      SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR) AS band_key FROM sigs
+      UNION ALL SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR) FROM sigs
+      UNION ALL SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR) FROM sigs
     ),
     cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -183,9 +211,12 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
         .persist()
     )
-    sigs = sh.selectExpr("doc_id", "shingles", *_sig_exprs_spark())
+    sigs = sh.selectExpr("doc_id", f"{_HASH_PAIRS_SPARK} AS hp").selectExpr(
+        "doc_id", *_sig_exprs_spark()
+    )
     band_cols = ", ".join(
-        f"{b}, md5(concat(sig_{2 * b}, sig_{2 * b + 1}))" for b in range(_N_SIGS // 2)
+        f"{b}, concat(cast(sig_{2 * b} as string), '|', cast(sig_{2 * b + 1} as string))"
+        for b in range(_N_SIGS // 2)
     )
     bands = sigs.selectExpr(
         "doc_id", f"stack({_N_SIGS // 2}, {band_cols}) AS (band, band_key)"
