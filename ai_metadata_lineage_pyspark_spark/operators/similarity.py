@@ -133,6 +133,120 @@ def _bucket_sql(vec: str) -> str:
     )
 
 
+# ---------------------------------------------------------------------------
+# ivf_topk — IVF (inverted-file) ANN: coarse quantization to the nearest of
+# K deterministic centroids, then exact search over the nprobe closest cells.
+# The complement to LSH bucketing: cells adapt to the data distribution
+# (centroids are corpus vectors) instead of fixed random hyperplanes.
+# ---------------------------------------------------------------------------
+
+_IVF_CENT_MOD = 100  # vec_id % 100 == 0 -> centroid set (~1% of corpus)
+_NPROBE = 2
+
+
+@register(
+    "ivf_topk",
+    oracle=f"""
+    WITH cent AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {_IVF_CENT_MOD} = 0
+    ),
+    scored AS (
+      SELECT e.vec_id, cent.cent_id,
+        list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) AS cos
+      FROM embeddings e, cent
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM scored
+    ),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rn = 1),
+    probes AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM ranked_cells
+      WHERE vec_id % {_QUERY_MOD} = 0 AND rn <= {_NPROBE}
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id, a.cell AS cell
+      FROM probes p JOIN assigned a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    pair_scores AS (
+      SELECT c.query_id, c.neighbor_id, c.cell,
+        list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cosine
+      FROM cand c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM pair_scores
+    )
+    SELECT query_id, neighbor_id, cell, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+    """,
+)
+def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: assign every vector to its nearest centroid with a map-side
+    max_by aggregation (the K per-row cosines are produced by a broadcast
+    join, so partial aggregation collapses them locally — no full-row window
+    shuffle); probe the _NPROBE nearest cells per query (tiny, window over
+    queries only); exact cosine top-k over cell-local candidates reached via
+    a broadcast of the probe set. At 100 TB: centroids come from a sampled
+    k-means fit, `cell` becomes the table's physical partition key, and the
+    probe join prunes partitions instead of scanning."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = emb.join(cent).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "cent_id",
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+    )
+    # nearest centroid: max over (cos, -cent_id) == cos DESC, cent_id ASC
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))).alias("cell"),
+        F.first("embedding").alias("embedding"),
+        F.first("norm").alias("norm"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+    probes = (
+        scored.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("embedding").alias("q_embedding"),
+            F.col("norm").alias("q_norm"),
+        )
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "cell",
+            F.expr(
+                cosine_from_norms_expr("q_embedding", "embedding", "q_norm", "norm")
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return cand.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOP_K)
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""

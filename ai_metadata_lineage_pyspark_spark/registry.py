@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         multimodal,
         relational,
         rollup,
+        sampling,
         similarity,
         skew,
         text,

@@ -41,7 +41,9 @@ def test_oracle_references_only_known_tables():
     # Any FROM/JOIN target must be a fixture view, a CTE defined in the same
     # statement, or an inline VALUES subquery.
     for name, q in all_queries().items():
-        sql = q.oracle
+        # string literals (golden VALUES rows) may contain prose like
+        # "derive from temp_c" — drop them before scanning for table refs
+        sql = re.sub(r"'[^']*'", "''", q.oracle)
         ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?\s+AS\s*\(", sql, re.I))
         refs = set(re.findall(r"(?:FROM|JOIN)\s+(\w+)", sql, re.I))
         unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet"}
