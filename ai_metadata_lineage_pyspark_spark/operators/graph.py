@@ -78,6 +78,7 @@ def bfs_closure(
 
 @register(
     "event_chain_closure",
+    bench=True,
     oracle="""
     WITH RECURSIVE edges AS (
       SELECT event_id AS src,

@@ -164,7 +164,7 @@ _IMAGE_META_ORACLE = f"""
 """
 
 
-@register("image_meta_extract", oracle=_IMAGE_META_ORACLE)
+@register("image_meta_extract", oracle=_IMAGE_META_ORACLE, bench=True)
 def image_meta_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """mapInPandas decode stage over the image-modality payloads.
 

@@ -43,6 +43,7 @@ def _rate_case_spark() -> str:
 
 @register(
     "stratified_sample",
+    bench=True,
     oracle=f"""
     WITH s AS (
       SELECT lang, doc_id, n_chars, {_BUCKET_SQL} AS bucket,

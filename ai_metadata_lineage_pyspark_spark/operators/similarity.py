@@ -146,6 +146,7 @@ _NPROBE = 2
 
 @register(
     "ivf_topk",
+    bench=True,
     oracle=f"""
     WITH cent AS (
       SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings

@@ -26,6 +26,7 @@ _N_SALTS = 16
 
 @register(
     "skew_salted_user_rollup",
+    bench=True,
     oracle="""
     SELECT user_id,
       COUNT(*) AS events,

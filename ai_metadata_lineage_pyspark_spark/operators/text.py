@@ -142,6 +142,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "text_quality_score",
+    bench=True,
     oracle="""
     WITH t AS (
       SELECT doc_id, lang, n_chars,

@@ -38,6 +38,9 @@ def main() -> None:
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
+        # drop this query's persisted intermediates so successive queries
+        # don't compete for executor storage memory
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(
