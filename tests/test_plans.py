@@ -1,0 +1,94 @@
+"""Physical-plan regression tests: the scale contract, asserted.
+
+Correctness is gated by the DuckDB oracle; these tests gate the PLAN —
+pushdown, pruning, broadcast choice, map-side partial aggregation, and the
+absence of cartesian products — so a regression fails CI instead of
+surfacing as a 100 TB incident.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ai_metadata_lineage_pyspark_spark.plans import inspect as I
+from ai_metadata_lineage_pyspark_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    qs = all_queries()
+
+    def build(name):
+        return qs[name].fn(spark, sf_dir)
+
+    return build
+
+
+def test_dim_joins_are_broadcast(q):
+    # orders ⋈ customer: the dim side must be a broadcast-hash join, never a
+    # shuffle; sales_margin_rank joins two dims (orders-by-key, part).
+    assert I.broadcast_join_count(q("orders_customer_join")) == 1
+    assert I.broadcast_join_count(q("sales_margin_rank")) == 2
+
+
+def test_mart_aggregation_is_partial(q):
+    # both aggregation levels of the customer-value mart must do map-side
+    # partial aggregation (shuffle carries one row per group, not per input)
+    df = q("mart_customer_value")
+    assert I.partial_aggregate_count(df) >= 2
+    # the customer ⋈ per-customer-agg join is two customer-cardinality
+    # sides: sort-merge is the correct scale choice (neither side broadcastable
+    # at 100 TB)
+    assert I.sort_merge_join_count(df) >= 1
+
+
+def test_pricing_summary_scan(q):
+    df = q("pricing_summary")
+    # shipdate predicate reaches the parquet scan
+    assert any("l_shipdate" in f for f in I.pushed_filters(df))
+    assert I.partial_aggregate_count(df) >= 1
+    # column pruning: lineitem has 16 columns, the query needs 8
+    [cols] = I.scan_columns(df)
+    assert len(cols) == 8 and "l_comment" not in cols
+
+
+def test_column_pruning_reaches_scans(q):
+    assert I.scan_columns(q("exact_dedup")) == [["doc_id", "text", "n_chars"]]
+    assert I.scan_columns(q("stratified_sample")) == [["doc_id", "lang", "n_chars"]]
+    for cols in I.scan_columns(q("cosine_topk")):
+        assert cols == ["vec_id", "embedding"]
+    for cols in I.scan_columns(q("mart_customer_value")):
+        assert len(cols) <= 4  # every table pruned to the needed columns
+
+
+def test_no_cartesian_products_anywhere(q):
+    # every pairwise operator must generate candidates via an equi-join on a
+    # bucket key or an explicit tiny-side broadcast — never CartesianProduct
+    for name in [
+        "orders_customer_join",
+        "sales_margin_rank",
+        "mart_customer_value",
+        "pricing_summary",
+        "cosine_topk",
+        "ivf_topk",
+        "ann_lsh_topk",
+        "minhash_lsh_pairs",
+        "ngram_jaccard_pairs",
+        "embedding_cosine_neardup",
+        "fraud_scoring",
+        "web_sessionization",
+        "latest_event_per_user",
+        "orders_lag_lead_rolling",
+        "stratified_sample",
+        "train_val_test_split",
+        "text_quality_score",
+        "exact_dedup",
+    ]:
+        assert I.cartesian_product_count(q(name)) == 0, name
+
+
+def test_codegen_covers_scalar_surface(q):
+    # the scalar/conditional expression surface must run inside
+    # whole-stage codegen, not interpreted projections
+    assert I.wholestage_codegen_count(q("bronze_orders_cleanup")) >= 1
+    assert I.wholestage_codegen_count(q("pricing_summary")) >= 1
