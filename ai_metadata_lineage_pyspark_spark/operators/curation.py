@@ -1,0 +1,147 @@
+"""End-to-end corpus curation: language-ID -> quality gate -> exact dedup
+-> stratified sampling -> audit rollup, composed as ONE declarative plan.
+
+This is the shape of a real pretraining-data pipeline at 100 TB, and the
+point of expressing it in a single DataFrame chain rather than four jobs
+with materialized intermediates:
+
+* all per-row signals (stopword hits, quality counts, fingerprint, sample
+  bucket) are computed in one scan, one whole-stage-codegen projection —
+  Catalyst fuses them; nothing is read twice;
+* the only shuffle is the dedup window (partition by content fingerprint)
+  followed by the tiny rollup aggregation (partial map-side);
+* the quality/language gates run BEFORE the shuffle, so the dedup exchange
+  only carries surviving rows.
+
+Stage semantics (mirrored exactly in the DuckDB oracle):
+  1. lang_pred: stopword-hit argmax (operators/text.py classifier)
+  2. keep docs with quality_score >= 3 and a confident language
+  3. exact dedup among survivors: keep doc_id == min(doc_id) per
+     whitespace-normalized md5 fingerprint
+  4. stratified sample: md5-bucket gate, 25% of predicted-en, 75% of rest
+  5. rollup per (predicted, actual) language — a confusion-matrix-style
+     audit of kept docs, chars and quality mass
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.io import fan_out, load
+from ..registry import register
+from .sampling import _BUCKET_SPARK, _BUCKET_SQL
+from .text import _LANG_STOPWORDS, _TOKENS, _hits_expr, _hits_sql
+
+_MIN_QUALITY = 3
+_EN_RATE = 25
+_OTHER_RATE = 75
+
+
+@register(
+    "corpus_curation",
+    bench=True,
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, lang, n_chars, text,
+        {_hits_sql(_LANG_STOPWORDS['en'])} AS en_hits,
+        {_hits_sql(_LANG_STOPWORDS['de'])} AS de_hits,
+        {_hits_sql(_LANG_STOPWORDS['fr'])} AS fr_hits,
+        {_hits_sql(_LANG_STOPWORDS['es'])} AS es_hits,
+        len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+        len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS n_unique,
+        length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+        {_BUCKET_SQL} AS bucket
+      FROM documents
+    ),
+    scored AS (
+      SELECT *,
+        CASE
+          WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+          WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+          WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+          WHEN fr_hits >= es_hits THEN 'fr'
+          ELSE 'es'
+        END AS lang_pred,
+        (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.2 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens > 0.3 THEN 1 ELSE 0 END
+         + CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS quality_score
+      FROM sig
+    ),
+    gated AS (
+      SELECT * FROM scored
+      WHERE quality_score >= {_MIN_QUALITY} AND lang_pred <> 'und'
+    ),
+    deduped AS (
+      SELECT * FROM (
+        SELECT *, MIN(doc_id) OVER (PARTITION BY fp) AS canonical FROM gated
+      ) WHERE doc_id = canonical
+    ),
+    sampled AS (
+      SELECT * FROM deduped
+      WHERE bucket < CASE WHEN lang_pred = 'en' THEN {_EN_RATE} ELSE {_OTHER_RATE} END
+    )
+    SELECT lang_pred, lang,
+      COUNT(*) AS n_docs,
+      SUM(n_chars) AS total_chars,
+      SUM(quality_score) AS quality_mass,
+      MIN(doc_id) AS min_doc_id
+    FROM sampled
+    GROUP BY lang_pred, lang
+    """,
+)
+def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-plan curation pipeline over `documents` (see module doc)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    en, de, fr, es = (F.col(f"{c}_hits") for c in ("en", "de", "fr", "es"))
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        *[
+            F.expr(_hits_expr(words)).alias(f"{lang}_hits")
+            for lang, words in _LANG_STOPWORDS.items()
+        ],
+        F.expr(f"size({_TOKENS})").alias("n_tokens"),
+        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_unique"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")).alias("n_punct"),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp"),
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+    )
+    scored = sig.select(
+        "*",
+        F.when((en == 0) & (de == 0) & (fr == 0) & (es == 0), "und")
+        .when((en >= de) & (en >= fr) & (en >= es), "en")
+        .when((de >= fr) & (de >= es), "de")
+        .when(fr >= es, "fr")
+        .otherwise("es")
+        .alias("lang_pred"),
+        (
+            F.when(F.col("n_tokens").between(10, 100000), 1).otherwise(0)
+            + F.when(F.col("n_punct").cast("double") / F.col("n_chars") < 0.1, 1).otherwise(0)
+            + F.when(F.col("n_digit").cast("double") / F.col("n_chars") < 0.2, 1).otherwise(0)
+            + F.when(F.col("n_unique").cast("double") / F.col("n_tokens") > 0.3, 1).otherwise(0)
+            + F.when(F.col("n_chars") >= 100, 1).otherwise(0)
+        ).alias("quality_score"),
+    )
+    gated = scored.filter(
+        (F.col("quality_score") >= _MIN_QUALITY) & (F.col("lang_pred") != "und")
+    )
+    deduped = gated.withColumn(
+        "canonical", F.min("doc_id").over(Window.partitionBy("fp"))
+    ).filter(F.col("doc_id") == F.col("canonical"))
+    sampled = deduped.filter(
+        F.col("bucket")
+        < F.when(F.col("lang_pred") == "en", _EN_RATE).otherwise(_OTHER_RATE)
+    )
+    return sampled.groupBy("lang_pred", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("quality_score").alias("quality_mass"),
+        F.min("doc_id").alias("min_doc_id"),
+    )
