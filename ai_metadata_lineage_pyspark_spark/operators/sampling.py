@@ -82,6 +82,70 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_BLOCK = 200  # docs per packing block
+_PACK_BUDGET = 2000  # token budget per shard
+
+
+@register(
+    "shard_packing",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, doc_id // {_PACK_BLOCK} AS block,
+        len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, block ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    ),
+    s AS (SELECT *, (cum - n_tokens) // {_PACK_BUDGET} AS shard_id FROM c)
+    SELECT lang, block, shard_id,
+      COUNT(*) AS n_docs,
+      SUM(n_tokens) AS shard_tokens,
+      MIN(doc_id) AS min_doc_id,
+      MAX(doc_id) AS max_doc_id
+    FROM s
+    GROUP BY lang, block, shard_id
+    """,
+)
+def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (training-sequence packing): docs are
+    greedily packed in id order until each shard's cumulative token count
+    crosses the budget; a doc starts a new shard when the running total
+    before it already filled the current one.
+
+    Packing is a prefix-sum, inherently sequential — so it runs inside
+    bounded (lang, block) partitions that pack independently in parallel.
+    That is the 100 TB design: a single global orderBy would serialize the
+    whole corpus through one partition; block-local packing keeps shards
+    deterministic AND embarrassingly parallel, at the cost of at most one
+    underfull shard per block."""
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(f"doc_id div {_PACK_BLOCK}").alias("block"),
+        F.expr("size(split(lower(text), '\\\\s+'))").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "block")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "shard_id", F.expr(f"(cum - n_tokens) div {_PACK_BUDGET}")
+    )
+    return s.groupBy("lang", "block", "shard_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("shard_tokens"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.max("doc_id").alias("max_doc_id"),
+    )
+
+
 @register(
     "train_val_test_split",
     oracle=f"""
