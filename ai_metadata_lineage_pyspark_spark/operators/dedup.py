@@ -33,10 +33,14 @@ from ..registry import register
 # ---------------------------------------------------------------------------
 
 _TOKENS = "split(lower(text), '\\\\s+')"
-_SHINGLES = (
-    "array_distinct(transform(sequence(0, size({t}) - 3),"
-    " i -> concat_ws(' ', {t}[i], {t}[i + 1], {t}[i + 2])))"
-).format(t=_TOKENS)
+# Over a pre-materialized `toks` column, NOT the raw split expression: the
+# three array indexes inside the lambda would each re-evaluate the split per
+# shingle (Catalyst inlines the substituted tree into the lambda body), which
+# measured ~2x slower than splitting once in a prior projection.
+_SHINGLES_FROM_TOKS = (
+    "array_distinct(transform(sequence(0, size(toks) - 3),"
+    " i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))"
+)
 
 _SQL_TOKENS = "regexp_split_to_array(lower(text), '\\s+')"
 _SQL_SHINGLES = (
@@ -138,8 +142,9 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     return (
-        docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
-        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
         .selectExpr(
             "doc_id", "size(shingles) AS n_shingles", f"{_HASH_PAIRS_SPARK} AS hp"
         )
@@ -207,28 +212,44 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # partition, not once per consumer. MEMORY_AND_DISK (persist default)
     # spills rather than OOMs at scale.
     sh = (
-        docs.filter(F.expr(f"size({_TOKENS}) >= 3"))
-        .select("doc_id", F.expr(_SHINGLES).alias("shingles"))
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
         .persist()
     )
-    sigs = sh.selectExpr("doc_id", f"{_HASH_PAIRS_SPARK} AS hp").selectExpr(
-        "doc_id", *_sig_exprs_spark()
+    # All 8 signatures as ONE array expression (not 8 projected columns):
+    # the generated code is an order of magnitude smaller, which matters
+    # because codegen compile time is paid per fresh plan. Band keys embed
+    # the band index, so one explode yields the (doc, band_key) stream.
+    sigs_expr = (
+        f"transform(sequence(0, {_N_SIGS - 1}),"
+        " j -> array_min(transform(hp, h -> h[0] + j * h[1])))"
     )
-    band_cols = ", ".join(
-        f"{b}, concat(cast(sig_{2 * b} as string), '|', cast(sig_{2 * b + 1} as string))"
-        for b in range(_N_SIGS // 2)
-    )
-    bands = sigs.selectExpr(
-        "doc_id", f"stack({_N_SIGS // 2}, {band_cols}) AS (band, band_key)"
-    ).persist()
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band") == F.col("b.band")) & (F.col("a.band_key") == F.col("b.band_key")),
+    bands = (
+        sh.selectExpr("doc_id", f"{_HASH_PAIRS_SPARK} AS hp")
+        .selectExpr("doc_id", f"{sigs_expr} AS sigs")
+        .selectExpr(
+            "doc_id",
+            f"explode(transform(sequence(0, {_N_SIGS // 2 - 1}),"
+            " b -> concat(b, ':', sigs[2 * b], '|', sigs[2 * b + 1]))) AS band_key",
         )
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    # Pair generation via ONE groupBy shuffle (band_key -> sorted doc list ->
+    # in-bucket pair explosion) instead of a two-sided self-join: half the
+    # shuffle volume, and `ids` is sorted so doc_a < doc_b by construction.
+    # Bucket size is bounded by cluster size of true near-dups (identical
+    # band key implies high similarity), so the per-bucket quadratic is the
+    # same blow-up the self-join had — no worse at scale, fewer stages.
+    cand = (
+        bands.groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
     # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct): one

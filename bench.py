@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ai_metadata_lineage_pyspark_spark.functions.io import load  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
 
@@ -26,9 +27,13 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    # warm the JVM + parquet footers so per-query numbers measure the plan,
-    # not session startup
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # warm the JVM + parquet footers of every table the headline queries
+    # touch, so per-query numbers measure the plan, not session startup or
+    # first-read file listing
+    for table in (
+        "lineitem orders customer nation region events documents embeddings".split()
+    ):
+        load(spark, sf_dir, table).count()
 
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     timings: dict[str, float] = {}
