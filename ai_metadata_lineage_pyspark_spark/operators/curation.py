@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.io import fan_out, load
 from ..registry import register
 from .sampling import _BUCKET_SPARK, _BUCKET_SQL
-from .text import _LANG_STOPWORDS, _TOKENS, _hits_expr, _hits_sql
+from .text import _LANG_STOPWORDS, _TOKENS, _hits_sql, _hits_toks_expr
 
 _MIN_QUALITY = 3
 _EN_RATE = 25
@@ -98,16 +98,20 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Single-plan curation pipeline over `documents` (see module doc)."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     en, de, fr, es = (F.col(f"{c}_hits") for c in ("en", "de", "fr", "es"))
-    sig = docs.select(
+    # split once per row; the per-language filters and token counts all read
+    # the materialized `toks` (higher-order fns get no cross-column CSE)
+    sig = docs.selectExpr(
+        "doc_id", "lang", "n_chars", "text", f"{_TOKENS} AS toks"
+    ).select(
         "doc_id",
         "lang",
         "n_chars",
         *[
-            F.expr(_hits_expr(words)).alias(f"{lang}_hits")
+            F.expr(_hits_toks_expr(words)).alias(f"{lang}_hits")
             for lang, words in _LANG_STOPWORDS.items()
         ],
-        F.expr(f"size({_TOKENS})").alias("n_tokens"),
-        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_unique"),
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_unique"),
         F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")).alias("n_punct"),
         F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
         F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias("fp"),

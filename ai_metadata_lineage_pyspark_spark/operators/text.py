@@ -36,9 +36,13 @@ _LANG_STOPWORDS = {
 }
 
 
-def _hits_expr(words: tuple[str, ...]) -> str:
+def _hits_toks_expr(words: tuple[str, ...]) -> str:
+    # over a pre-materialized `toks` column: higher-order functions are
+    # interpreted (no codegen CSE across columns), so embedding the split in
+    # every per-language filter re-splits the text once per language —
+    # measured ~30% slower than splitting once in a prior projection
     quoted = ", ".join(f"'{w}'" for w in words)
-    return f"size(filter({_TOKENS}, x -> x IN ({quoted})))"
+    return f"size(filter(toks, x -> x IN ({quoted})))"
 
 
 def _hits_sql(words: tuple[str, ...]) -> str:
@@ -75,11 +79,11 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     qa/build_corpus.py:50-79, which treats doc text as opaque strings.
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
-    hits = docs.select(
+    hits = docs.selectExpr("doc_id", "lang", f"{_TOKENS} AS toks").select(
         "doc_id",
         F.col("lang").alias("lang_actual"),
         *[
-            F.expr(_hits_expr(words)).alias(f"{lang}_hits")
+            F.expr(_hits_toks_expr(words)).alias(f"{lang}_hits")
             for lang, words in _LANG_STOPWORDS.items()
         ],
     )
@@ -121,22 +125,28 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row JVM work.
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        "n_chars",
-        F.expr(f"size({_TOKENS})").alias("n_tokens"),
-        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_unique_tokens"),
-        F.expr("size(regexp_extract_all(lower(text), '[a-z]+', 0))").alias("n_word_tokens"),
-        F.expr(f"aggregate({_TOKENS}, 0, (acc, x) -> acc + length(x))").alias(
-            "total_token_chars"
-        ),
-        F.expr(
-            f"cast(aggregate({_TOKENS}, 0, (acc, x) -> acc + length(x)) as double)"
-            f" / size({_TOKENS})"
-        ).alias("avg_token_len"),
-        F.expr(f"cast(size(array_distinct({_TOKENS})) as double) / size({_TOKENS})").alias(
-            "unique_ratio"
-        ),
+    # split once, derive counts once, ratios from the counted columns — the
+    # raw expression repeated the split/distinct/aggregate per output column
+    return (
+        docs.selectExpr("doc_id", "n_chars", f"{_TOKENS} AS toks", "lower(text) AS lt")
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "size(toks) AS n_tokens",
+            "size(array_distinct(toks)) AS n_unique_tokens",
+            "size(regexp_extract_all(lt, '[a-z]+', 0)) AS n_word_tokens",
+            "aggregate(toks, 0, (acc, x) -> acc + length(x)) AS total_token_chars",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_chars",
+            "n_tokens",
+            "n_unique_tokens",
+            "n_word_tokens",
+            "total_token_chars",
+            "cast(total_token_chars as double) / n_tokens AS avg_token_len",
+            "cast(n_unique_tokens as double) / n_tokens AS unique_ratio",
+        )
     )
 
 
@@ -171,16 +181,18 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring from length / punctuation / digit / stopword /
     uniqueness ratios, combined into an integer 0-5 score."""
     docs = fan_out(load(spark, sf_dir, "documents"))
-    t = docs.select(
+    t = docs.selectExpr(
+        "doc_id", "lang", "n_chars", "text", f"{_TOKENS} AS toks"
+    ).select(
         "doc_id",
         "lang",
         "n_chars",
-        F.expr(f"size({_TOKENS})").alias("n_tokens"),
-        F.expr(f"size(array_distinct({_TOKENS}))").alias("n_unique"),
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_unique"),
         F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")).alias("n_punct"),
         F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
         F.expr(
-            f"size(filter({_TOKENS}, x -> x IN ('the', 'and', 'of', 'to', 'is', 'in', 'a', 'for')))"
+            "size(filter(toks, x -> x IN ('the', 'and', 'of', 'to', 'is', 'in', 'a', 'for')))"
         ).alias("n_stop"),
     )
     punct_ratio = F.col("n_punct").cast("double") / F.col("n_chars")
