@@ -61,6 +61,16 @@ def test_column_pruning_reaches_scans(q):
         assert len(cols) <= 4  # every table pruned to the needed columns
 
 
+def test_text_pipeline_scans_are_pruned(q):
+    # the text/dedup/curation operators tokenize in a dedicated projection;
+    # the scan must still prune to exactly the consumed document columns
+    for cols in I.scan_columns(q("minhash_lsh_pairs")):
+        assert cols == ["doc_id", "text"]
+    assert I.scan_columns(q("corpus_curation")) == [["doc_id", "text", "lang", "n_chars"]]
+    assert I.scan_columns(q("text_langid")) == [["doc_id", "text", "lang"]]
+    assert I.scan_columns(q("text_token_stats")) == [["doc_id", "text", "n_chars"]]
+
+
 def test_no_cartesian_products_anywhere(q):
     # every pairwise operator must generate candidates via an equi-join on a
     # bucket key or an explicit tiny-side broadcast — never CartesianProduct
