@@ -28,7 +28,11 @@ def get_spark(app_name: str = "ai-metadata-lineage-pyspark-spark", shuffle_parti
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # 8g measured faster than 16g on local[32] at sf0.1 (larger heap
+        # roughly doubled wall-clock on the multi-stage dedup query — GC
+        # geometry, not capacity, is what matters at this scale); override
+        # with SPARK_GRAFT_DRIVER_MEM for bigger-SF runs
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
