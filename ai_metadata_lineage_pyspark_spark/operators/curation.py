@@ -87,8 +87,8 @@ _OTHER_RATE = 75
     )
     SELECT lang_pred, lang,
       COUNT(*) AS n_docs,
-      SUM(n_chars) AS total_chars,
-      SUM(quality_score) AS quality_mass,
+      CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      CAST(SUM(quality_score) AS BIGINT) AS quality_mass,
       MIN(doc_id) AS min_doc_id
     FROM sampled
     GROUP BY lang_pred, lang

@@ -81,7 +81,7 @@ _MANIFEST_ORACLE = f"""
     )
     SELECT modality,
       COUNT(*) AS n_docs,
-      SUM(strlen(payload)) AS total_bytes,
+      CAST(SUM(strlen(payload)) AS BIGINT) AS total_bytes,
       COUNT(DISTINCT lang) AS n_langs,
       MIN(md5(payload)) AS min_content_hash
     FROM m

@@ -55,7 +55,7 @@ def _rate_case_spark() -> str:
       COUNT(*) AS n_total,
       COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled,
       MIN(doc_id) FILTER (WHERE bucket < rate) AS min_sampled_doc,
-      SUM(n_chars) FILTER (WHERE bucket < rate) AS sampled_chars
+      CAST(SUM(n_chars) FILTER (WHERE bucket < rate) AS BIGINT) AS sampled_chars
     FROM s
     GROUP BY lang
     """,
@@ -95,14 +95,14 @@ _PACK_BUDGET = 2000  # token budget per shard
       FROM documents
     ),
     c AS (
-      SELECT *, SUM(n_tokens) OVER (PARTITION BY lang, block ORDER BY doc_id
-                                    ROWS UNBOUNDED PRECEDING) AS cum
+      SELECT *, CAST(SUM(n_tokens) OVER (PARTITION BY lang, block ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
       FROM t
     ),
-    s AS (SELECT *, (cum - n_tokens) // {_PACK_BUDGET} AS shard_id FROM c)
+    s AS (SELECT *, CAST((cum - n_tokens) // {_PACK_BUDGET} AS BIGINT) AS shard_id FROM c)
     SELECT lang, block, shard_id,
       COUNT(*) AS n_docs,
-      SUM(n_tokens) AS shard_tokens,
+      CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens,
       MIN(doc_id) AS min_doc_id,
       MAX(doc_id) AS max_doc_id
     FROM s
@@ -159,7 +159,7 @@ def shard_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
              ELSE 'test' END AS split
       FROM s
     )
-    SELECT split, lang, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+    SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM labeled
     GROUP BY split, lang
     """,

@@ -33,7 +33,7 @@ _N_SALTS = 16
       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us,
       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us,
       COUNT(DISTINCT event_type) AS distinct_types,
-      SUM(CAST(floor(value * 100) AS BIGINT)) AS total_value_c
+      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c
     FROM events
     GROUP BY user_id
     """,

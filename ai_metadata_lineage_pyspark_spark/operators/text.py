@@ -111,7 +111,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
       len(toks) AS n_tokens,
       len(list_distinct(toks)) AS n_unique_tokens,
       len(word_toks) AS n_word_tokens,
-      list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS total_token_chars,
+      CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS BIGINT)
+        AS total_token_chars,
       CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum') AS DOUBLE)
         / len(toks) AS avg_token_len,
       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS unique_ratio

@@ -21,7 +21,9 @@ file once — at 100 TB you pin an explicit schema instead (both paths shown).
 
 from __future__ import annotations
 
+import itertools
 import os
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -103,6 +105,13 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# unique-per-invocation DDL state: a fixed table name breaks re-entry under
+# an external harness (concurrent or repeated calls in one session), so each
+# call creates its own table and lazily drops the ones from prior calls.
+_DDL_IDS = itertools.count()
+_DDL_PREVIOUS: list[tuple[str, str]] = []  # (table name, scratch path)
+
+
 @register(
     "sql_ddl_external_table",
     oracle="""
@@ -115,16 +124,28 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
 def sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`CREATE TABLE ... USING parquet LOCATION` DDL (script_09:9-13 shape):
     register an external table over a parquet location in the session
-    catalog, then aggregate through the catalog name via spark.sql."""
-    out = _scratch("nation_external")
+    catalog, then aggregate through the catalog name via spark.sql.
+
+    Re-entrant: table name and location are unique per invocation (the
+    returned DataFrame's analyzed plan must stay valid after we return, so
+    prior invocations' tables are dropped on the NEXT call, not eagerly)."""
+    import shutil
+
+    while _DDL_PREVIOUS:
+        prev_table, prev_path = _DDL_PREVIOUS.pop()
+        spark.sql(f"DROP TABLE IF EXISTS {prev_table}")
+        shutil.rmtree(prev_path, ignore_errors=True)
+    run = f"{next(_DDL_IDS)}_{uuid.uuid4().hex[:8]}"
+    table = f"nation_ext_{run}"
+    out = _scratch(f"nation_external_{run}")
     load(spark, sf_dir, "nation").write.mode("overwrite").parquet(out)
-    spark.sql("DROP TABLE IF EXISTS nation_ext")
-    spark.sql(f"CREATE TABLE nation_ext USING parquet LOCATION '{out}'")
+    spark.sql(f"CREATE TABLE {table} USING parquet LOCATION '{out}'")
+    _DDL_PREVIOUS.append((table, out))
     return spark.sql(
-        """
+        f"""
         SELECT n_regionkey, COUNT(*) AS n_nations,
           MIN(n_name) AS first_nation
-        FROM nation_ext
+        FROM {table}
         GROUP BY n_regionkey
         """
     )

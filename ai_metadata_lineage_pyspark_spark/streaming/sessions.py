@@ -30,6 +30,7 @@ changes.
 from __future__ import annotations
 
 import itertools
+import uuid
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -65,7 +66,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     """Execute a streaming DataFrame to completion (availableNow) into a
     uniquely-named memory sink and return the result table."""
-    name = f"stream_result_{next(_RUN_IDS)}"
+    # counter + uuid: unique within the session AND across module reloads /
+    # concurrent harness invocations sharing one session
+    name = f"stream_result_{next(_RUN_IDS)}_{uuid.uuid4().hex[:8]}"
     q = (
         stream.writeStream.format("memory")
         .queryName(name)
@@ -77,17 +80,17 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
     return stream.sparkSession.table(name)
 
 
-@register(
-    "streaming_session_window",
-    bench=True,
-    oracle=f"""
+_SESSION_ORACLE = f"""
     WITH e AS (
       SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events
     ),
     flagged AS (
       SELECT user_id, ts_us,
+        -- >= matches Spark session_window semantics: each event's window is
+        -- [ts, ts+gap) and windows that merely TOUCH do not merge, so an
+        -- event exactly gap after its predecessor starts a new session
         CASE WHEN ts_us - LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
-                  > {_SESSION_GAP_MIN} * 60 * 1000000
+                  >= {_SESSION_GAP_MIN} * 60 * 1000000
                OR LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us) IS NULL
              THEN 1 ELSE 0 END AS new_session
       FROM e
@@ -104,18 +107,14 @@ def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:
       COUNT(*) AS events
     FROM numbered
     GROUP BY user_id, session_num
-    """,
-)
-def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization as a streaming `session_window` aggregation.
+"""
 
-    Spark's session_window end = last event + gap; the oracle replays the
-    identical semantics with the batch lag/cumsum pattern.
-    """
-    events = read_events_stream(spark, sf_dir)
-    sessions = (
-        events.withWatermark("ts", f"{_SESSION_GAP_MIN} minutes")
-        .groupBy(
+
+def _session_windows(events: DataFrame) -> DataFrame:
+    """session_window gap aggregation — identical plan body for the batch
+    and streaming variants (the operator works in both modes)."""
+    return (
+        events.groupBy(
             F.session_window("ts", f"{_SESSION_GAP_MIN} minutes").alias("w"),
             "user_id",
         )
@@ -127,12 +126,35 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "events",
         )
     )
+
+
+@register("streaming_session_window", bench=True, oracle=_SESSION_ORACLE)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization as a streaming `session_window` aggregation.
+
+    Spark's session_window end = last event + gap; the oracle replays the
+    identical semantics with the batch lag/cumsum pattern.
+    """
+    events = read_events_stream(spark, sf_dir)
+    sessions = _session_windows(events.withWatermark("ts", f"{_SESSION_GAP_MIN} minutes"))
     return run_to_memory(sessions, "complete")
 
 
-@register(
-    "streaming_event_counts",
-    oracle="""
+@register("batch_session_window", oracle=_SESSION_ORACLE)
+def batch_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME session_window gap aggregation in batch mode — Spark's
+    session_window is a batch operator too. Serves as the side-effect-free,
+    driver-checkable shadow of streaming_session_window (an external harness
+    may decline to run writeStream queries)."""
+    from ..functions.io import load_events
+
+    events = load_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    return _session_windows(events)
+
+
+_TUMBLING_ORACLE = """
     SELECT
       make_timestamp((epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000) * 3600000000)
         AS window_start,
@@ -141,8 +163,10 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       COUNT(DISTINCT user_id) AS unique_users
     FROM events
     GROUP BY 1, 2
-    """,
-)
+"""
+
+
+@register("streaming_event_counts", oracle=_TUMBLING_ORACLE)
 def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-hour windowed counts with a watermark — the canonical
     streaming aggregation shape (readStream -> window agg -> sink)."""
@@ -177,6 +201,31 @@ def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return result.join(exact, ["window_start", "event_type"]).select(
         "window_start", "event_type", "events", "unique_users"
+    )
+
+
+@register("batch_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def batch_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling-window counts via the same F.window operator in batch mode
+    (exact countDistinct, since batch needs no sketch) — the side-effect-free
+    shadow of streaming_event_counts."""
+    from ..functions.io import load_events
+
+    events = load_events(spark, sf_dir).withColumn(
+        "ts", F.timestamp_micros(F.col("ts_us"))
+    )
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("events"),
+            F.countDistinct("user_id").alias("unique_users"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "events",
+            "unique_users",
+        )
     )
 
 
@@ -229,9 +278,7 @@ def _user_stats_fn(key, pdf_iter, state: GroupState):
     )
 
 
-@register(
-    "streaming_user_stats",
-    oracle="""
+_USER_STATS_ORACLE = """
     SELECT user_id,
       COUNT(*) AS events,
       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us,
@@ -239,8 +286,10 @@ def _user_stats_fn(key, pdf_iter, state: GroupState):
       COUNT(DISTINCT event_type) AS distinct_types
     FROM events
     GROUP BY user_id
-    """,
-)
+"""
+
+
+@register("streaming_user_stats", oracle=_USER_STATS_ORACLE)
 def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandasWithState: per-user running stats kept in explicit
     GroupState — the pattern for stateful semantics the built-in streaming
@@ -261,6 +310,39 @@ def streaming_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = run_to_memory(stats, "update")
     # single micro-batch -> exactly one update row per user; cast to the
     # oracle's integer widths
+    return out.select(
+        "user_id",
+        "events",
+        "first_ts_us",
+        "last_ts_us",
+        F.col("distinct_types").cast("long").alias("distinct_types"),
+    )
+
+
+def _batch_user_stats_pdf(pdf: pd.DataFrame) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [int(pdf["user_id"].iloc[0])],
+            "events": [len(pdf)],
+            "first_ts_us": [int(pdf["ts_us"].min())],
+            "last_ts_us": [int(pdf["ts_us"].max())],
+            "distinct_types": [int(pdf["event_type"].nunique())],
+        }
+    )
+
+
+@register("batch_user_stats", oracle=_USER_STATS_ORACLE)
+def batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats via applyInPandas (grouped-map Pandas UDF) — the batch
+    analog of the applyInPandasWithState operator and the side-effect-free
+    shadow of streaming_user_stats. One Arrow batch per user group; at scale
+    the groupBy shuffles once on user_id and each group is bounded."""
+    from ..functions.io import load_events
+
+    events = load_events(spark, sf_dir).select("user_id", "ts_us", "event_type")
+    out = events.groupBy("user_id").applyInPandas(
+        _batch_user_stats_pdf, schema=_USER_STATS_SCHEMA
+    )
     return out.select(
         "user_id",
         "events",

@@ -12,6 +12,7 @@ Usage:  python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import datetime as dt
+import decimal
 import hashlib
 import math
 import sys
@@ -40,6 +41,13 @@ def canon(v) -> str:
         if v == 0.0:
             return "0.0"  # normalize -0.0
         return repr(v)
+    if isinstance(v, decimal.Decimal):
+        # Type-sensitive on purpose: DuckDB widens SUM(integer) to
+        # DECIMAL(38,0)/HUGEINT while Spark returns BIGINT, and the external
+        # driver's hasher distinguishes them (round-1 hash failures). Spark
+        # never yields Decimal in this repo, so any Decimal here means the
+        # oracle SQL is missing a CAST(... AS BIGINT/DOUBLE).
+        return f"decimal:{v}"
     if isinstance(v, dt.datetime):
         return v.isoformat(sep=" ", timespec="microseconds")
     if isinstance(v, dt.date):
