@@ -41,6 +41,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parse_bytes(conf_value: str) -> int:
+    """Parse a Spark byte conf ('134217728b', '128MB', '1g', bare int)."""
+    s = conf_value.strip().lower()
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    s = s.removesuffix("b")
+    if s and s[-1] in units:
+        return int(s[:-1]) * units[s[-1]]
+    return int(s)
+
+
 def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Round-robin repartition an under-partitioned input before CPU-heavy
     per-row work (shingling, hashing, signature folds).
@@ -48,12 +58,21 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     Parquet splitting is byte-based (`spark.sql.files.maxPartitionBytes`), so
     a small file lands in one partition and serializes expensive expressions
     onto one core no matter how many the cluster has. At real scale inputs
-    arrive in many splits and this is a no-op (we only repartition when the
-    scan yields fewer partitions than the target), so the shuffle cost is
-    paid exactly when it buys parallelism.
+    arrive in many splits and this is a no-op, so the shuffle cost is paid
+    exactly when it buys parallelism.
+
+    Under-split detection uses the optimizer's size statistics (for a file
+    scan: total input bytes, from the already-loaded file index) against
+    maxPartitionBytes — Catalyst-side and job-free, unlike the previous
+    `df.rdd.getNumPartitions()` probe, which forced a plan-to-RDD conversion
+    on every call.
     """
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
+    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    # enough bytes to fill `target` max-size splits -> the scan is already
+    # parallel; repartitioning would only add a shuffle
+    if est_bytes >= target * max_bytes:
         return df
     return df.repartition(target)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.cache import release_persisted, scoped_persist
 from ..functions.io import fan_out, load
 from ..functions.vectors import cosine_from_norms_expr, norm_expr
 from ..registry import register
@@ -205,17 +206,17 @@ _JACCARD_T = 0.5
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()  # drop any prior invocation's cached intermediates
     docs = fan_out(load(spark, sf_dir, "documents"))
     # The shingle arrays feed three downstream consumers (signatures + both
     # sides of the verification join) and the signature computation is 8 md5
     # evaluations per shingle — persist both so each is computed once per
     # partition, not once per consumer. MEMORY_AND_DISK (persist default)
-    # spills rather than OOMs at scale.
-    sh = (
+    # spills rather than OOMs at scale; scoped so callers/tests can release.
+    sh = scoped_persist(
         docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
         .filter("size(toks) >= 3")
         .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
-        .persist()
     )
     # All 8 signatures as ONE array expression (not 8 projected columns):
     # the generated code is an order of magnitude smaller, which matters
@@ -379,15 +380,18 @@ _NGRAM_T = 0.4
     """,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    release_persisted()  # drop any prior invocation's cached intermediates
     docs = fan_out(load(spark, sf_dir, "documents")).withColumn("txt", F.lower(F.col("text")))
     # gram arrays are consumed by both sides of the self-join: persist so the
-    # per-doc gram extraction runs once, not twice.
-    t = docs.filter(F.length("txt") >= 3).select(
-        "doc_id",
-        "lang",
-        (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
-        F.expr(_CHAR_GRAMS).alias("grams"),
-    ).persist()
+    # per-doc gram extraction runs once, not twice (scoped for release).
+    t = scoped_persist(
+        docs.filter(F.length("txt") >= 3).select(
+            "doc_id",
+            "lang",
+            (F.col("n_chars") / 100).cast("bigint").alias("len_band"),
+            F.expr(_CHAR_GRAMS).alias("grams"),
+        )
+    )
     # |A ∪ B| from sizes (gram arrays are distinct): one set-intersection per
     # candidate pair instead of intersect + materialized union.
     return (
@@ -450,6 +454,64 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
+            cos.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= _COS_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_lsh_neardup — the scale path embedding_cosine_neardup's module
+# note promises: candidate generation bucketed by random-hyperplane LSH
+# signature instead of `label`. A label is not a similarity bucket — one hot
+# label degrades the label-bucketed join to near all-pairs — whereas LSH
+# bucket population is governed by the plane count (buckets only grow with
+# genuinely co-located vectors). 4 planes -> 16 buckets: coarse enough for
+# in-bucket recall at cosine >= 0.3, fine enough that the in-bucket
+# quadratic is bounded. The join stays a pure equi-join on the bucket key.
+# ---------------------------------------------------------------------------
+
+_NEARDUP_PLANES = 4
+
+
+def _neardup_oracle() -> str:
+    from .similarity import lsh_bucket_sql
+
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+        {lsh_bucket_sql('embedding', _NEARDUP_PLANES)} AS bucket
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, a.bucket AS bucket,
+      list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+    FROM b a
+    JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= {_COS_T}
+    """
+
+
+@register("embedding_lsh_neardup", oracle=_neardup_oracle())
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .similarity import lsh_bucket_spark
+
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.expr(lsh_bucket_spark("embedding", _NEARDUP_PLANES)).alias("bucket"),
+        F.expr(norm_expr("embedding")).alias("norm"),
+    )
+    cos = F.expr(cosine_from_norms_expr("a.embedding", "b.embedding", "a.norm", "b.norm"))
+    return (
+        emb.alias("a")
+        .join(
+            emb.alias("b"),
+            (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.bucket").alias("bucket"),
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= _COS_T)

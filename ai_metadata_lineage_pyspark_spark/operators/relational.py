@@ -170,7 +170,9 @@ def json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         parsed.groupBy(
-            (F.col("k") / 10).cast("int").alias("k_decile"),
+            # floor() matches DuckDB's `//` (floor division) for negative k
+            # too; the previous `/ 10 cast int` truncated toward zero
+            F.floor(F.col("k") / 10).cast("int").alias("k_decile"),
             "event_type",
         )
         .agg(

@@ -23,6 +23,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.cache import release_persisted, scoped_persist
 from ..functions.io import fan_out, load
 from ..functions.vectors import cosine_from_norms_expr, dot_expr, norm_expr
 from ..registry import register
@@ -103,34 +104,43 @@ def _plane_weight(p: int, d: int) -> float:
 _PLANES = [[_plane_weight(p, d) for d in range(_DIM)] for p in range(_N_PLANES)]
 
 
-def _planes_spark() -> str:
+def _planes_spark(n_planes: int = _N_PLANES) -> str:
     rows = ", ".join(
-        "array(" + ", ".join(repr(w) + "D" for w in row) + ")" for row in _PLANES
+        "array(" + ", ".join(repr(w) + "D" for w in row) + ")"
+        for row in _PLANES[:n_planes]
     )
     return f"array({rows})"
 
 
-def _planes_sql() -> str:
+def _planes_sql(n_planes: int = _N_PLANES) -> str:
     rows = ", ".join(
-        "[" + ", ".join(repr(w) for w in row) + "]::DOUBLE[]" for row in _PLANES
+        "[" + ", ".join(repr(w) for w in row) + "]::DOUBLE[]"
+        for row in _PLANES[:n_planes]
     )
     return f"[{rows}]"
 
 
-def _bucket_spark(vec: str) -> str:
-    """Concatenated sign bits of the 8 hyperplane projections."""
+def lsh_bucket_spark(vec: str, n_planes: int = _N_PLANES) -> str:
+    """Concatenated sign bits of the first n_planes hyperplane projections.
+    Fewer planes -> fewer, larger buckets (higher recall, more in-bucket
+    work); shared by ann_lsh_topk and embedding_lsh_neardup (dedup.py)."""
     return (
-        f"array_join(transform({_planes_spark()},"
+        f"array_join(transform({_planes_spark(n_planes)},"
         f" pl -> if({dot_expr('pl', vec)} > 0D, '1', '0')), '')"
     )
 
 
-def _bucket_sql(vec: str) -> str:
+def lsh_bucket_sql(vec: str, n_planes: int = _N_PLANES) -> str:
     return (
-        f"array_to_string(list_transform({_planes_sql()},"
+        f"array_to_string(list_transform({_planes_sql(n_planes)},"
         f" pl -> CASE WHEN list_dot_product(pl, {vec}::DOUBLE[]) > 0 THEN '1' ELSE '0' END),"
         " '')"
     )
+
+
+# legacy private aliases used by the ann_lsh_topk oracle f-strings below
+_bucket_spark = lsh_bucket_spark
+_bucket_sql = lsh_bucket_sql
 
 
 # ---------------------------------------------------------------------------
@@ -272,16 +282,20 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate NN: bucket-local exact top-k after hyperplane LSH."""
+    release_persisted()  # drop any prior invocation's cached intermediates
     emb = fan_out(load(spark, sf_dir, "embeddings"))
     # bucket assignment is 8 × dim-64 dot products per row and feeds both the
     # query side and the candidate side of the bucket join — persist it
-    # (norm precomputed here too, so the pairwise stage is one fold per pair).
-    bucketed = emb.select(
-        "vec_id",
-        "embedding",
-        F.expr(_bucket_spark("embedding")).alias("bucket"),
-        F.expr(norm_expr("embedding")).alias("norm"),
-    ).persist()
+    # (norm precomputed here too, so the pairwise stage is one fold per pair;
+    # scoped so callers/tests can release).
+    bucketed = scoped_persist(
+        emb.select(
+            "vec_id",
+            "embedding",
+            F.expr(_bucket_spark("embedding")).alias("bucket"),
+            F.expr(norm_expr("embedding")).alias("norm"),
+        )
+    )
     q = bucketed.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_embedding"),

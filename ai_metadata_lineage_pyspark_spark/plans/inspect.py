@@ -74,6 +74,26 @@ def scan_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def equi_join_key_sets(df: DataFrame) -> list[list[str]]:
+    """Key column names of each equi-join (SortMergeJoin / ShuffledHashJoin /
+    BroadcastHashJoin) in the plan, one list per join side-pair. Lets a test
+    assert a candidate join is keyed on a bucket column — i.e. genuinely
+    bucketed candidate generation, not an all-pairs join with a filter."""
+    out: list[list[str]] = []
+    for m in re.finditer(
+        r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)\w* \[([^\]]*)\], \[([^\]]*)\]",
+        physical_plan(df),
+    ):
+        keys = [
+            k.strip().split("#")[0]
+            for side in (m.group(1), m.group(2))
+            for k in side.split(",")
+            if k.strip()
+        ]
+        out.append(keys)
+    return out
+
+
 def partial_aggregate_count(df: DataFrame) -> int:
     """Number of map-side partial HashAggregates (keys=..., functions=[partial_...)."""
     return len(re.findall(r"HashAggregate\([^)]*partial_", physical_plan(df)))

@@ -18,6 +18,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from ai_metadata_lineage_pyspark_spark.functions.cache import release_persisted  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.functions.io import load  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
@@ -64,8 +65,9 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
         print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
         # drop this query's persisted intermediates so successive queries
-        # don't compete for executor storage memory
-        spark.catalog.clearCache()
+        # don't compete for executor storage memory (scoped release, not
+        # clearCache: clearCache silently clears persist flags on live DFs)
+        release_persisted()
 
     total = round(sum(timings.values()), 3)
     print(

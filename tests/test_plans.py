@@ -71,6 +71,24 @@ def test_text_pipeline_scans_are_pruned(q):
     assert I.scan_columns(q("text_token_stats")) == [["doc_id", "text", "n_chars"]]
 
 
+def test_ivf_topk_broadcasts_small_sides(q):
+    # centroids (~1% of corpus) score against every vector via a broadcast
+    # nested-loop (tiny side, no join key by design) and probes hash-join on
+    # cell after broadcast — the full corpus must never shuffle for either
+    df = q("ivf_topk")
+    assert I.broadcast_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin" in I.physical_plan(df)
+    assert I.cartesian_product_count(df) == 0
+
+
+def test_lsh_neardup_join_is_bucket_keyed(q):
+    # candidate generation must be an equi-join ON THE LSH BUCKET — the
+    # whole point of the operator vs the label-bucketed fixture variant
+    df = q("embedding_lsh_neardup")
+    assert I.cartesian_product_count(df) == 0
+    assert any("bucket" in keys for keys in I.equi_join_key_sets(df))
+
+
 def test_no_cartesian_products_anywhere(q):
     # every pairwise operator must generate candidates via an equi-join on a
     # bucket key or an explicit tiny-side broadcast — never CartesianProduct
@@ -85,6 +103,9 @@ def test_no_cartesian_products_anywhere(q):
         "minhash_lsh_pairs",
         "ngram_jaccard_pairs",
         "embedding_cosine_neardup",
+        "embedding_lsh_neardup",
+        "batch_session_window",
+        "batch_tumbling_counts",
         "fraud_scoring",
         "web_sessionization",
         "latest_event_per_user",
