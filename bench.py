@@ -55,6 +55,36 @@ def main() -> None:
         .agg(F.sum("nt").alias("s"), F.max("rn").alias("m"))
     )
     warm.count()
+    # second warm pipeline for the expression-engine paths the text/dedup
+    # queries lean on (regexp, md5, conv, array transforms/folds, min-over-
+    # window, when-chains): exercises the interpreter + Janino/JIT machinery
+    # on a DIFFERENT plan than any timed query, so timed numbers still pay
+    # their own plan's codegen but not Spark's first-compile-ever humps
+    warm2 = (
+        load(spark, sf_dir, "customer")
+        .limit(5000)
+        .withColumn("lt", F.expr("lower(c_name)"))
+        .withColumn("np", F.length(F.regexp_replace(F.col("lt"), r"[a-z\s]", "")))
+        .withColumn("fp", F.md5(F.trim(F.regexp_replace(F.col("lt"), r"\s+", " "))))
+        .withColumn(
+            "bkt",
+            F.expr(
+                "pmod(cast(conv(substr(md5(cast(c_custkey as string)), 1, 8), 16, 10)"
+                " as bigint), 100)"
+            ),
+        )
+        .withColumn("arr", F.expr("transform(sequence(0, 7), j -> j * np)"))
+        .withColumn("s", F.expr("aggregate(arr, 0L, (a, x) -> a + x)"))
+        .withColumn("u", F.expr("size(array_distinct(split(lt, 'a')))"))
+        .withColumn("mn", F.min("c_custkey").over(Window.partitionBy("fp")))
+        .withColumn(
+            "cls",
+            F.when(F.col("np") > 10, "a").when(F.col("u") > 3, "b").otherwise("c"),
+        )
+        .groupBy("cls")
+        .agg(F.sum("s").alias("ss"), F.min("mn").alias("m"), F.count(F.lit(1)).alias("n"))
+    )
+    warm2.count()
 
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     timings: dict[str, float] = {}
