@@ -163,12 +163,11 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_T = 0.5
 
-
-@register(
-    "minhash_lsh_pairs",
-    bench=True,
-    oracle=f"""
-    WITH sh AS (
+# CTE chain producing the oracle's (doc_a, doc_b, jaccard) near-dup pairs —
+# shared by the minhash_lsh_pairs oracle and the neardup_components oracle
+# (which computes connected components over the same pair set).
+_PAIRS_SQL_CTES = f"""
+    sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM documents
       WHERE len({_SQL_TOKENS}) >= 3
@@ -199,10 +198,21 @@ _JACCARD_T = 0.5
       FROM cand c
       JOIN sh sa ON sa.doc_id = c.doc_a
       JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ab - i) AS jaccard
+      FROM scored
+      WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
     )
-    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ab - i) AS jaccard
-    FROM scored
-    WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
+"""
+
+
+@register(
+    "minhash_lsh_pairs",
+    bench=True,
+    oracle=f"""
+    WITH {_PAIRS_SQL_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
     """,
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -489,6 +499,99 @@ def _neardup_oracle() -> str:
     JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
     WHERE list_cosine_similarity(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) >= {_COS_T}
     """
+
+
+# ---------------------------------------------------------------------------
+# neardup_components — connected components over the MinHash-LSH near-dup
+# pairs: the step a real dedup pipeline runs after pair generation, turning
+# pairwise matches into clusters so exactly one canonical doc per cluster
+# survives. (A doc can match B and B match C without A matching C directly —
+# pair-level dedup alone either over- or under-deletes.)
+#
+# Spark path: iterative min-label propagation over the pair edge list. The
+# edge list is tiny relative to the corpus (only near-dup pairs), every
+# frontier is localCheckpoint-ed (same iteration discipline as
+# operators/graph.py BFS — no exponential lineage), and the iteration count
+# is bounded by the cluster diameter (label propagation halves distances,
+# so ~log2(diameter) rounds). Oracle: recursive-CTE reachability closure
+# over the identical pair set, min reachable id per node.
+# ---------------------------------------------------------------------------
+
+_MAX_CC_ITERS = 20
+
+
+@register(
+    "neardup_components",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL_CTES},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    SELECT doc_id, component_id,
+      COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+      doc_id = component_id AS is_canonical
+    FROM comp
+    """,
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster near-dup pairs into components; canonical = min doc_id."""
+    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # undirected edge list, materialized once (it is consumed every round)
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
+        .toDF("src", "dst")
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    ).localCheckpoint()
+    for _ in range(_MAX_CC_ITERS):
+        # each node adopts the min of its own label and its neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    comp_size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
+    return (
+        labels.join(comp_size, "label")
+        .select(
+            "doc_id",
+            F.col("label").alias("component_id"),
+            "component_size",
+            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+        )
+    )
 
 
 @register("embedding_lsh_neardup", oracle=_neardup_oracle())

@@ -220,6 +220,77 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Longest equal-run length in the SORTED token array == max per-token count:
+# a per-row O(n log n) fold with a tiny struct accumulator — the 100 TB shape
+# (zero shuffle), vs the relational explode -> groupBy(doc, token) -> max,
+# which shuffles every token. The oracle uses the relational form (DuckDB
+# has no streaming fold with early termination semantics to mirror exactly);
+# both compute the same number.
+_TOP_RUN_FOLD = """
+aggregate(
+  array_sort(toks),
+  named_struct('prev', cast(null as string), 'run', 0, 'best', 0),
+  (acc, x) -> named_struct(
+    'prev', x,
+    'run', if(x <=> acc.prev, acc.run + 1, 1),
+    'best', greatest(acc.best, if(x <=> acc.prev, acc.run + 1, 1))),
+  acc -> acc.best)
+"""
+
+_BIGRAMS = "transform(sequence(0, size(toks) - 2), i -> concat(toks[i], ' ', toks[i + 1]))"
+
+
+@register(
+    "text_repetition_stats",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    f AS (SELECT doc_id, toks FROM t WHERE len(toks) >= 2),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM f),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM x GROUP BY doc_id, tok),
+    top AS (SELECT doc_id, MAX(c) AS top_token_count FROM c GROUP BY doc_id),
+    b AS (
+      SELECT f.doc_id, len(f.toks) AS n_tokens, top.top_token_count,
+        len(list_distinct(list_transform(range(len(f.toks) - 1),
+            i -> f.toks[i + 1] || ' ' || f.toks[i + 2]))) AS n_distinct_bigrams
+      FROM f JOIN top ON f.doc_id = top.doc_id
+    )
+    SELECT doc_id, n_tokens, top_token_count,
+      CAST(top_token_count AS DOUBLE) / n_tokens AS top_token_fraction,
+      CAST(n_distinct_bigrams AS DOUBLE) / (n_tokens - 1) AS distinct_bigram_ratio,
+      (CAST(top_token_count AS DOUBLE) / n_tokens > 0.2
+       OR CAST(n_distinct_bigrams AS DOUBLE) / (n_tokens - 1) < 0.5) AS repetitive
+    FROM b
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher/FineWeb filter family):
+    most-frequent-token fraction and distinct-bigram ratio, plus a
+    `repetitive` gate. All per-row expression work — no shuffle."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 2")
+        .selectExpr(
+            "doc_id",
+            "cast(size(toks) AS bigint) AS n_tokens",
+            f"cast({_TOP_RUN_FOLD} AS bigint) AS top_token_count",
+            f"cast(size(array_distinct({_BIGRAMS})) AS bigint) AS n_distinct_bigrams",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "top_token_count",
+            "cast(top_token_count AS double) / n_tokens AS top_token_fraction",
+            "cast(n_distinct_bigrams AS double) / (n_tokens - 1) AS distinct_bigram_ratio",
+            "(cast(top_token_count AS double) / n_tokens > 0.2"
+            " OR cast(n_distinct_bigrams AS double) / (n_tokens - 1) < 0.5) AS repetitive",
+        )
+    )
+
+
 @register(
     "text_fingerprint",
     oracle="""

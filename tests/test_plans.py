@@ -89,6 +89,14 @@ def test_lsh_neardup_join_is_bucket_keyed(q):
     assert any("bucket" in keys for keys in I.equi_join_key_sets(df))
 
 
+def test_decontam_broadcasts_eval_side(q):
+    # the eval (benchmark) shingle set is tiny: it must broadcast so the
+    # training corpus is never shuffled for the contamination join
+    df = q("benchmark_decontam")
+    assert I.broadcast_join_count(df) >= 1
+    assert I.cartesian_product_count(df) == 0
+
+
 def test_no_cartesian_products_anywhere(q):
     # every pairwise operator must generate candidates via an equi-join on a
     # bucket key or an explicit tiny-side broadcast — never CartesianProduct
@@ -106,6 +114,8 @@ def test_no_cartesian_products_anywhere(q):
         "embedding_lsh_neardup",
         "batch_session_window",
         "batch_tumbling_counts",
+        "text_repetition_stats",
+        "benchmark_decontam",
         "fraud_scoring",
         "web_sessionization",
         "latest_event_per_user",
