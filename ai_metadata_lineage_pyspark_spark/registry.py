@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         sampling,
         similarity,
         skew,
+        temporal,
         text,
         windows,
     )

@@ -97,6 +97,24 @@ def test_decontam_broadcasts_eval_side(q):
     assert I.cartesian_product_count(df) == 0
 
 
+def test_asof_join_is_a_single_window_no_join(q):
+    # the as-of rewrite is one window over the keyed stream: there must be
+    # NO join operator of any kind in the plan
+    plan = I.physical_plan(q("asof_join_purchases"))
+    assert "Join" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_bucket_keyed_not_nested_loop(q):
+    # a naive inequality-only join falls back to BroadcastNestedLoopJoin;
+    # the bucket rewrite must keep it an equi-join on the cell id
+    df = q("range_join_concurrency")
+    plan = I.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert I.cartesian_product_count(df) == 0
+    assert any("cell" in keys for keys in I.equi_join_key_sets(df))
+
+
 def test_no_cartesian_products_anywhere(q):
     # every pairwise operator must generate candidates via an equi-join on a
     # bucket key or an explicit tiny-side broadcast — never CartesianProduct
@@ -116,6 +134,8 @@ def test_no_cartesian_products_anywhere(q):
         "batch_tumbling_counts",
         "text_repetition_stats",
         "benchmark_decontam",
+        "asof_join_purchases",
+        "range_join_concurrency",
         "fraud_scoring",
         "web_sessionization",
         "latest_event_per_user",
