@@ -1,0 +1,96 @@
+"""Corpus/table profiling operators: global vocabulary and per-group column
+statistics — the "know your data" layer of a training pipeline.
+
+corpus_vocabulary is the canonical wordcount shape: explode -> groupBy(token)
+with map-side partial aggregation (hot stopword-like tokens are exactly the
+case partial agg exists for), then a deterministic top-k via
+TakeOrderedAndProject — no full-sort shuffle for a LIMIT.
+
+table_profile computes per-group count / min / max / exact percentiles /
+decimal-safe mean. Exact `percentile` is used because it is bit-identical to
+DuckDB's quantile_cont (verified: linear interpolation over the sorted
+values); at 100 TB you swap in `approx_percentile` (t-digest sketch, no
+per-group sort) — the query shape is unchanged. The mean aggregates in
+DECIMAL and casts to DOUBLE at the boundary: summing doubles directly is
+partition-order-dependent and not reproducible across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import fan_out, load
+from ..registry import register
+from .text import _TOKENS
+
+_TOP_K_TOKENS = 50
+
+
+@register(
+    "corpus_vocabulary",
+    oracle=f"""
+    WITH x AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token,
+      COUNT(*) AS n_occurrences,
+      COUNT(DISTINCT doc_id) AS n_docs
+    FROM x
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {_TOP_K_TOKENS}
+    """,
+)
+def corpus_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} corpus tokens by occurrence count, with document frequency.
+    Deterministic total order (count DESC, token ASC) so the top-k boundary
+    is stable across engines and partitionings."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    x = docs.selectExpr("doc_id", f"explode({_TOKENS}) AS token")
+    return (
+        x.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(_TOP_K_TOKENS)
+    )
+
+
+@register(
+    "table_profile",
+    oracle="""
+    SELECT l_returnflag,
+      COUNT(*) AS n_rows,
+      MIN(l_quantity) AS min_qty,
+      MAX(l_quantity) AS max_qty,
+      quantile_cont(l_quantity, 0.5) AS med_qty,
+      quantile_cont(l_quantity, 0.9) AS p90_qty,
+      quantile_cont(l_extendedprice, 0.5) AS med_price,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+        AS mean_price,
+      COUNT(DISTINCT l_partkey) AS n_parts
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag profile of lineitem: counts, extrema, exact median/p90
+    (swap to approx_percentile at scale), decimal-safe mean, distinct parts."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.expr("percentile(l_quantity, 0.5)").alias("med_qty"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90_qty"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("med_price"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+    )

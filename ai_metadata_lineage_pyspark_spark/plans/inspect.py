@@ -94,6 +94,12 @@ def equi_join_key_sets(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def shuffle_exchange_count(df: DataFrame) -> int:
+    """Shuffle exchanges in the plan ('Exchange hashpartitioning/range...' —
+    excludes broadcast exchanges, which move only tiny sides)."""
+    return len(re.findall(r"Exchange (?!SinglePartition)\w*partitioning", physical_plan(df)))
+
+
 def partial_aggregate_count(df: DataFrame) -> int:
     """Number of map-side partial HashAggregates (keys=..., functions=[partial_...)."""
     return len(re.findall(r"HashAggregate\([^)]*partial_", physical_plan(df)))

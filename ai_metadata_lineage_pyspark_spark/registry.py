@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         graph,
         merge,
         multimodal,
+        profile,
         relational,
         rollup,
         sampling,

@@ -110,6 +110,62 @@ def partitioned_write_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame
 # call creates its own table and lazily drops the ones from prior calls.
 _DDL_IDS = itertools.count()
 _DDL_PREVIOUS: list[tuple[str, str]] = []  # (table name, scratch path)
+_BUCKET_IDS = itertools.count()
+_BUCKET_PREVIOUS: list[str] = []  # managed table names
+
+
+@register(
+    "bucketed_join_colocated",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment,
+      COUNT(o.o_orderkey) AS n_orders,
+      CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+    FROM customer c
+    LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_mktsegment
+    """,
+)
+def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-table co-located join: write both sides `bucketBy` the join
+    key as catalog tables, then join and aggregate THROUGH the bucketing —
+    zero shuffle exchanges in the whole plan (the join reads co-located
+    buckets; the follow-up groupBy on the same key reuses the layout).
+
+    This is the layout play for a 100 TB fact⋈fact join neither side of
+    which can broadcast: pay the shuffle once at write time, never at read
+    time. Table names are unique per invocation (re-entrant under an
+    external harness); previous invocations' tables are dropped lazily."""
+    while _BUCKET_PREVIOUS:
+        spark.sql(f"DROP TABLE IF EXISTS {_BUCKET_PREVIOUS.pop()}")
+    run = f"{next(_BUCKET_IDS)}_{uuid.uuid4().hex[:8]}"
+    orders_t, cust_t = f"orders_bkt_{run}", f"customer_bkt_{run}"
+    (
+        load(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable(orders_t)
+    )
+    (
+        load(spark, sf_dir, "customer")
+        .select("c_custkey", "c_mktsegment")
+        .write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable(cust_t)
+    )
+    _BUCKET_PREVIOUS.extend([orders_t, cust_t])
+    c = spark.table(cust_t)
+    o = spark.table(orders_t)
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+    )
 
 
 @register(

@@ -115,6 +115,23 @@ def test_range_join_is_bucket_keyed_not_nested_loop(q):
     assert any("cell" in keys for keys in I.equi_join_key_sets(df))
 
 
+def test_bucketed_join_has_zero_shuffles(q):
+    # both sides bucketed+sorted by the join key: the join AND the follow-up
+    # groupBy on the same key must read co-located buckets — no Exchange
+    df = q("bucketed_join_colocated")
+    assert I.shuffle_exchange_count(df) == 0
+    # at test scale the tiny dim side may broadcast instead of sort-merge —
+    # either way the plan must contain a join and still zero exchanges
+    assert I.sort_merge_join_count(df) + I.broadcast_join_count(df) >= 1
+
+
+def test_vocabulary_topk_avoids_full_sort(q):
+    # ORDER BY + LIMIT must compile to TakeOrderedAndProject, not a global
+    # range-partitioned sort of the whole vocabulary
+    df = q("corpus_vocabulary")
+    assert I.has_operator(df, "TakeOrderedAndProject")
+
+
 def test_no_cartesian_products_anywhere(q):
     # every pairwise operator must generate candidates via an equi-join on a
     # bucket key or an explicit tiny-side broadcast — never CartesianProduct
