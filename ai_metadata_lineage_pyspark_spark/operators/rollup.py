@@ -296,3 +296,136 @@ def mart_customer_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("STANDARD")
         .alias("customer_segment"),
     )
+
+
+# ---------------------------------------------------------------------------
+# hypertable_rollup_cascade — multi-resolution time rollup where each coarser
+# level aggregates the NEXT FINER rollup, not the raw events (the
+# continuous-aggregate pattern of time-series stores): minute -> hour -> day.
+# At 100 TB this is the difference between re-scanning the fact table per
+# resolution and reusing O(buckets) partials; every aggregate used (count,
+# sum, min, max) is decomposable, which is exactly what makes the cascade
+# semantically equal to aggregating raw data directly — and the oracle
+# asserts that equality by computing the day level straight from raw events.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "hypertable_rollup_cascade",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        CAST(floor(value * 100) AS BIGINT) AS value_c
+      FROM events
+    ),
+    fine AS (
+      SELECT event_type, ts_us // 60000000 AS minute_bucket,
+        COUNT(*) AS n, CAST(SUM(value_c) AS BIGINT) AS value_c,
+        MIN(ts_us) AS first_us, MAX(ts_us) AS last_us
+      FROM e GROUP BY 1, 2
+    )
+    SELECT event_type,
+      make_timestamp((minute_bucket // 1440) * 86400000000) AS day_start,
+      CAST(SUM(n) AS BIGINT) AS n_events,
+      CAST(SUM(value_c) AS BIGINT) AS value_c,
+      COUNT(*) AS n_active_minutes,
+      MIN(first_us) AS first_us,
+      MAX(last_us) AS last_us
+    FROM fine
+    GROUP BY 1, 2
+    """,
+)
+def hypertable_rollup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-level rollup derived through a minute -> hour -> day cascade of
+    decomposable partial aggregates (count/sum/min/max merge losslessly)."""
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        "ts_us",
+        F.expr("cast(floor(value * 100) as bigint)").alias("value_c"),
+    )
+    minute = e.groupBy(
+        "event_type", F.expr("ts_us div 60000000").alias("minute_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("value_c").alias("value_c"),
+        F.min("ts_us").alias("first_us"),
+        F.max("ts_us").alias("last_us"),
+    )
+    hour = minute.groupBy(
+        "event_type", F.expr("minute_bucket div 60").alias("hour_bucket")
+    ).agg(
+        F.sum("n").alias("n"),
+        F.sum("value_c").alias("value_c"),
+        F.count(F.lit(1)).alias("n_active_minutes"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    )
+    return hour.groupBy(
+        "event_type", F.expr("hour_bucket div 24").alias("day_bucket")
+    ).agg(
+        F.sum("n").alias("n_events"),
+        F.sum("value_c").alias("value_c"),
+        F.sum("n_active_minutes").alias("n_active_minutes"),
+        F.min("first_us").alias("first_us"),
+        F.max("last_us").alias("last_us"),
+    ).select(
+        "event_type",
+        F.timestamp_micros(F.expr("day_bucket * 86400000000")).cast("timestamp_ntz")
+        .alias("day_start"),
+        "n_events",
+        "value_c",
+        "n_active_minutes",
+        "first_us",
+        "last_us",
+    )
+
+
+# ---------------------------------------------------------------------------
+# customer_value_deciles — NTILE bucketing over a deterministic total order:
+# equal-population value tiers (decile 1 = top spenders). The window sorts
+# once on (acctbal DESC, custkey) — the tie-break makes the tile assignment
+# identical across engines and partitionings — then the per-decile rollup is
+# a tiny aggregation.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_value_deciles",
+    oracle="""
+    WITH t AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+        NTILE(10) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS decile
+      FROM customer
+    )
+    SELECT decile,
+      COUNT(*) AS n_customers,
+      MIN(c_acctbal) AS min_acctbal,
+      MAX(c_acctbal) AS max_acctbal,
+      MIN(c_custkey) AS min_custkey
+    FROM t
+    GROUP BY decile
+    """,
+)
+def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Account-balance deciles via NTILE(10) over a tie-broken total order.
+
+    Scale note: an unpartitioned window funnels all rows through ONE task —
+    fine at dimension-table cardinality (customers), wrong for a fact table.
+    The 100 TB swap keeps the same output contract but assigns tiles by
+    comparing against approx_percentile boundaries (embarrassingly parallel,
+    one tiny boundary broadcast); NTILE is used here because its exact
+    equal-population semantics are what the oracle can replay verbatim."""
+    from pyspark.sql import Window
+
+    c = load(spark, sf_dir, "customer")
+    w = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    t = c.select(
+        "c_custkey", "c_acctbal", F.ntile(10).over(w).alias("decile")
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min("c_custkey").alias("min_custkey"),
+    )

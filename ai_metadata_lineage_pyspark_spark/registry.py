@@ -71,6 +71,7 @@ def _ensure_loaded() -> None:
         rollup,
         sampling,
         similarity,
+        sketch,
         skew,
         temporal,
         text,

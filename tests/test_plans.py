@@ -153,6 +153,10 @@ def test_no_cartesian_products_anywhere(q):
         "benchmark_decontam",
         "asof_join_purchases",
         "range_join_concurrency",
+        "kmv_distinct_sketch",
+        "hypertable_rollup_cascade",
+        "corpus_vocabulary",
+        "table_profile",
         "fraud_scoring",
         "web_sessionization",
         "latest_event_per_user",
