@@ -181,3 +181,78 @@ def json_props_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# event_type_pivot — PIVOT: long -> wide reshape (one column per event type).
+# Spark's pivot with an EXPLICIT value list compiles to a single groupBy with
+# conditional aggregates — one shuffle, map-side partial agg. Omitting the
+# value list would trigger an extra distinct-scan job to discover the
+# columns; at 100 TB always pin the list. Oracle replays the same shape with
+# CASE-WHEN sums (the relational definition of pivot).
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+@register(
+    "event_type_pivot",
+    oracle=f"""
+    SELECT user_id,
+      {", ".join(
+        f"CAST(COUNT(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT) AS n_{t}"
+        for t in _EVENT_TYPES
+      )}
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def event_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type counts as wide columns via pivot with a pinned
+    value list (no discovery scan)."""
+    events = load(spark, sf_dir, "events")
+    wide = (
+        events.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .count()
+    )
+    # pivot-count yields null for absent combinations; the relational
+    # definition counts zero
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# ---------------------------------------------------------------------------
+# orders_rollup_subtotals — GROUPING SETS / ROLLUP: hierarchical subtotals
+# (status x priority, per-status, grand total) in ONE aggregation pass over
+# the fact table instead of three scans unioned. grouping() flags
+# disambiguate real NULL keys from subtotal rows.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_rollup_subtotals",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP(status, priority): detail rows + per-status subtotals + grand
+    total from one pass; grouping() marks the subtotal levels."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )

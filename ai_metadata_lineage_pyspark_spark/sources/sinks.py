@@ -205,3 +205,30 @@ def sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_regionkey
         """
     )
+
+
+@register(
+    "jsonl_roundtrip_ingest",
+    oracle="""
+    SELECT n_name, n_regionkey,
+      CAST(length(n_name) AS INT) AS name_len,
+      CAST(n_regionkey * 2 AS BIGINT) AS doubled_key
+    FROM nation
+    """,
+)
+def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines sink + source (the third major interchange format next to
+    the CSV and parquet round-trips): write nation as JSONL, read it back
+    with a PINNED schema — at scale you never let the JSON reader
+    infer-scan, and a pinned schema makes malformed rows surface as nulls
+    under PERMISSIVE mode instead of failing the job."""
+    out = _scratch("nation_jsonl")
+    nation = load(spark, sf_dir, "nation").select("n_name", "n_regionkey")
+    nation.write.mode("overwrite").json(out)
+    back = spark.read.schema("n_name STRING, n_regionkey BIGINT").json(out)
+    return back.select(
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").cast("int").alias("name_len"),
+        (F.col("n_regionkey") * 2).alias("doubled_key"),
+    )
