@@ -256,3 +256,56 @@ def orders_rollup_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.grouping("o_orderstatus").cast("int").alias("g_status"),
         F.grouping("o_orderpriority").cast("int").alias("g_priority"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Anti / semi joins — existence predicates as joins that never materialize
+# the matched side: a semi join carries each left row at most once (no
+# fan-out on duplicate matches), an anti join keeps only unmatched rows.
+# Both shuffle once on the key like an inner join but move strictly less
+# data — at 100 TB, EXISTS/NOT EXISTS phrased as inner join + distinct is
+# the classic accidental-blowup these operators exist to avoid.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customers_without_urgent_orders",
+    oracle="""
+    SELECT c.c_custkey, c.c_mktsegment, c.c_acctbal
+    FROM customer c
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+    )
+    """,
+)
+def customers_without_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti join: customers with no URGENT order. The
+    priority filter lands on the orders scan BEFORE the anti join, so the
+    join's build side is the filtered subset, not the whole fact table."""
+    customer = load(spark, sf_dir, "customer")
+    urgent = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return customer.join(
+        urgent, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_mktsegment", "c_acctbal")
+
+
+@register(
+    "parts_ordered_semi",
+    oracle="""
+    SELECT p.p_partkey, p.p_brand, p.p_size
+    FROM part p
+    WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+    """,
+)
+def parts_ordered_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS via left_semi join: parts that appear in at least one
+    lineitem — each part emitted once regardless of how many lineitems
+    match (no fan-out, unlike inner join + distinct)."""
+    part = load(spark, sf_dir, "part")
+    lineitem = load(spark, sf_dir, "lineitem")
+    return part.join(
+        lineitem, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
+    ).select("p_partkey", "p_brand", "p_size")

@@ -42,6 +42,26 @@ def _scratch(name: str) -> str:
     return os.path.join(_SCRATCH, name)
 
 
+def _sweep_stale(parent: str, prefixes: tuple[str, ...], max_age_s: int = 3600) -> None:
+    """Remove per-invocation output dirs left by PREVIOUS processes (the
+    lazy in-process drop can't see them). Age-gated so a concurrently
+    running harness process is never raced."""
+    import shutil
+    import time
+
+    if not os.path.isdir(parent):
+        return
+    cutoff = time.time() - max_age_s
+    for entry in os.listdir(parent):
+        if entry.startswith(prefixes):
+            path = os.path.join(parent, entry)
+            try:
+                if os.path.getmtime(path) < cutoff:
+                    shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                pass
+
+
 @register(
     "csv_roundtrip_ingest",
     oracle="""
@@ -137,6 +157,8 @@ def bucketed_join_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     external harness); previous invocations' tables are dropped lazily."""
     while _BUCKET_PREVIOUS:
         spark.sql(f"DROP TABLE IF EXISTS {_BUCKET_PREVIOUS.pop()}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    _sweep_stale(warehouse.removeprefix("file:"), ("orders_bkt_", "customer_bkt_"))
     run = f"{next(_BUCKET_IDS)}_{uuid.uuid4().hex[:8]}"
     orders_t, cust_t = f"orders_bkt_{run}", f"customer_bkt_{run}"
     (
@@ -191,6 +213,7 @@ def sql_ddl_external_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_table, prev_path = _DDL_PREVIOUS.pop()
         spark.sql(f"DROP TABLE IF EXISTS {prev_table}")
         shutil.rmtree(prev_path, ignore_errors=True)
+    _sweep_stale(_SCRATCH, ("nation_external_",))
     run = f"{next(_DDL_IDS)}_{uuid.uuid4().hex[:8]}"
     table = f"nation_ext_{run}"
     out = _scratch(f"nation_external_{run}")

@@ -155,6 +155,10 @@ def test_no_cartesian_products_anywhere(q):
         "range_join_concurrency",
         "kmv_distinct_sketch",
         "hypertable_rollup_cascade",
+        "event_type_pivot",
+        "orders_rollup_subtotals",
+        "customers_without_urgent_orders",
+        "parts_ordered_semi",
         "corpus_vocabulary",
         "table_profile",
         "fraud_scoring",
