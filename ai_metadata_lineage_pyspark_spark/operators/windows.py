@@ -350,3 +350,143 @@ def fraud_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("pr")
     )
+
+
+# ---------------------------------------------------------------------------
+# top_parts_per_segment — per-group top-k: the rank<=k filter directly over
+# a rank window compiles to WindowGroupLimit (Spark 3.5+), which keeps only
+# k rows per group on each map side BEFORE the window shuffle — at 100 TB
+# the shuffle carries k*groups rows instead of the whole fact join.
+# Deterministic tie-break on partkey so both engines rank identically.
+# ---------------------------------------------------------------------------
+
+_TOP_PARTS_K = 3
+
+
+@register(
+    "top_parts_per_segment",
+    oracle=f"""
+    WITH rev AS (
+      SELECT c.c_mktsegment, l.l_partkey,
+        CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment, l.l_partkey
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                   ORDER BY revenue DESC, l_partkey ASC) AS rnk
+      FROM rev
+    )
+    SELECT c_mktsegment, l_partkey, revenue, rnk
+    FROM ranked WHERE rnk <= {_TOP_PARTS_K}
+    """,
+)
+def top_parts_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{k} revenue parts per market segment (rank window + filter →
+    WindowGroupLimit map-side pre-pruning)."""
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = F.broadcast(load(spark, sf_dir, "customer"))
+    rev = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .groupBy("c_mktsegment", "l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("revenue").desc(), F.col("l_partkey").asc()
+    )
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _TOP_PARTS_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# user_funnel — ordered-sequence (funnel) analysis: view -> click ->
+# purchase, each stage's timestamp strictly after the previous stage's.
+# Computed as a cascade of conditional MIN aggregates over ONE shuffle on
+# user_id (two window passes over the same partitioning, no re-shuffle):
+# stage N's anchor is the min event time of type N after anchor N-1.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "user_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type, epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    v AS (
+      SELECT user_id, MIN(CASE WHEN event_type = 'view' THEN ts_us END) AS first_view_us
+      FROM e GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts_us) AS first_click_us
+      FROM e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts_us > v.first_view_us
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts_us) AS first_purchase_us
+      FROM e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts_us > c.first_click_us
+      GROUP BY e.user_id
+    )
+    SELECT v.user_id, v.first_view_us, c.first_click_us, p.first_purchase_us,
+      p.user_id IS NOT NULL AS completed
+    FROM v
+    LEFT JOIN c ON c.user_id = v.user_id
+    LEFT JOIN p ON p.user_id = v.user_id
+    WHERE v.first_view_us IS NOT NULL
+    """,
+)
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel per user with strict ordering:
+    conditional-min cascade over user-partitioned windows — the oracle's
+    three grouped self-joins collapse into one shuffle."""
+    e = load(spark, sf_dir, "events").select("user_id", "event_type", "ts_us")
+    w = Window.partitionBy("user_id")
+    staged = (
+        e.withColumn(
+            "first_view_us",
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w),
+        )
+        .withColumn(
+            "first_click_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "click")
+                    & (F.col("ts_us") > F.col("first_view_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+        .withColumn(
+            "first_purchase_us",
+            F.min(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("ts_us") > F.col("first_click_us")),
+                    F.col("ts_us"),
+                )
+            ).over(w),
+        )
+    )
+    return (
+        staged.filter(F.col("first_view_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.first("first_view_us").alias("first_view_us"),
+            F.first("first_click_us").alias("first_click_us"),
+            F.first("first_purchase_us").alias("first_purchase_us"),
+        )
+        .withColumn("completed", F.col("first_purchase_us").isNotNull())
+    )

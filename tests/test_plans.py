@@ -132,6 +132,20 @@ def test_vocabulary_topk_avoids_full_sort(q):
     assert I.has_operator(df, "TakeOrderedAndProject")
 
 
+def test_topk_per_group_uses_window_group_limit(q):
+    # rank<=k over a rank window must compile to WindowGroupLimit: each map
+    # task pre-prunes to k rows per group before the window shuffle
+    df = q("top_parts_per_segment")
+    assert "WindowGroupLimit" in I.physical_plan(df)
+
+
+def test_funnel_is_single_shuffle(q):
+    # the conditional-min cascade must reuse ONE user_id partitioning across
+    # all window passes and the final aggregation — exactly one exchange
+    df = q("user_funnel")
+    assert I.shuffle_exchange_count(df) == 1
+
+
 def test_no_cartesian_products_anywhere(q):
     # every pairwise operator must generate candidates via an equi-join on a
     # bucket key or an explicit tiny-side broadcast — never CartesianProduct
@@ -159,6 +173,8 @@ def test_no_cartesian_products_anywhere(q):
         "orders_rollup_subtotals",
         "customers_without_urgent_orders",
         "parts_ordered_semi",
+        "top_parts_per_segment",
+        "user_funnel",
         "corpus_vocabulary",
         "table_profile",
         "fraud_scoring",
