@@ -429,3 +429,63 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("c_acctbal").alias("max_acctbal"),
         F.min("c_custkey").alias("min_custkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_event_rollup — high-watermark incremental processing: the
+# batch-CDC contract every scheduled pipeline relies on. The event stream is
+# processed as two batches split at a watermark timestamp; each batch is
+# aggregated to per-user partials independently, and the partials merge into
+# the final state. Because every aggregate is decomposable, the merged
+# result is provably identical to a full recompute — which is exactly what
+# the oracle does (one direct GROUP BY over everything). At 100 TB the first
+# batch is yesterday's materialized partials that are never re-scanned; only
+# the tail beyond the watermark is read.
+# ---------------------------------------------------------------------------
+
+# fixed mid-January watermark (epoch micros): both fixture batches non-empty
+_WATERMARK_US = 1_705_276_800_000_000  # 2024-01-15T00:00:00Z
+
+
+@register(
+    "incremental_event_rollup",
+    oracle="""
+    SELECT user_id,
+      COUNT(*) AS events,
+      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS total_value_c,
+      MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS first_ts_us,
+      MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS last_ts_us
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rollup computed incrementally: aggregate the pre-watermark
+    batch and the post-watermark batch separately, then merge the partials.
+    Value-identical to the oracle's single-pass GROUP BY."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id",
+        "ts_us",
+        F.expr("cast(floor(value * 100) as bigint)").alias("value_c"),
+    )
+
+    def partials(batch: DataFrame) -> DataFrame:
+        return batch.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("p_events"),
+            F.sum("value_c").alias("p_value_c"),
+            F.min("ts_us").alias("p_first"),
+            F.max("ts_us").alias("p_last"),
+        )
+
+    before = partials(e.filter(F.col("ts_us") <= _WATERMARK_US))
+    after = partials(e.filter(F.col("ts_us") > _WATERMARK_US))
+    return (
+        before.unionByName(after)
+        .groupBy("user_id")
+        .agg(
+            F.sum("p_events").alias("events"),
+            F.sum("p_value_c").alias("total_value_c"),
+            F.min("p_first").alias("first_ts_us"),
+            F.max("p_last").alias("last_ts_us"),
+        )
+    )

@@ -175,6 +175,7 @@ def test_no_cartesian_products_anywhere(q):
         "parts_ordered_semi",
         "top_parts_per_segment",
         "user_funnel",
+        "incremental_event_rollup",
         "corpus_vocabulary",
         "table_profile",
         "fraud_scoring",
