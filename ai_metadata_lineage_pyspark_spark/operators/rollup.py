@@ -489,3 +489,39 @@ def incremental_event_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("p_last").alias("last_ts_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# orders_cube — CUBE(status, priority): all four grouping sets (detail, per-
+# status, per-priority, grand total) from ONE pass. ROLLUP walks only the
+# prefix hierarchy; CUBE expands every subset — 2^n grouping sets — so the
+# expand operator multiplies each input row by 4 here. At scale that
+# multiplier is the cost knob: partial aggregation runs AFTER the expand,
+# so map-side combine still collapses each grouping set to its key space
+# before the one shuffle. grouping() flags distinguish subtotal NULLs from
+# genuine NULL keys, same convention as orders_rollup_subtotals.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+      COUNT(*) AS n_orders,
+      CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_price_c,
+      CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+      CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): every margin of the 2-D contingency
+    table in one aggregation pass, integer-cent money."""
+    orders = load(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("sum(cast(floor(o_totalprice * 100) as bigint))").alias("total_price_c"),
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+    )

@@ -315,3 +315,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sha2(norm, 256).alias("fp_sha256"),
         F.substring(F.md5(norm), 1, 8).alias("fp_prefix"),
     )
+
+
+# ---------------------------------------------------------------------------
+# token_length_histogram — corpus length-distribution profile: equal-width
+# token-count buckets (10 tokens wide, top-coded at bucket 20) with per-
+# bucket doc counts and token mass. The standard pre-training length audit
+# (what gets truncated at the model's context length? what's too short to
+# keep?). One scan, per-row bucket arithmetic, then a tiny groupBy whose
+# partials combine map-side — bucket cardinality is 21 regardless of corpus
+# size, so the shuffle is constant-width at any scale.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_length_histogram",
+    oracle="""
+    WITH t AS (
+      SELECT len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    )
+    SELECT CAST(least(n_tokens // 10, 20) AS BIGINT) AS bucket,
+      COUNT(*) AS n_docs,
+      CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+      MIN(n_tokens) AS min_tokens,
+      MAX(n_tokens) AS max_tokens
+    FROM t
+    GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram of whitespace-token counts: width-10 buckets, top-coded at
+    200+ tokens (bucket 20), with doc and token totals per bucket."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        docs.selectExpr(f"size({_TOKENS}) AS n_tokens")
+        .selectExpr("cast(least(n_tokens div 10, 20) as bigint) AS bucket", "n_tokens")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

@@ -490,3 +490,65 @@ def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("completed", F.col("first_purchase_us").isNotNull())
     )
+
+
+# ---------------------------------------------------------------------------
+# latest_event_maxby — the aggregate-form dual of latest_event_per_user:
+# dedup-by-latest as max_by over a composite order key instead of a
+# row_number window. The window form sorts EVERY row inside each hash
+# partition; the aggregate form keeps one running champion per key and
+# combines partials map-side, so the shuffle carries one row per user
+# instead of one per event — the right plan when only the latest row (not
+# the ranked history) is needed. Plan-asserted: partial+final aggregate
+# (SortAggregate — the string-carrying max_by buffer isn't hash-aggregable),
+# no Window operator.
+#
+# Tie-break: the order key is a zero-padded "(ts_us, event_id)" string, so
+# string max == numeric max on the pair and both engines pick the same row
+# even at equal timestamps (DuckDB's max_by accepts no composite ordering).
+# ---------------------------------------------------------------------------
+
+_MAXBY_ORD = (
+    "concat(lpad(cast(ts_us as string), 20, '0'), lpad(cast(event_id as string), 20, '0'))"
+)
+
+
+@register(
+    "latest_event_maxby",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_id, event_type,
+        CAST(floor(value * 100) AS BIGINT) AS value_c,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+        lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')
+          || lpad(CAST(event_id AS VARCHAR), 20, '0') AS ord
+      FROM events
+    )
+    SELECT user_id,
+      COUNT(*) AS n_events,
+      max_by(event_id, ord) AS latest_event_id,
+      max_by(event_type, ord) AS latest_event_type,
+      max_by(value_c, ord) AS latest_value_c,
+      MAX(ts_us) AS latest_ts_us
+    FROM e
+    GROUP BY user_id
+    """,
+)
+def latest_event_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user via max_by aggregation — no window, no sort;
+    one partial-combinable aggregate per user."""
+    e = load(spark, sf_dir, "events").selectExpr(
+        "user_id",
+        "event_id",
+        "event_type",
+        "cast(floor(value * 100) as bigint) AS value_c",
+        "ts_us",
+        f"{_MAXBY_ORD} AS ord",
+    )
+    return e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("max_by(event_id, ord)").alias("latest_event_id"),
+        F.expr("max_by(event_type, ord)").alias("latest_event_type"),
+        F.expr("max_by(value_c, ord)").alias("latest_value_c"),
+        F.max("ts_us").alias("latest_ts_us"),
+    )

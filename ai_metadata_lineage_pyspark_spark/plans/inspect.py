@@ -101,8 +101,15 @@ def shuffle_exchange_count(df: DataFrame) -> int:
 
 
 def partial_aggregate_count(df: DataFrame) -> int:
-    """Number of map-side partial HashAggregates (keys=..., functions=[partial_...)."""
-    return len(re.findall(r"HashAggregate\([^)]*partial_", physical_plan(df)))
+    """Number of map-side partial aggregates (functions=[partial_...]).
+
+    Counts SortAggregate as well as HashAggregate: Spark falls back to
+    sort-based aggregation when an aggregate's buffer isn't mutable
+    fixed-width (e.g. max_by carrying a string), but the map-side combine —
+    the property that bounds shuffle volume to one row per group — is the
+    same in both forms.
+    """
+    return len(re.findall(r"(?:Hash|Sort)Aggregate\([^)]*partial_", physical_plan(df)))
 
 
 def wholestage_codegen_count(df: DataFrame) -> int:

@@ -255,3 +255,39 @@ def jsonl_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("n_name").cast("int").alias("name_len"),
         (F.col("n_regionkey") * 2).alias("doubled_key"),
     )
+
+
+@register(
+    "orc_roundtrip_ingest",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+      COUNT(*) AS n_items,
+      CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+      CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        AS sum_price_c
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def orc_roundtrip_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink + source (the columnar interchange format next to parquet —
+    native reader/writer, same predicate-pushdown and column-pruning
+    surface): write the 1998+ lineitem tail as ORC, read it back, and
+    aggregate. The ship-date filter runs BEFORE the write so the sink holds
+    only the needed slice; doubles and timestamps round-trip ORC exactly,
+    so the integer-cent aggregate matches the oracle computed on the
+    original parquet."""
+    out = _scratch("orc_lineitem_tail")
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+    )
+    li.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.expr("sum(cast(floor(l_quantity) as bigint))").alias("sum_qty"),
+        F.expr("sum(cast(floor(l_extendedprice * 100) as bigint))").alias("sum_price_c"),
+    )

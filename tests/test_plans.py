@@ -176,6 +176,11 @@ def test_no_cartesian_products_anywhere(q):
         "top_parts_per_segment",
         "user_funnel",
         "incremental_event_rollup",
+        "time_weighted_avg",
+        "snapshot_diff_cdc",
+        "latest_event_maxby",
+        "orders_cube",
+        "token_length_histogram",
         "corpus_vocabulary",
         "table_profile",
         "fraud_scoring",
@@ -188,6 +193,36 @@ def test_no_cartesian_products_anywhere(q):
         "exact_dedup",
     ]:
         assert I.cartesian_product_count(q(name)) == 0, name
+
+
+def test_latest_maxby_is_aggregate_not_window(q):
+    # the max_by form must compile to a partial+final aggregate with no
+    # Window operator: the shuffle carries one combined row per user, not
+    # one per event. (It lands as SortAggregate, not HashAggregate — the
+    # string-carrying max_by buffer isn't hash-aggregable — but the map-side
+    # partial combine is what bounds the shuffle.)
+    df = q("latest_event_maxby")
+    plan = I.physical_plan(df)
+    assert "Window" not in plan
+    assert I.partial_aggregate_count(df) >= 1
+
+
+def test_gapfill_grid_is_broadcast_not_shuffled(q):
+    # the user x calendar grid must come from broadcasting the tiny calendar
+    # (BroadcastNestedLoopJoin), never a CartesianProduct shuffle; the fact
+    # join onto the grid stays an equi-join
+    df = q("timeseries_gapfill")
+    plan = I.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert I.cartesian_product_count(df) == 0
+
+
+def test_cdc_diff_is_single_full_outer_sort_merge(q):
+    # two key-partitioned snapshots reconcile in ONE full-outer sort-merge
+    # join (full outer can't broadcast; SMJ on the key is the 100 TB shape)
+    df = q("snapshot_diff_cdc")
+    assert I.sort_merge_join_count(df) == 1
+    assert I.cartesian_product_count(df) == 0
 
 
 def test_codegen_covers_scalar_surface(q):
