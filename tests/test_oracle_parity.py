@@ -24,6 +24,9 @@ FAST_SUBSET = [
     "lineage_edges",          # lineage engine
     "lineage_repo_stitch",    # stitching
     "streaming_session_window",  # structured streaming
+    "streaming_click_attribution",  # stream-stream join
+    "time_weighted_avg",      # time-series analytics
+    "snapshot_diff_cdc",      # CDC reconciliation
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()

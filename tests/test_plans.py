@@ -163,6 +163,8 @@ def test_no_cartesian_products_anywhere(q):
         "embedding_lsh_neardup",
         "batch_session_window",
         "batch_tumbling_counts",
+        "batch_click_attribution",
+        "batch_event_dedup_keys",
         "text_repetition_stats",
         "benchmark_decontam",
         "asof_join_purchases",
@@ -215,6 +217,19 @@ def test_gapfill_grid_is_broadcast_not_shuffled(q):
     plan = I.physical_plan(df)
     assert "BroadcastNestedLoopJoin" in plan
     assert I.cartesian_product_count(df) == 0
+
+
+def test_attribution_join_is_equi_keyed_not_nested_loop(q):
+    # user equi-key + time-interval residual must compile to an equi-join
+    # keyed on the user columns (interval as post-filter), never a
+    # nested-loop over the cross product
+    df = q("batch_click_attribution")
+    plan = I.physical_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert I.cartesian_product_count(df) == 0
+    assert any(
+        "c_user" in keys or "p_user" in keys for keys in I.equi_join_key_sets(df)
+    )
 
 
 def test_cdc_diff_is_single_full_outer_sort_merge(q):

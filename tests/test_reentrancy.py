@@ -23,6 +23,9 @@ _SIDE_EFFECTFUL = [
     "streaming_session_window",
     "streaming_event_counts",
     "streaming_user_stats",
+    "streaming_click_attribution",
+    "streaming_dedup_events",
+    "orc_roundtrip_ingest",
 ]
 
 
