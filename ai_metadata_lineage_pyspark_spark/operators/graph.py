@@ -112,3 +112,112 @@ def event_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seeds = events.filter(F.col("event_id") % 97 == 0).select(F.col("event_id").alias("seed"))
     return bfs_closure(edges, seeds, max_depth=6)
+
+
+# ---------------------------------------------------------------------------
+# pagerank_trade_network — fixed-iteration weighted PageRank over the
+# customer-nation -> supplier-nation trade graph (edge weight = lineitem
+# count between the two nations).
+#
+# Iterative fixed-point computation is the operator class Spark is usually
+# said to need GraphX/Pregel for; expressed Spark-first it is a driver loop
+# of {edge join -> contribution agg -> rank update}, with every rank
+# frontier localCheckpoint-ed (the same iteration discipline as bfs_closure
+# — no exponential lineage). Per iteration: ONE shuffle join keyed on the
+# edge source + one aggregation keyed on the destination; rank state is
+# node-cardinality, edges are aggregated once and reused every round.
+#
+# Cross-engine exactness: ranks are integer fixed-point (1e9 = initial mass
+# per node) and every step is integer multiply + floor-divide — both
+# engines compute bit-identical BIGINTs, no float summation order to drift.
+# The oracle unrolls the SAME three iterations as chained CTEs (PageRank's
+# per-iteration aggregation can't sit inside a recursive CTE term, but a
+# FIXED iteration count unrolls into plain SQL).
+# ---------------------------------------------------------------------------
+
+_PR_SCALE = 1_000_000_000
+_PR_ITERS = 3
+
+
+def _pr_iter_sql(prev: str, cur: str) -> str:
+    """One unrolled PageRank iteration as two chained CTEs."""
+    return f"""
+    inc{cur} AS (
+      SELECT e.dst AS node, SUM((r{prev}.rank * e.w) // o.w_out) AS s
+      FROM e
+      JOIN r{prev} ON r{prev}.node = e.src
+      JOIN o ON o.src = e.src
+      GROUP BY e.dst
+    ),
+    r{cur} AS (
+      SELECT n.node,
+        CAST({int(_PR_SCALE * 0.15)}
+          + (85 * COALESCE(CAST(i.s AS BIGINT), 0)) // 100 AS BIGINT) AS rank
+      FROM nodes n LEFT JOIN inc{cur} i ON i.node = n.node
+    )"""
+
+
+@register(
+    "pagerank_trade_network",
+    oracle=f"""
+    WITH eraw AS (
+      SELECT c.c_nationkey AS src, s.s_nationkey AS dst, COUNT(*) AS w
+      FROM lineitem l
+      JOIN orders   o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey  = o.o_custkey
+      JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+      GROUP BY c.c_nationkey, s.s_nationkey
+    ),
+    e AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM eraw),
+    o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM e GROUP BY src),
+    nodes AS (SELECT n_nationkey AS node FROM nation),
+    r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes),
+    {_pr_iter_sql(0, 1)},
+    {_pr_iter_sql(1, 2)},
+    {_pr_iter_sql(2, 3)}
+    SELECT n.n_nationkey AS node, n.n_name, r3.rank AS rank_fp
+    FROM r3 JOIN nation n ON n.n_nationkey = r3.node
+    """,
+)
+def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three damped PageRank iterations (d=0.85) over the nation trade
+    graph, integer fixed-point; dangling mass is dropped (simplified
+    variant), matching the unrolled-CTE oracle exactly."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .groupBy(
+            F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
+    # edge list with out-weights: built once, consumed every iteration
+    ew = edges.join(out_w, "src").localCheckpoint()
+    nation = load(spark, sf_dir, "nation")
+    nodes = nation.select(F.col("n_nationkey").alias("node"))
+    ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
+    base = int(_PR_SCALE * 0.15)
+    for _ in range(_PR_ITERS):
+        inc = (
+            ew.join(ranks, ew.src == ranks.node)
+            .select("dst", F.expr("(rank * w) div w_out").alias("c"))
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            nodes.join(inc, "node", "left")
+            .selectExpr(
+                "node",
+                f"cast({base} + (85 * coalesce(s, 0)) div 100 as bigint) AS rank",
+            )
+            .localCheckpoint()
+        )
+    return ranks.join(nation, ranks.node == nation.n_nationkey).select(
+        "node", "n_name", F.col("rank").alias("rank_fp")
+    )

@@ -67,6 +67,7 @@ def _ensure_loaded() -> None:
         merge,
         multimodal,
         profile,
+        quality,
         relational,
         rollup,
         sampling,

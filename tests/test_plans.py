@@ -178,6 +178,8 @@ def test_no_cartesian_products_anywhere(q):
         "top_parts_per_segment",
         "user_funnel",
         "incremental_event_rollup",
+        "data_quality_checks",
+        "pagerank_trade_network",
         "time_weighted_avg",
         "snapshot_diff_cdc",
         "latest_event_maxby",
