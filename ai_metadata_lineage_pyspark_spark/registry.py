@@ -60,6 +60,7 @@ def _ensure_loaded() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        behavior,
         chunking,
         curation,
         decontam,
