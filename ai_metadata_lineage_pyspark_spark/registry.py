@@ -78,6 +78,7 @@ def _ensure_loaded() -> None:
         skew,
         temporal,
         text,
+        tpch,
         windows,
     )
     from .lineage import queries as lineage_queries  # noqa: F401
