@@ -181,3 +181,172 @@ def top_supplier_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
         .select("s_suppkey", "s_name", "revenue_cpct")
     )
+
+
+_Q4_LO = "1996-01-01"
+_Q4_HI = "1996-04-01"
+_Q4_LATE_DAYS = 60
+_Q18_MIN_QTY = 140
+_Q22_SEGMENTS = ("AUTOMOBILE", "HOUSEHOLD", "MACHINERY")
+_Q22_RECENT = "2000-06-01"
+
+
+@register(
+    "late_shipment_priority",
+    oracle=f"""
+    SELECT o.o_orderpriority, COUNT(*) AS n_orders
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q4_LO} 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '{_Q4_HI} 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL {_Q4_LATE_DAYS} DAY
+      )
+    GROUP BY o.o_orderpriority
+    """,
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (correlated EXISTS): orders placed in one quarter that
+    have at least one lineitem shipped more than N days after the order
+    date, counted per priority. The fixture lacks commit/receipt dates
+    (reference script_05 has no temporal SLA either), so lateness is
+    ship-vs-order-date.
+
+    Plan: the EXISTS becomes a LEFT SEMI join orders->lineitem on the order
+    key with the lateness predicate riding the join condition — one shuffle
+    on the key, no duplicate-order inflation, semi-join stops probing a key
+    at first match. At 100 TB both sides are date-partition-prunable before
+    the shuffle."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(_Q4_LO).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(_Q4_HI).cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (li.l_orderkey == o.o_orderkey) & (
+        li.l_shipdate
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {_Q4_LATE_DAYS} DAYS")
+    )
+    return (
+        o.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@register(
+    "large_order_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey,
+        CAST(SUM(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS total_qty
+      FROM lineitem
+      GROUP BY l_orderkey
+      HAVING SUM(CAST(floor(l_quantity) AS BIGINT)) >= {_Q18_MIN_QTY}
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate, big.total_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY big.total_qty DESC, o.o_orderkey
+    LIMIT 20
+    """,
+)
+def large_order_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (HAVING + join-back): orders whose total quantity
+    crosses a threshold, joined back to orders+customer, top-20 by volume.
+    Quantities are whole numbers stored as double; floor+BIGINT keeps the
+    sum and threshold integer-exact across engines.
+
+    Plan: the aggregate runs with map-side partial combine on the natural
+    lineitem key; the HAVING filter collapses it to a tiny survivor set
+    which then BROADCASTS into orders (no second fact shuffle), and
+    customer is dimension-broadcast. Top-20 is TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.floor("l_quantity").cast("bigint")).alias("total_qty"))
+        .filter(F.col("total_qty") >= _Q18_MIN_QTY)
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_custkey", "c_name", "o_orderkey", "o_orderdate", "total_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "idle_rich_customers",
+    oracle=f"""
+    WITH cents AS (
+      SELECT c_custkey, c_mktsegment,
+        CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents
+      FROM customer
+      WHERE c_mktsegment IN {_Q22_SEGMENTS!r}
+    ), cutoff AS (
+      SELECT CAST(SUM(bal_cents) / COUNT(*) AS BIGINT) AS avg_cents
+      FROM cents WHERE bal_cents > 0
+    )
+    SELECT cents.c_mktsegment,
+      COUNT(*) AS n_customers,
+      CAST(SUM(cents.bal_cents) AS BIGINT) AS total_bal_cents
+    FROM cents, cutoff
+    WHERE cents.bal_cents > cutoff.avg_cents
+      AND NOT EXISTS (
+        SELECT 1 FROM orders o
+        WHERE o.o_custkey = cents.c_custkey
+          AND o.o_orderdate >= TIMESTAMP '{_Q22_RECENT} 00:00:00'
+      )
+    GROUP BY cents.c_mktsegment
+    """,
+)
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (scalar subquery + anti join): customers in selected
+    segments whose balance exceeds the positive-balance average and who
+    have placed no RECENT order (the fixture has no order-less customers,
+    so recency stands in for Q22's never-ordered test). Balances become
+    integer cents and the average is integer-division of exact integer
+    sums, so the cutoff is bit-identical across engines regardless of
+    summation order.
+
+    Plan: the 1-row cutoff broadcasts as a cross join (Spark plans a
+    BroadcastNestedLoopJoin over a single row — free); the no-recent-orders
+    test is a LEFT ANTI join whose probe side is date-filtered BEFORE the
+    shuffle (partition-prunable at scale); the final rollup is
+    segment-cardinality."""
+    cents = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(*_Q22_SEGMENTS))
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            F.floor(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+        )
+    )
+    cutoff = (
+        cents.filter(F.col("bal_cents") > 0)
+        .agg(
+            (F.sum("bal_cents") / F.count(F.lit(1)))
+            .cast("bigint")
+            .alias("avg_cents")
+        )
+    )
+    o_keys = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(_Q22_RECENT).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cents.join(F.broadcast(cutoff))
+        .filter(F.col("bal_cents") > F.col("avg_cents"))
+        .join(o_keys, cents.c_custkey == o_keys.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )

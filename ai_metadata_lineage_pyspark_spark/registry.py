@@ -73,6 +73,8 @@ def _ensure_loaded() -> None:
         relational,
         rollup,
         sampling,
+        search,
+        setops,
         similarity,
         sketch,
         skew,
