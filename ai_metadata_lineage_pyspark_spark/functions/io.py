@@ -1,10 +1,14 @@
 """Shared load helpers that normalize fixture quirks.
 
-The `events` parquet stores TIMESTAMP(NANOS) which Spark's vectorized parquet
-reader rejects; we read it as raw nanos (`spark.sql.legacy.parquet.nanosAsLong`)
-and derive both a micros-long and a TIMESTAMP_NTZ column. Everything is pinned
-to UTC semantics so results are independent of the host/session timezone and
-line up with the DuckDB oracle's naive timestamps.
+The `events` parquet's physical `ts` encoding has changed between fixture
+generations (TIMESTAMP(NANOS), which Spark reads as BIGINT nanos under
+`spark.sql.legacy.parquet.nanosAsLong`; later TIMESTAMP_MICROS with
+isAdjustedToUTC=0, which Spark reads natively as TIMESTAMP_NTZ). The loader
+is therefore *type-adaptive*: it inspects the arrived dtype and derives the
+same two-column contract either way — `ts_us` as epoch-microseconds BIGINT
+and `ts` as TIMESTAMP_NTZ. Everything is pinned to UTC semantics so results
+are independent of the host/session timezone and line up with the DuckDB
+oracle's naive timestamps (`epoch_us(CAST(ts AS TIMESTAMP))`).
 """
 
 from __future__ import annotations
@@ -19,19 +23,46 @@ def ensure_engine_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
-def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with `ts` as TIMESTAMP_NTZ and `ts_us` as epoch-microseconds.
+def events_ts_us(ts_dtype: str) -> F.Column:
+    """Epoch-microseconds expression for the events `ts` column, whatever
+    physical type the fixture arrived as.
 
-    `ts_us = ts_nanos div 1000` matches DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))`
-    (both floor to microseconds), so gap/session arithmetic can be done on exact
-    integers in both engines.
+    * timestamp / timestamp_ntz (fixture stores TIMESTAMP_MICROS): cast NTZ to
+      TIMESTAMP under the pinned UTC session zone (an identity re-tag, no
+      instant shift) and take `unix_micros`.
+    * bigint (fixture stores TIMESTAMP(NANOS), read via `nanosAsLong`):
+      integer-divide nanos down to micros.
+
+    Both match DuckDB's `epoch_us(CAST(ts AS TIMESTAMP))` exactly (floor to
+    microseconds), so gap/session arithmetic is exact-integer in both engines.
     """
+    if ts_dtype.startswith("timestamp"):
+        return F.unix_micros(F.col("ts").cast("timestamp"))
+    if ts_dtype == "bigint":
+        return F.expr("ts div 1000")
+    raise TypeError(f"events.ts arrived as unsupported dtype {ts_dtype!r}")
+
+
+def normalize_events_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
+    """Apply the events two-column contract: `ts_us` BIGINT epoch-micros plus
+    `ts` re-derived from it (TIMESTAMP_NTZ for batch/oracle comparison, or
+    TIMESTAMP when `ntz=False` for streaming watermarks, which reject NTZ).
+
+    Single normalization point shared by the batch loader and
+    streaming.sessions.read_events_stream so an encoding drift in the fixture
+    can only ever break (and be fixed in) one place.
+    """
+    out = df.withColumn("ts_us", events_ts_us(dict(df.dtypes)["ts"]))
+    ts = F.timestamp_micros(F.col("ts_us"))
+    if ntz:
+        ts = ts.cast("timestamp_ntz")
+    return out.withColumn("ts", ts)
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with `ts` as TIMESTAMP_NTZ and `ts_us` as epoch-microseconds."""
     ensure_engine_confs(spark)
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return (
-        df.withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz"))
-    )
+    return normalize_events_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

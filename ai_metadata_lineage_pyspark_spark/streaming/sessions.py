@@ -38,7 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..functions.io import ensure_engine_confs
+from ..functions.io import ensure_engine_confs, normalize_events_ts
 from ..registry import register
 
 _SESSION_GAP_MIN = 30
@@ -46,8 +46,8 @@ _RUN_IDS = itertools.count()
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events fixture with the same nanos
-    normalization as the batch loader (functions/io.py:load_events)."""
+    """File-source stream over the events fixture with the same type-adaptive
+    ts normalization as the batch loader (functions/io.normalize_events_ts)."""
     ensure_engine_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -57,10 +57,7 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # watermarks/session_window require TIMESTAMP (not NTZ); the session zone
     # is pinned to UTC so the arithmetic is identical — outputs are cast back
     # to TIMESTAMP_NTZ at the query boundary for cross-engine comparison.
-    return (
-        raw.withColumn("ts_us", F.expr("ts div 1000"))
-        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
-    )
+    return normalize_events_ts(raw, ntz=False)
 
 
 def run_to_memory(stream: DataFrame, output_mode: str) -> DataFrame:

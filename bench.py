@@ -85,6 +85,19 @@ def main() -> None:
         .agg(F.sum("s").alias("ss"), F.min("mn").alias("m"), F.count(F.lit(1)).alias("n"))
     )
     warm2.count()
+    # third warm pipeline: spin up the Python/Arrow worker pool once so the
+    # first timed mapInPandas query (image_meta_extract & co.) measures its
+    # plan, not daemon fork + Arrow stream setup (round-2 "regressions" were
+    # exactly this: 7.9s cold vs 0.87s warm on the same plan)
+    import pandas as pd  # noqa: PLC0415
+
+    def _warm_batches(batches):
+        for pdf in batches:
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+    load(spark, sf_dir, "documents").limit(256).mapInPandas(
+        _warm_batches, schema="n long"
+    ).count()
 
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     timings: dict[str, float] = {}
