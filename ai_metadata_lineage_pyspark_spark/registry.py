@@ -81,6 +81,7 @@ def _ensure_loaded() -> None:
         temporal,
         text,
         tpch,
+        tpch_suite,
         windows,
     )
     from .lineage import queries as lineage_queries  # noqa: F401

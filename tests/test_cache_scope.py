@@ -31,7 +31,10 @@ def test_no_cached_rdds_after_release(spark, sf_dir):
         # so concurrent accumulation is bounded by one query's intermediates
         assert _n_cached(spark) <= baseline + 2
     release_persisted()
-    assert _n_cached(spark) == baseline
+    # <= not ==: the async ContextCleaner may concurrently drop out-of-scope
+    # localCheckpoint blocks from earlier tests, legitimately lowering the
+    # count below the baseline; a leak can only push it ABOVE
+    assert _n_cached(spark) <= baseline
 
 
 def test_release_is_idempotent(spark):
