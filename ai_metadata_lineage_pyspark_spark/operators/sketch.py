@@ -77,3 +77,93 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise((_K - 1) / F.max(F.when(F.col("rn") == _K, F.col("h"))))
         .alias("kmv_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters — deterministic count-min sketch over document tokens.
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4  # hash rows
+_CMS_W = 256  # buckets per row
+
+_CMS_TOKS_SQL = "regexp_split_to_array(lower(text), '\\s+')"
+
+_BUCKET_SPARK = (
+    "pmod(cast(conv(substr(md5(concat(cast(j as string), '|', token)), 1, 8),"
+    " 16, 10) as bigint), {w})"
+)
+_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(j AS VARCHAR) || '|' || token), 1, 8))::BIGINT"
+    " % {w})"
+)
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest({_CMS_TOKS_SQL}) AS token FROM documents
+    ),
+    cells AS (
+      SELECT j, {_BUCKET_SQL.format(w=_CMS_W)} AS bucket,
+        COUNT(*) AS cell_cnt
+      FROM toks, generate_series(0, {_CMS_D - 1}) AS t(j)
+      GROUP BY t.j, bucket
+    ),
+    exact AS (
+      SELECT token, COUNT(*) AS exact_cnt
+      FROM toks GROUP BY token
+      ORDER BY exact_cnt DESC, token LIMIT 20
+    ),
+    probes AS (
+      SELECT e.token, e.exact_cnt, c.cell_cnt
+      FROM exact e
+      CROSS JOIN generate_series(0, {_CMS_D - 1}) AS t(j)
+      JOIN cells c ON c.j = t.j
+        AND c.bucket = {_BUCKET_SQL.format(w=_CMS_W).replace('token', 'e.token').replace('CAST(j ', 'CAST(t.j ')}
+    )
+    SELECT token, exact_cnt,
+      CAST(MIN(cell_cnt) AS BIGINT) AS cms_estimate,
+      CAST(MIN(cell_cnt) - exact_cnt AS BIGINT) AS overestimate
+    FROM probes
+    GROUP BY token, exact_cnt
+    """,
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d={_CMS_D} rows x w={_CMS_W} buckets) over document
+    tokens, probed at the exact top-20 terms to expose the overestimate.
+
+    Like kmv_distinct_sketch, the sketch is deterministic (md5-derived
+    bucket hashes) so both engines build the bit-identical table —
+    auditable sketches, unlike engine-internal HLL/CMS state. Scale shape:
+    the sketch build is a groupBy over (row, bucket) with map-side combine
+    — every partition reduces to at most d*w={_CMS_D * _CMS_W} cells before
+    the shuffle, so the exchange is O(partitions * d * w) regardless of
+    corpus size, and sketches merge by cell-wise addition (the mergeability
+    that makes CMS the right tool for distributed heavy-hitter counting).
+    The probe side is 20 rows; the cells table broadcasts."""
+    docs = load(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token")
+    )
+    js = F.array(*[F.lit(j) for j in range(_CMS_D)])
+    cells = (
+        toks.select("token", F.explode(js).alias("j"))
+        .groupBy("j", F.expr(_BUCKET_SPARK.format(w=_CMS_W)).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), "token")
+        .limit(20)
+    )
+    probes = exact.select(
+        "token", "exact_cnt", F.explode(js).alias("j")
+    ).withColumn("bucket", F.expr(_BUCKET_SPARK.format(w=_CMS_W)))
+    return (
+        probes.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cms_estimate"))
+        .withColumn("overestimate", F.col("cms_estimate") - F.col("exact_cnt"))
+    )

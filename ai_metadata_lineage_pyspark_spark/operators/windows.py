@@ -552,3 +552,75 @@ def latest_event_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("max_by(value_c, ord)").alias("latest_value_c"),
         F.max("ts_us").alias("latest_ts_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# order_percentile_window — the remaining analytic-window functions
+# (cume_dist / first_value / nth_value / full-frame last_value) in one query.
+# ---------------------------------------------------------------------------
+
+_OPW_MONTH = ("1997-03-01", "1997-04-01")
+
+
+@register(
+    "order_percentile_window",
+    oracle=f"""
+    WITH o AS (
+      SELECT o_orderkey, o_orderstatus,
+        CAST(floor(o_totalprice * 100) AS BIGINT) AS price_c
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '{_OPW_MONTH[0]} 00:00:00'
+        AND o_orderdate <  TIMESTAMP '{_OPW_MONTH[1]} 00:00:00'
+    )
+    SELECT o_orderkey, o_orderstatus, price_c,
+      cume_dist() OVER w AS cume_pct,
+      first_value(price_c) OVER w AS min_price_c,
+      nth_value(price_c, 2) OVER
+        (PARTITION BY o_orderstatus ORDER BY price_c, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price_c,
+      last_value(price_c) OVER
+        (PARTITION BY o_orderstatus ORDER BY price_c, o_orderkey
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        AS max_price_c
+    FROM o
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY price_c, o_orderkey)
+    """,
+)
+def order_percentile_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic-window coverage: cume_dist, first_value, frame-respecting
+    nth_value, and full-frame last_value over one month's orders per
+    status.
+
+    Determinism: the window orders by (price_c, o_orderkey) — a total order
+    — so frame-dependent functions (first/nth/last) are well-defined;
+    cume_dist is a count ratio (int/int division). The explicit ROWS frames
+    pin the one place engines default differently (last_value's default
+    RANGE frame ends at CURRENT ROW, making it trivially the row's own
+    value — the full frame is stated on both sides). Scale: one keyed
+    window sort over a month partition — at 100 TB the month filter is a
+    partition-pruned scan and the sort is per-status-key parallel."""
+    month_lo, month_hi = _OPW_MONTH
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(month_lo).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(month_hi).cast("timestamp"))
+        )
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)").alias("price_c"),
+        )
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy("price_c", "o_orderkey")
+    w_cur = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "price_c",
+        F.cume_dist().over(w).alias("cume_pct"),
+        F.first("price_c").over(w_cur).alias("min_price_c"),
+        F.nth_value("price_c", 2).over(w_cur).alias("second_price_c"),
+        F.last("price_c").over(w_full).alias("max_price_c"),
+    )

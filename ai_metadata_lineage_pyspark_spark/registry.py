@@ -66,6 +66,7 @@ def _ensure_loaded() -> None:
         decontam,
         dedup,
         graph,
+        hygiene,
         merge,
         multimodal,
         profile,

@@ -46,7 +46,8 @@ def test_oracle_references_only_known_tables():
         sql = re.sub(r"'[^']*'", "''", q.oracle)
         ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?\s+AS\s*\(", sql, re.I))
         refs = set(re.findall(r"(?:FROM|JOIN)\s+(\w+)", sql, re.I))
-        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet"}
+        # table functions are valid FROM/JOIN targets, not tables
+        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet", "generate_series"}
         # inline VALUES produce derived tables aliased AS t(...): FROM (VALUES...)
         assert not unknown, f"{name}: unknown tables {unknown}"
 
