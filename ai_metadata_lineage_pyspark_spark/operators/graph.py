@@ -221,3 +221,66 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(nation, ranks.node == nation.n_nationkey).select(
         "node", "n_name", F.col("rank").alias("rank_fp")
     )
+
+
+# ---------------------------------------------------------------------------
+# event_chain_leads — the same closure as event_chain_closure, exploiting the
+# path-graph structure: zero joins, zero iterations.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_chain_leads",
+    bench=True,
+    oracle="""
+    WITH RECURSIVE edges AS (
+      SELECT event_id AS src,
+             LEAD(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS dst
+      FROM events
+    ),
+    e AS (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
+    seeds AS (SELECT event_id AS seed FROM events WHERE event_id % 97 = 0),
+    closure AS (
+      SELECT s.seed, s.seed AS node, 0 AS depth FROM seeds s
+      UNION ALL
+      SELECT c.seed, e.dst AS node, c.depth + 1 AS depth
+      FROM closure c JOIN e ON c.node = e.src
+      WHERE c.depth < 6
+    )
+    SELECT seed, node, depth FROM closure WHERE depth > 0
+    """,
+)
+def event_chain_leads(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The event_chain_closure result via structure-aware plan rewrite: the
+    per-user successive-event chain is a PATH graph (every node has exactly
+    one successor), so the depth-k successor of a seed is simply
+    lead(event_id, k) in the same keyed window — the whole 6-hop closure
+    becomes ONE window pass + posexplode, with no joins, no driver loop, no
+    checkpoints.
+
+    This is the generic-vs-specialized pair with event_chain_closure (kept
+    registered and benched as the general BFS): same oracle, same rows, but
+    6 iterative shuffle-join rounds collapse into one per-user window sort.
+    At 100 TB the BFS costs ~3 shuffles x depth; this costs exactly one
+    shuffle (the window partitioning) regardless of depth. Measure both in
+    BENCH to quantify the rewrite's payoff."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    depth = 6
+    leads = events.select(
+        "event_id",
+        F.array(
+            *[F.lead("event_id", k).over(w) for k in range(1, depth + 1)]
+        ).alias("succ"),
+    )
+    return (
+        leads.filter(F.col("event_id") % 97 == 0)
+        .select(
+            F.col("event_id").alias("seed"),
+            F.posexplode("succ").alias("pos", "node"),
+        )
+        .filter(F.col("node").isNotNull())
+        .select("seed", "node", (F.col("pos") + 1).alias("depth"))
+    )
