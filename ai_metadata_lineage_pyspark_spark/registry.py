@@ -89,5 +89,6 @@ def _ensure_loaded() -> None:
     from .sources import sinks  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
     from .streaming import sessions  # noqa: F401
+    from .streaming import upsert as streaming_upsert  # noqa: F401
 
     _LOADED = True
