@@ -87,6 +87,7 @@ def _ensure_loaded() -> None:
         windows,
     )
     from .lineage import queries as lineage_queries  # noqa: F401
+    from .sources import pydatasource  # noqa: F401
     from .sources import sinks  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
     from .streaming import sessions  # noqa: F401

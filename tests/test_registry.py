@@ -47,7 +47,7 @@ def test_oracle_references_only_known_tables():
         ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?\s+AS\s*\(", sql, re.I))
         refs = set(re.findall(r"(?:FROM|JOIN)\s+(\w+)", sql, re.I))
         # table functions are valid FROM/JOIN targets, not tables
-        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet", "generate_series"}
+        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet", "generate_series", "read_text"}
         # inline VALUES produce derived tables aliased AS t(...): FROM (VALUES...)
         assert not unknown, f"{name}: unknown tables {unknown}"
 
@@ -55,3 +55,23 @@ def test_oracle_references_only_known_tables():
 def test_bench_queries_are_registered():
     bench = [n for n, q in all_queries().items() if q.bench]
     assert len(bench) >= 3
+
+
+def test_pyscripts_datasource_matches_text_source(spark):
+    """The custom DataSource route and the built-in wholetext route must
+    read the identical script corpus."""
+    from ai_metadata_lineage_pyspark_spark.lineage.queries import FIXTURE_DIR
+    from ai_metadata_lineage_pyspark_spark.sources.pydatasource import (
+        read_scripts_datasource,
+    )
+    from ai_metadata_lineage_pyspark_spark.sources.scripts import read_scripts_dir
+
+    via_ds = {
+        (r["script_name"], r["source"])
+        for r in read_scripts_datasource(spark, FIXTURE_DIR).collect()
+    }
+    via_text = {
+        (r["script_name"], r["source"])
+        for r in read_scripts_dir(spark, FIXTURE_DIR).collect()
+    }
+    assert via_ds == via_text and len(via_ds) > 0
