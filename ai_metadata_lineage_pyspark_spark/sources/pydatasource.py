@@ -24,6 +24,7 @@ import os
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from ..registry import register
@@ -205,3 +206,117 @@ def lineage_json_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.json(os.path.join(out, "*.json")).select(
         "script_name", "df_name", "target_col", "src_df", "src_col"
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming half: a custom DataSourceStreamReader replaying the events
+# parquet in bounded micro-batches with real offset management.
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.datasource import DataSourceStreamReader
+
+
+class _RangePartition(InputPartition):
+    def __init__(self, path: str, start: int, end: int):
+        self.path, self.start, self.end = path, start, end
+
+
+class EventsReplayStreamReader(DataSourceStreamReader):
+    """Offset space = row index into the parquet file. The engine drives
+    each micro-batch with the (lastCommitted, latestOffset()) range; under
+    availableNow the whole file is one batch, and a live queue-backed
+    source would instead advance latestOffset incrementally per trigger.
+    Each batch range splits into `sliceParts` partitions read
+    executor-side via pyarrow row-slicing. commit() is the ack hook (no-op
+    for a static file; a queue source would trim acked rows)."""
+
+    def __init__(self, options: dict):
+        self.path = options["path"]
+        self.slice_parts = int(options.get("sliceParts", "4"))
+        import pyarrow.parquet as pq
+
+        self.total = pq.ParquetFile(self.path).metadata.num_rows
+
+    def initialOffset(self) -> dict:
+        return {"idx": 0}
+
+    def latestOffset(self) -> dict:
+        # a live source would poll upstream here
+        return {"idx": self.total}
+
+    def partitions(self, start: dict, end: dict):
+        s, e = start["idx"], min(end["idx"], self.total)
+        if e <= s:
+            return []
+        step = max(1, (e - s + self.slice_parts - 1) // self.slice_parts)
+        return [
+            _RangePartition(self.path, a, min(a + step, e)) for a in range(s, e, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(partition.path, columns=["event_id", "user_id", "event_type", "ts"])
+        sl = t.slice(partition.start, partition.end - partition.start)
+        # type-adaptive ts -> epoch micros (same contract as functions/io.py):
+        # timestamp[us/ns] casts through int64; already-integer stays as-is
+        ts = sl.column("ts")
+        if pa.types.is_timestamp(ts.type):
+            ts_us = ts.cast(pa.timestamp("us")).cast(pa.int64())
+        else:
+            ts_us = pa.compute.divide(ts.cast(pa.int64()), 1000)
+        for eid, uid, etype, us in zip(
+            sl.column("event_id").to_pylist(),
+            sl.column("user_id").to_pylist(),
+            sl.column("event_type").to_pylist(),
+            ts_us.to_pylist(),
+        ):
+            yield (eid, uid, etype, us)
+
+    def commit(self, end: dict) -> None:
+        pass
+
+
+class EventsReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "events_replay"
+
+    def schema(self) -> str:
+        return "event_id long, user_id long, event_type string, ts_us long"
+
+    def streamReader(self, schema) -> EventsReplayStreamReader:
+        return EventsReplayStreamReader(self.options)
+
+
+@register(
+    "streaming_replay_counts",
+    oracle="""
+    SELECT event_type, COUNT(*) AS events,
+      CAST(SUM(user_id) AS BIGINT) AS sum_user_ids
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def streaming_replay_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event counts read through the custom streaming source in
+    complete output mode: whatever micro-batch boundaries the offset
+    manager chooses, the final aggregate state must equal the batch answer
+    (the oracle). Exercises initialOffset/latestOffset/partitions/read —
+    the full Python streaming-source protocol."""
+    from ..streaming.sessions import run_to_memory
+
+    spark.dataSource.register(EventsReplayDataSource)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    # streaming aggs forbid exact COUNT(DISTINCT); SUM is decomposable
+    # across micro-batches and still proves every row arrived exactly once
+    counts = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum("user_id").alias("sum_user_ids"),
+    )
+    return run_to_memory(counts, "complete")
