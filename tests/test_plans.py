@@ -247,3 +247,55 @@ def test_codegen_covers_scalar_surface(q):
     # whole-stage codegen, not interpreted projections
     assert I.wholestage_codegen_count(q("bronze_orders_cleanup")) >= 1
     assert I.wholestage_codegen_count(q("pricing_summary")) >= 1
+
+
+def test_tpch_suite_dims_broadcast(q):
+    # the new suite's fact-side joins must broadcast every dimension: the
+    # only exchanges left are the fact shuffle(s) and the aggregation
+    for name, min_bhj in [
+        ("product_type_profit", 3),  # part, supplier⋈nation, (orders may SMJ)
+        ("nation_trade_volume", 2),  # supplier-nation, customer-nation
+        ("returned_item_report", 2),  # customer, nation
+        ("brand_bracket_revenue", 1),  # bracket-filtered part
+        ("promo_revenue_share", 1),  # part
+    ]:
+        df = q(name)
+        assert I.broadcast_join_count(df) >= min_bhj, name
+        assert "CartesianProduct" not in I.physical_plan(df), name
+
+
+def test_q17_threshold_is_preagg_not_window(q):
+    # the per-part avg-quantity threshold must come from a partial-combined
+    # groupBy broadcast back into the fact scan — never a window sort over
+    # the whole lineitem table
+    df = q("small_quantity_avg_revenue")
+    plan = I.physical_plan(df)
+    assert "Window" not in plan
+    assert I.broadcast_join_count(df) >= 2  # brand parts + per-part stats
+    assert I.partial_aggregate_count(df) >= 1
+
+
+def test_q13_preaggregates_before_outer_join(q):
+    # orders must reduce to (custkey, count) BEFORE joining customer — the
+    # join inputs are both customer-cardinality, never orders-cardinality
+    df = q("customer_order_distribution")
+    assert I.partial_aggregate_count(df) >= 2  # per-cust count + histogram
+
+
+def test_event_chain_leads_is_single_window_pass(q):
+    # the structure-aware rewrite must stay join-free: one window, no
+    # iterative shuffle-join rounds
+    plan = I.physical_plan(q("event_chain_leads"))
+    assert "Window" in plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert op not in plan
+
+
+def test_hygiene_ops_are_shuffle_free(q):
+    # per-row expression pipelines: no exchange anywhere in the plan
+    for name in ("quality_classifier_score", "intradoc_window_dedup", "pii_redact"):
+        plan = I.physical_plan(q(name))
+        n_exchanges = plan.count("Exchange")
+        # fan_out may add ONE round-robin repartition on the tiny fixture;
+        # nothing else may shuffle
+        assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
