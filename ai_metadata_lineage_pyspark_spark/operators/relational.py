@@ -309,3 +309,89 @@ def parts_ordered_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return part.join(
         lineitem, F.col("p_partkey") == F.col("l_partkey"), "left_semi"
     ).select("p_partkey", "p_brand", "p_size")
+
+
+# ---------------------------------------------------------------------------
+# orders_unpivot_metrics — wide -> long reshaping via the unpivot/melt API.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "orders_unpivot_metrics",
+    oracle="""
+    WITH wide AS (
+      SELECT o_orderstatus,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+          AS total_price_c,
+        CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers
+      FROM orders
+      GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, metric, value
+    FROM wide
+    UNPIVOT (value FOR metric IN (n_orders, total_price_c, n_customers))
+    """,
+)
+def orders_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshaping with DataFrame.unpivot (a.k.a. melt): one
+    aggregated row per status becomes one row per (status, metric). The
+    inverse of event_type_pivot, completing the reshape pair. Unpivot is a
+    per-row expand (no shuffle beyond the feeding aggregate); the metric
+    list is pinned, so the schema is static — no discovery scan."""
+    wide = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).alias(
+                "total_price_c"
+            ),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+    return wide.unpivot(
+        ids=["o_orderstatus"],
+        values=["n_orders", "total_price_c", "n_customers"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# join_strategy_hints — explicit join-strategy control via hints.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_strategy_hints",
+    oracle="""
+    SELECT n.n_name AS nation, COUNT(*) AS n_suppliers,
+      CAST(SUM(CAST(floor(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+        AS acctbal_c
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY nation
+    """,
+)
+def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy hint API: the same supplier⋈nation rollup with an
+    explicit SHUFFLE_HASH hint overriding the planner's broadcast choice.
+
+    Hints are how a pipeline pins a strategy when statistics mislead the
+    optimizer (e.g. a "small" side that explodes after a filter is removed,
+    or a broadcast that would OOM executors at 100 TB). Results must be
+    strategy-invariant — the oracle is the plain join. A plan assertion in
+    tests/test_plans.py verifies the hint actually took effect."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").hint("shuffle_hash")
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            F.sum(F.expr("CAST(floor(s_acctbal * 100) AS BIGINT)")).alias(
+                "acctbal_c"
+            ),
+        )
+    )

@@ -299,3 +299,11 @@ def test_hygiene_ops_are_shuffle_free(q):
         # fan_out may add ONE round-robin repartition on the tiny fixture;
         # nothing else may shuffle
         assert n_exchanges <= 1, f"{name}: {n_exchanges} exchanges"
+
+
+def test_join_hint_takes_effect(q):
+    # without the hint the planner would broadcast the 25-row nation table;
+    # the SHUFFLE_HASH hint must override it
+    plan = I.physical_plan(q("join_strategy_hints"))
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
