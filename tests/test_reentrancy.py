@@ -26,6 +26,10 @@ _SIDE_EFFECTFUL = [
     "streaming_click_attribution",
     "streaming_dedup_events",
     "orc_roundtrip_ingest",
+    "streaming_replay_counts",
+    "streaming_foreach_upsert",
+    "lineage_json_sink_roundtrip",
+    "script_source_datasource",
 ]
 
 
