@@ -395,3 +395,59 @@ def join_strategy_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# safe_expression_audit — error-safe expression family (try_divide/try_cast).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "safe_expression_audit",
+    oracle="""
+    WITH checked AS (
+      SELECT o_orderkey,
+        CASE WHEN o_custkey % 7 = 0 THEN NULL
+             ELSE CAST(floor(o_totalprice * 100) AS BIGINT) / (o_custkey % 7)
+        END AS per_bucket_price,
+        TRY_CAST(o_orderpriority AS INTEGER) AS bad_cast
+      FROM orders
+    )
+    SELECT
+      COUNT(*) AS n_rows,
+      CAST(SUM(CASE WHEN per_bucket_price IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_div_null,
+      CAST(SUM(CASE WHEN bad_cast IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        AS n_cast_null,
+      CAST(SUM(CAST(floor(per_bucket_price) AS BIGINT)) AS BIGINT)
+        AS sum_floor_price
+    FROM checked
+    """,
+)
+def safe_expression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe expression family: try_divide yields NULL on a zero
+    divisor and try_cast on a malformed value, instead of failing the job —
+    the ANSI-mode-safe way to keep a 100 TB pipeline running through dirty
+    rows while COUNTing exactly what was nulled for the audit trail.
+
+    Cross-engine note: the oracle expresses try_divide as a CASE guard
+    (DuckDB's x/0 semantics differ) — the observable contract (NULL on bad
+    input) is identical. The division result is floored to an exact BIGINT
+    before summing so the audit total hash-matches."""
+    o = load(spark, sf_dir, "orders")
+    checked = o.select(
+        "o_orderkey",
+        F.try_divide(
+            F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
+            F.col("o_custkey") % 7,
+        ).alias("per_bucket_price"),
+        F.try_to_number(F.col("o_orderpriority"), F.lit("99999")).alias("bad_cast"),
+    )
+    return checked.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("per_bucket_price").isNull().cast("long")).alias("n_div_null"),
+        F.sum(F.col("bad_cast").isNull().cast("long")).alias("n_cast_null"),
+        F.sum(F.expr("CAST(floor(per_bucket_price) AS BIGINT)")).alias(
+            "sum_floor_price"
+        ),
+    )
