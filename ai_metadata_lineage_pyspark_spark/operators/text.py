@@ -359,3 +359,50 @@ def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# arrow_token_stats — mapInArrow: the zero-conversion Arrow-native variant.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "arrow_token_stats",
+    oracle="""
+    SELECT doc_id,
+      len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+      CAST(length(text) AS BIGINT) AS n_chars_exact
+    FROM documents
+    """,
+)
+def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc token and character counts via mapInArrow — the
+    lowest-overhead Python interop class: batches arrive as pyarrow
+    RecordBatches and the computation runs entirely in Arrow compute
+    kernels (C++), never materializing pandas objects or Python rows. Vs
+    mapInPandas it skips the Arrow->pandas->Arrow conversion both ways; the
+    pattern to reach for when the vectorized kernel you need lives in a
+    Python library (tokenizers, feature extractors) rather than in Spark.
+
+    The token split also exists as a JVM expression (_TOKENS above) — this
+    query pins the mapInArrow plumbing against the same oracle semantics."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            text = batch.column("text")
+            toks = pc.split_pattern_regex(pc.utf8_lower(text), r"\s+")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("doc_id"),
+                    pc.list_value_length(toks).cast(pa.int64()),
+                    pc.utf8_length(text).cast(pa.int64()),
+                ],
+                names=["doc_id", "n_tokens", "n_chars_exact"],
+            )
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        stats, schema="doc_id long, n_tokens long, n_chars_exact long"
+    )
