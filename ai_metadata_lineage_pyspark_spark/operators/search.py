@@ -140,3 +140,110 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _TOP_TERMS)
         .select("doc_id", "token", "tf", "df", "score_fp", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# bigram_pmi_topk — collocation extraction, integer-exact PMI ranking.
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 5
+_PMI_TOP = 20
+
+
+@register(
+    "bigram_pmi_topk",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    uni AS (
+      SELECT token, COUNT(*) AS n_tok
+      FROM (SELECT unnest(t) AS token FROM toks)
+      GROUP BY token
+    ),
+    bi AS (
+      SELECT bigram, w1, w2, COUNT(*) AS n_bi
+      FROM (
+        SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS bigram,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i])) AS w1,
+               unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i + 1])) AS w2
+        FROM toks
+      )
+      GROUP BY bigram, w1, w2
+    ),
+    total AS (SELECT CAST(SUM(n_bi) AS BIGINT) AS t_bi FROM bi),
+    scored AS (
+      SELECT b.bigram, b.n_bi,
+        CAST(b.n_bi * t.t_bi * 1000000 // (u1.n_tok * u2.n_tok) AS BIGINT)
+          AS pmi_ratio_ppm
+      FROM bi b
+      JOIN uni u1 ON b.w1 = u1.token
+      JOIN uni u2 ON b.w2 = u2.token
+      CROSS JOIN total t
+      WHERE b.n_bi >= {_PMI_MIN_COUNT}
+    )
+    SELECT bigram, n_bi, pmi_ratio_ppm
+    FROM scored
+    ORDER BY pmi_ratio_ppm DESC, bigram
+    LIMIT {_PMI_TOP}
+    """,
+)
+def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-{_PMI_TOP} adjacent-token bigrams by
+    pointwise mutual information — the corpus-analysis pass behind
+    tokenizer-vocabulary and phrase-mining decisions.
+
+    PMI is ranked by its exact monotone surrogate
+    `n_xy * T * 1e6 // (n_x * n_y)` (T = total bigrams): the log is
+    monotone in that rational, and keeping it integer sidesteps cross-
+    engine libm ULP drift in ln(). Plan: bigrams are ADJACENT pairs only
+    (row-local array work, corpus-linear — never the quadratic all-pairs
+    co-occurrence), unigram counts broadcast back into the bigram table,
+    total via 1-row broadcast; one explode-shuffle each for the two count
+    aggregates."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.expr("split(lower(text), '\\\\s+')").alias("t")
+    )
+    uni = (
+        toks.select(F.explode("t").alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_tok"))
+    )
+    bi = (
+        toks.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> struct(concat(t[i-1], ' ', t[i]) AS bigram,"
+                    " t[i-1] AS w1, t[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.bigram", "p.w1", "p.w2")
+        .groupBy("bigram", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_bi"))
+        .filter(F.col("n_bi") >= _PMI_MIN_COUNT)
+    )
+    total = (
+        toks.select((F.size("t") - 1).alias("n"))
+        .filter(F.col("n") > 0)
+        .agg(F.sum("n").alias("t_bi"))
+    )
+    u1 = uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n1"))
+    u2 = uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n2"))
+    return (
+        bi.join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "pmi_ratio_ppm",
+            F.expr("CAST(n_bi * t_bi * 1000000 div (n1 * n2) AS BIGINT)"),
+        )
+        .select("bigram", "n_bi", "pmi_ratio_ppm")
+        .orderBy(F.col("pmi_ratio_ppm").desc(), "bigram")
+        .limit(_PMI_TOP)
+    )
