@@ -441,7 +441,11 @@ def safe_expression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(floor(o_totalprice * 100) AS BIGINT)"),
             F.col("o_custkey") % 7,
         ).alias("per_bucket_price"),
-        F.try_to_number(F.col("o_orderpriority"), F.lit("99999")).alias("bad_cast"),
+        # try_cast, not try_to_number('99999'): the format-based parse only
+        # agrees with the oracle's TRY_CAST on values that fail BOTH parses
+        # (e.g. ' 123 ' or '+5' diverge) — model the same conversion as the
+        # oracle so the audit holds off-fixture too
+        F.expr("try_cast(o_orderpriority AS INT)").alias("bad_cast"),
     )
     return checked.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -178,7 +178,8 @@ _PMI_TOP = 20
     total AS (SELECT CAST(SUM(n_bi) AS BIGINT) AS t_bi FROM bi),
     scored AS (
       SELECT b.bigram, b.n_bi,
-        CAST(b.n_bi * t.t_bi * 1000000 // (u1.n_tok * u2.n_tok) AS BIGINT)
+        CAST(CAST(b.n_bi AS HUGEINT) * t.t_bi * 1000000
+             // (CAST(u1.n_tok AS HUGEINT) * u2.n_tok) AS BIGINT)
           AS pmi_ratio_ppm
       FROM bi b
       JOIN uni u1 ON b.w1 = u1.token
@@ -240,8 +241,17 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(u2), "w2")
         .crossJoin(F.broadcast(total))
         .withColumn(
+            # widened intermediates: n_bi * t_bi * 1e6 overflows BIGINT once
+            # t_bi passes ~1e9 with any stop-bigram, so the product runs in
+            # DECIMAL(38,0) (Spark) / HUGEINT (oracle) — exact up to 1e38,
+            # i.e. t_bi ≤ ~1e15 tokens, far past the 100 TB corpus bound;
+            # only the final ppm ratio narrows back to BIGINT
             "pmi_ratio_ppm",
-            F.expr("CAST(n_bi * t_bi * 1000000 div (n1 * n2) AS BIGINT)"),
+            F.expr(
+                "CAST((CAST(n_bi AS DECIMAL(38,0)) * CAST(t_bi AS DECIMAL(38,0))"
+                " * 1000000) div (CAST(n1 AS DECIMAL(38,0)) * CAST(n2 AS"
+                " DECIMAL(38,0))) AS BIGINT)"
+            ),
         )
         .select("bigram", "n_bi", "pmi_ratio_ppm")
         .orderBy(F.col("pmi_ratio_ppm").desc(), "bigram")

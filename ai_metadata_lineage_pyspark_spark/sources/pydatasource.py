@@ -113,48 +113,73 @@ _SCRATCH = os.path.join(
 @dataclass
 class _WroteFiles(WriterCommitMessage):
     n_rows: int
+    # (final_name, temp_path) pairs: tasks stage to attempt-unique temp
+    # files; only the driver-side commit renames winners into place
     files: tuple
 
 
 class LineageJsonWriter(DataSourceWriter):
-    """Task-side: each partition writes one JSONL file per script_name it
+    """Task-side: each partition stages one JSONL file per script_name it
     holds (the caller repartitions by script_name, so a script's rows are
-    co-located and each file is written exactly once). Commit is the
-    all-tasks-succeeded barrier: only then is _SUCCESS stamped, so readers
-    gate on it exactly like Hadoop committers."""
+    co-located) under an attempt-unique temp name — two speculative /
+    retried attempts of the same partition can never clobber each other's
+    bytes. Commit is the all-tasks-succeeded barrier: the driver renames
+    exactly one winning attempt per file into place, then stamps _SUCCESS,
+    so readers gate on it exactly like Hadoop committers (v1 protocol:
+    task attempt dir -> job commit rename)."""
 
     def __init__(self, options: dict):
         self.path = options["path"]
 
     def write(self, rows):
+        attempt = uuid.uuid4().hex[:12]
         handles: dict = {}
+        temps: dict = {}
         n = 0
         for row in rows:
             d = row.asDict()
             script = d["script_name"]
             if script not in handles:
-                handles[script] = open(
-                    os.path.join(self.path, f"{script}.json"), "w", encoding="utf-8"
-                )
+                tmp = os.path.join(self.path, f"._tmp.{script}.json.{attempt}")
+                temps[script] = tmp
+                handles[script] = open(tmp, "w", encoding="utf-8")
             handles[script].write(json.dumps(d, sort_keys=True) + "\n")
             n += 1
         for h in handles.values():
             h.close()
-        return _WroteFiles(n_rows=n, files=tuple(sorted(handles)))
+        return _WroteFiles(
+            n_rows=n,
+            files=tuple((f"{s}.json", temps[s]) for s in sorted(temps)),
+        )
 
     def commit(self, messages):
+        committed = []
+        for m in messages:
+            for final_name, tmp in m.files:
+                # one winner per final file; duplicate-attempt temps of an
+                # already-committed file are dropped below
+                if final_name not in committed and os.path.exists(tmp):
+                    os.replace(tmp, os.path.join(self.path, final_name))
+                    committed.append(final_name)
+                elif os.path.exists(tmp):
+                    os.remove(tmp)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(
                 json.dumps(
                     {
                         "rows": sum(m.n_rows for m in messages),
-                        "files": sorted(f for m in messages for f in m.files),
+                        "files": sorted(committed),
                     }
                 )
             )
 
     def abort(self, messages):
-        pass  # partial per-script files are overwritten by the next attempt
+        # drop every staged temp from attempts that did report in; stray
+        # temps from dead attempts are ignored by readers (dot-prefixed)
+        for m in messages:
+            for _final, tmp in m.files:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
 
 
 class LineageJsonDataSource(DataSource):
@@ -257,8 +282,25 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        t = pq.read_table(partition.path, columns=["event_id", "user_id", "event_type", "ts"])
-        sl = t.slice(partition.start, partition.end - partition.start)
+        # Row-range pushdown: only deserialize the row groups overlapping
+        # [start, end) instead of materializing the whole file in every
+        # partition — read amplification stays O(range), not O(file) ×
+        # sliceParts. Row-group stats give each group's row offset for free.
+        pf = pq.ParquetFile(partition.path)
+        cols = ["event_id", "user_id", "event_type", "ts"]
+        groups, first_row = [], None
+        offset = 0
+        for g in range(pf.metadata.num_row_groups):
+            n = pf.metadata.row_group(g).num_rows
+            if offset < partition.end and offset + n > partition.start:
+                if first_row is None:
+                    first_row = offset
+                groups.append(g)
+            offset += n
+        if not groups:
+            return
+        t = pf.read_row_groups(groups, columns=cols)
+        sl = t.slice(partition.start - first_row, partition.end - partition.start)
         # type-adaptive ts -> epoch micros (same contract as functions/io.py):
         # timestamp[us/ns] casts through int64; already-integer stays as-is
         ts = sl.column("ts")
