@@ -1,0 +1,323 @@
+"""Differential fuzzing of the expression/aggregation/window surface
+against DuckDB (VERDICT r03 next-step #1).
+
+The 136 registry oracles all run against one synthetic fixture family, so a
+wrong-answer bug off the fixture's data distribution (nulls, empty groups,
+unicode, negative epochs, extreme doubles) would not be caught. This module
+closes that hole: seeded random tables with adversarial value pools +
+seeded random query compositions drawn from a dialect-portable grammar, run
+on BOTH engines, compared as order-insensitive canonical multisets — the
+exact comparison the driver's oracle gate uses (canon is imported from
+tools/check_oracle.py, not re-implemented).
+
+Grammar rules that keep the comparison apples-to-apples (each one is a
+real cross-engine divergence that would otherwise false-positive):
+- every ORDER BY inside a window spells NULLS FIRST/LAST explicitly
+  (Spark ASC defaults NULLS FIRST, DuckDB defaults NULLS LAST);
+- window frames are ROWS, never RANGE ties;
+- SUM(int) is CAST to BIGINT (DuckDB widens to HUGEINT);
+- division always guards the denominator with NULLIF (ANSI Spark errors,
+  DuckDB's behavior differs — NULL is the portable contract);
+- float aggregation never happens (summation order); doubles appear only
+  in deterministic per-row IEEE chains, which are bit-identical;
+- string concat uses || (both NULL-propagate; DuckDB's concat() skips
+  NULLs, Spark's doesn't);
+- timestamp literals are avoided (Spark parses them as LTZ vs the NTZ
+  column type); time predicates go through EXTRACT instead.
+
+120 seeded cases, 8 table pairs, one shared SparkSession — designed to run
+in well under a CI minute. Any divergence found gets a pinned regression
+seed at the bottom.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import random
+from collections import Counter
+
+import duckdb
+import pyarrow as pa
+import pytest
+
+from tools.check_oracle import canon
+
+N_TABLES = 8
+N_CASES = 120
+
+T_DDL = (
+    "pk long, i1 long, i2 long, d1 double, s1 string, ts1 timestamp_ntz,"
+    " b1 boolean, g string"
+)
+T_ARROW = pa.schema(
+    [
+        ("pk", pa.int64()),
+        ("i1", pa.int64()),
+        ("i2", pa.int64()),
+        ("d1", pa.float64()),
+        ("s1", pa.string()),
+        ("ts1", pa.timestamp("us")),
+        ("b1", pa.bool_()),
+        ("g", pa.string()),
+    ]
+)
+
+_S1_POOL = [
+    None,
+    "",
+    "a",
+    "B",
+    "hello world",
+    "ümlaut",
+    "日本語テキスト",
+    "naïve",
+    "  padded  ",
+    "quote'char",
+    "emoji🙂",
+    "zz_top",
+]
+_G_POOL = [None, "g0", "g1", "g2", "", "Ω"]
+
+
+def _gen_t(seed: int) -> list[tuple]:
+    rng = random.Random(1000 + seed)
+    rows = []
+    for pk in range(rng.randint(24, 60)):
+        i1 = None if rng.random() < 0.15 else rng.randint(-1_000_000, 1_000_000)
+        i2 = None if rng.random() < 0.15 else rng.randint(-9, 9)
+        d1 = (
+            None
+            if rng.random() < 0.10
+            else rng.choice([0.0, 1e-300, 1e300, rng.uniform(-1e6, 1e6)])
+        )
+        s1 = rng.choice(_S1_POOL)
+        ts1 = (
+            None
+            if rng.random() < 0.10
+            else dt.datetime(  # spans pre-1970 (negative epoch) to 2050
+                rng.randint(1950, 2050),
+                rng.randint(1, 12),
+                rng.randint(1, 28),
+                rng.randint(0, 23),
+                rng.randint(0, 59),
+                rng.randint(0, 59),
+                rng.randint(0, 999_999),
+            )
+        )
+        b1 = rng.choice([None, True, False])
+        g = rng.choice(_G_POOL)
+        rows.append((pk, i1, i2, d1, s1, ts1, b1, g))
+    return rows
+
+
+def _gen_u(seed: int) -> list[tuple]:
+    rng = random.Random(2000 + seed)
+    return [
+        (rng.choice([None] + list(range(-9, 10))), rng.randint(-100, 100))
+        for _ in range(15)
+    ]
+
+
+@pytest.fixture(scope="session")
+def engines(spark):
+    con = duckdb.connect()
+    for k in range(N_TABLES):
+        trows, urows = _gen_t(k), _gen_u(k)
+        spark.createDataFrame(trows, schema=T_DDL).createOrReplaceTempView(f"fz_t{k}")
+        spark.createDataFrame(urows, schema="k long, v long").createOrReplaceTempView(
+            f"fz_u{k}"
+        )
+        cols = list(zip(*trows))
+        con.register(
+            f"fz_t{k}",
+            pa.table({f.name: list(c) for f, c in zip(T_ARROW, cols)}, schema=T_ARROW),
+        )
+        ucols = list(zip(*urows))
+        con.register(
+            f"fz_u{k}",
+            pa.table(
+                {"k": list(ucols[0]), "v": list(ucols[1])},
+                schema=pa.schema([("k", pa.int64()), ("v", pa.int64())]),
+            ),
+        )
+    yield spark, con
+    con.close()
+
+
+# --- the portable grammar ---------------------------------------------------
+
+_PREDICATES = [
+    "i1 > 0",
+    "i1 <= 500000",
+    "i2 <> 3",
+    "s1 IS NOT NULL",
+    "s1 > 'a'",
+    "b1",
+    "b1 IS NULL",
+    "length(s1) > 2",
+    "i1 % 2 = 0",
+    "g IN ('g0', 'g1')",
+    "NOT (i2 = 0)",
+    "d1 BETWEEN -1000.0 AND 1000.0",
+    "coalesce(b1, false)",
+    "EXTRACT(YEAR FROM ts1) >= 2000",
+    "i2 IS NULL OR i2 > -5",
+]
+
+_ROW_EXPRS = [
+    "i1 + i2",
+    "i1 - 2 * i2",
+    "abs(i2)",
+    "i1 % 7",
+    "coalesce(i1, 0)",
+    "nullif(i2, 0)",
+    "CASE WHEN i1 > 0 THEN 'pos' WHEN i1 < 0 THEN 'neg' ELSE 'zero' END",
+    "length(s1)",
+    "upper(s1)",
+    "lower(s1)",
+    "s1 || '_x'",
+    "substr(s1, 2, 3)",
+    "trim(s1)",
+    "replace(s1, 'a', '@')",
+    "EXTRACT(YEAR FROM ts1)",
+    "EXTRACT(MONTH FROM ts1)",
+    "EXTRACT(DAY FROM ts1)",
+    "d1 * 2.0",
+    "d1 / 4.0",
+    "-i1",
+    "CAST(i1 AS DOUBLE) / NULLIF(CAST(i2 AS DOUBLE), 0.0)",
+    "CAST(b1 AS INT)",
+    "CASE WHEN b1 THEN i1 ELSE i2 END",
+]
+
+_AGG_EXPRS = [
+    "COUNT(*)",
+    "COUNT(i1)",
+    "COUNT(DISTINCT s1)",
+    "COUNT(DISTINCT i2)",
+    "CAST(SUM(i1) AS BIGINT)",
+    "CAST(SUM(i2) AS BIGINT)",
+    "MIN(i1)",
+    "MAX(i2)",
+    "MIN(s1)",
+    "MAX(s1)",
+    "MIN(ts1)",
+    "MAX(ts1)",
+    "CAST(SUM(CASE WHEN b1 THEN 1 ELSE 0 END) AS BIGINT)",
+    "CAST(SUM(length(s1)) AS BIGINT)",
+    "CAST(SUM(i1) AS DOUBLE) / NULLIF(COUNT(i1), 0)",
+]
+
+_GROUP_KEYS = ["g", "b1", "g, b1", "i1 % 3", "EXTRACT(YEAR FROM ts1) % 10"]
+
+_WINDOW_EXPRS = [
+    "ROW_NUMBER() OVER (PARTITION BY g ORDER BY i1 ASC NULLS FIRST, pk)",
+    "RANK() OVER (ORDER BY i2 DESC NULLS LAST, pk)",
+    "RANK() OVER (ORDER BY i2 ASC NULLS FIRST)",
+    "DENSE_RANK() OVER (ORDER BY g ASC NULLS FIRST)",
+    "LAG(i1, 1) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST)",
+    "LEAD(s1, 1) OVER (ORDER BY pk ASC NULLS FIRST)",
+    "CAST(SUM(i1) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS BIGINT)",
+    "COUNT(s1) OVER (PARTITION BY b1 ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "MIN(i2) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN 2 PRECEDING AND 1 PRECEDING)",
+    "NTILE(3) OVER (ORDER BY pk ASC NULLS FIRST)",
+    "FIRST_VALUE(i1) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+]
+
+
+def _pred(rng: random.Random) -> str:
+    if rng.random() < 0.4:
+        a, b = rng.sample(_PREDICATES, 2)
+        return f"({a}) {rng.choice(['AND', 'OR'])} ({b})"
+    return rng.choice(_PREDICATES)
+
+
+def _sql_for_case(seed: int) -> str:
+    rng = random.Random(seed)
+    t = f"fz_t{rng.randrange(N_TABLES)}"
+    u = f"fz_u{rng.randrange(N_TABLES)}"
+    fam = rng.choice(
+        ["scan", "scan", "agg", "agg", "win", "win", "join", "setop", "misc"]
+    )
+    if fam == "scan":
+        e1, e2 = rng.sample(_ROW_EXPRS, 2)
+        return f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t} WHERE {_pred(rng)}"
+    if fam == "agg":
+        aggs = rng.sample(_AGG_EXPRS, rng.randint(2, 4))
+        sel = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+        key = rng.choice(_GROUP_KEYS)
+        rollup = rng.random() < 0.25 and "," not in key
+        grp = f"ROLLUP({key})" if rollup else key
+        having = (
+            " HAVING COUNT(*) >= 2" if (not rollup and rng.random() < 0.3) else ""
+        )
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.6 else ""
+        return (
+            f"SELECT {key} AS k0, {sel} FROM {t}{where} GROUP BY {grp}{having}"
+        )
+    if fam == "win":
+        w1, w2 = rng.sample(_WINDOW_EXPRS, 2)
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
+        return f"SELECT pk, {w1} AS w1, {w2} AS w2 FROM {t}{where}"
+    if fam == "join":
+        kind = rng.choice(["JOIN", "LEFT JOIN", "exists", "not_exists"])
+        if kind in ("exists", "not_exists"):
+            neg = "NOT " if kind == "not_exists" else ""
+            return (
+                f"SELECT pk, i2 FROM {t} WHERE {neg}EXISTS"
+                f" (SELECT 1 FROM {u} WHERE k = i2)"
+            )
+        on = rng.choice(["a.i2 = b.k", "a.i1 % 10 = b.k"])
+        return (
+            f"SELECT a.pk, a.i2, b.v FROM {t} a {kind} {u} b ON {on}"
+            f" WHERE {_pred(rng)}" if rng.random() < 0.5
+            else f"SELECT a.pk, a.i2, b.v FROM {t} a {kind} {u} b ON {on}"
+        )
+    if fam == "setop":
+        op = rng.choice(["UNION ALL", "UNION", "INTERSECT", "EXCEPT"])
+        lo, hi = rng.randint(5, 20), rng.randint(10, 30)
+        return (
+            f"SELECT i2, g FROM {t} WHERE pk < {hi} {op}"
+            f" SELECT i2, g FROM {t} WHERE pk >= {lo}"
+        )
+    # misc: DISTINCT, deterministic ORDER BY + LIMIT, scalar subquery
+    kind = rng.choice(["distinct", "limit", "scalar"])
+    if kind == "distinct":
+        return f"SELECT DISTINCT g, b1, i2 FROM {t}"
+    if kind == "limit":
+        return (
+            f"SELECT pk, i1, s1 FROM {t}"
+            f" ORDER BY i1 ASC NULLS FIRST, pk LIMIT {rng.randint(3, 12)}"
+        )
+    return f"SELECT pk, i1 - (SELECT MAX(k) FROM {u}) AS e1 FROM {t}"
+
+
+def _run_both(spark, con, sql: str):
+    sdf = spark.sql(sql)
+    scols, srows = sdf.columns, sdf.collect()
+    dres = con.execute(sql)
+    dcols = [d[0] for d in dres.description]
+    drows = dres.fetchall()
+    assert sorted(c.lower() for c in scols) == sorted(
+        c.lower() for c in dcols
+    ), f"column mismatch for:\n{sql}\nspark={scols} duckdb={dcols}"
+    s_order = sorted(range(len(scols)), key=lambda i: scols[i].lower())
+    d_order = sorted(range(len(dcols)), key=lambda i: dcols[i].lower())
+    s_multi = Counter(tuple(canon(r[i]) for i in s_order) for r in srows)
+    d_multi = Counter(tuple(canon(r[i]) for i in d_order) for r in drows)
+    if s_multi != d_multi:
+        only_s = list((s_multi - d_multi).items())[:4]
+        only_d = list((d_multi - s_multi).items())[:4]
+        raise AssertionError(
+            f"value mismatch for:\n{sql}\nspark-only={only_s}\nduckdb-only={only_d}"
+        )
+
+
+@pytest.mark.parametrize("seed", range(N_CASES))
+def test_differential_fuzz(engines, seed):
+    spark, con = engines
+    _run_both(spark, con, _sql_for_case(seed))
