@@ -444,14 +444,28 @@ def extract_script_facts(script_name: str, source: str) -> dict:
 # Spark wrappers
 # ---------------------------------------------------------------------------
 
-_extract_udf = F.udf(extract_script_facts, FACTS_SCHEMA)
+def _extract_batches(batches):
+    import pandas as pd
+
+    cols = [f.name for f in FACTS_SCHEMA.fields]
+    for pdf in batches:
+        out = [
+            extract_script_facts(name, src)
+            for name, src in zip(pdf["script_name"], pdf["source"])
+        ]
+        yield pd.DataFrame(out, columns=cols)
 
 
 def extract_facts(scripts: DataFrame) -> DataFrame:
-    """scripts(script_name, source) -> one facts struct row per script."""
-    return scripts.select(
-        _extract_udf(F.col("script_name"), F.col("source")).alias("f")
-    ).select("f.*")
+    """scripts(script_name, source) -> one facts row per script.
+
+    Arrow-batched `mapInPandas`, not a row-at-a-time `F.udf`: the per-script
+    AST walk is pure Python either way, but batching moves rows over one
+    Arrow stream per partition instead of a pickle round-trip per row —
+    at repo-catalog scale (100k+ scripts) the serialization overhead is
+    the difference, and it keeps the engine's "always Arrow-batched"
+    contract uniform."""
+    return scripts.mapInPandas(_extract_batches, schema=FACTS_SCHEMA)
 
 
 def assets_table(facts: DataFrame) -> DataFrame:
