@@ -101,9 +101,15 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     spark = df.sparkSession
     target = min_partitions or spark.sparkContext.defaultParallelism
     max_bytes = _parse_bytes(spark.conf.get("spark.sql.files.maxPartitionBytes", "128m"))
-    est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    try:
+        # `_jdf` is a private seam: absent under Spark Connect and free to
+        # move across PySpark versions. Treat it as an optimization probe
+        # only — any failure degrades to the safe repartition below.
+        est_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        est_bytes = None
     # enough bytes to fill `target` max-size splits -> the scan is already
     # parallel; repartitioning would only add a shuffle
-    if est_bytes >= target * max_bytes:
+    if est_bytes is not None and est_bytes >= target * max_bytes:
         return df
     return df.repartition(target)

@@ -27,6 +27,23 @@ from ..functions.io import load
 from ..registry import register
 
 
+def latest_customer_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge source: latest per-user event as (user_id, new_acctbal,
+    updated_at). Shared by the relational merge and the Delta-parity test so
+    both paths replay identical update rows."""
+    events = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.round(F.col("value") * 100, 2).alias("new_acctbal"),
+            F.col("ts").alias("updated_at"),
+        )
+    )
+
+
 @register(
     "scd1_merge_customer",
     oracle="""
@@ -69,18 +86,7 @@ def scd1_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SCD-1 keeps history-free current state).
     """
     customer = load(spark, sf_dir, "customer").alias("c")
-    events = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
-    latest = (
-        events.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "user_id",
-            F.round(F.col("value") * 100, 2).alias("new_acctbal"),
-            F.col("ts").alias("updated_at"),
-        )
-        .alias("s")
-    )
+    latest = latest_customer_updates(spark, sf_dir).alias("s")
     joined = customer.join(latest, F.col("c.c_custkey") == F.col("s.user_id"), "full_outer")
     inserted = F.col("c.c_custkey").isNull()
     updated = F.col("s.user_id").isNotNull() & (F.col("s.new_acctbal") >= 500)
@@ -99,10 +105,22 @@ def scd1_merge_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def merge_scd1_delta(spark: SparkSession, target_path: str, updates: DataFrame, key: str) -> None:
-    """Delta-backed variant of the same merge (script_08:16-36 surface).
+def merge_scd1_delta(
+    spark: SparkSession,
+    target_path: str,
+    updates: DataFrame,
+    key: str,
+    match_condition: str | None = None,
+    update_set: dict[str, str] | None = None,
+    insert_values: dict[str, str] | None = None,
+) -> None:
+    """Delta-backed variant of the same merge (script_08:16-36 surface, plus
+    script_09:19's conditional WHEN MATCHED clause via `match_condition`).
 
-    Import-gated: raises RuntimeError when delta-spark is not installed.
+    `update_set` / `insert_values` map target columns to source expressions
+    (the whenMatchedUpdate / whenNotMatchedInsert dict API); when omitted the
+    *All forms apply, which require aligned schemas. Import-gated: raises
+    RuntimeError when delta-spark is not installed.
     """
     try:
         from delta.tables import DeltaTable  # type: ignore
@@ -115,10 +133,13 @@ def merge_scd1_delta(spark: SparkSession, target_path: str, updates: DataFrame, 
         ).save(target_path)
         return
     tgt = DeltaTable.forPath(spark, target_path)  # pragma: no cover
-    (
-        tgt.alias("t")
-        .merge(updates.alias("s"), f"t.{key} = s.{key}")
-        .whenMatchedUpdateAll()
-        .whenNotMatchedInsertAll()
-        .execute()
-    )
+    m = tgt.alias("t").merge(updates.alias("s"), f"t.{key} = s.{key}")
+    if update_set is not None:  # pragma: no cover - delta absent in test env
+        m = m.whenMatchedUpdate(condition=match_condition, set=update_set)
+    else:  # pragma: no cover
+        m = m.whenMatchedUpdateAll(condition=match_condition)
+    if insert_values is not None:  # pragma: no cover
+        m = m.whenNotMatchedInsert(values=insert_values)
+    else:  # pragma: no cover
+        m = m.whenNotMatchedInsertAll()
+    m.execute()  # pragma: no cover

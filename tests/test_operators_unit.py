@@ -94,3 +94,28 @@ def test_sessionization_gap_semantics(spark, tmp_path):
     out = web_sessionization(spark, str(tmp_path)).collect()
     assert len(out) == 2
     assert sorted(r.events for r in out) == [1, 2]
+
+
+def test_fan_out_survives_missing_private_jdf(spark, monkeypatch):
+    """fan_out's size probe goes through the private `_jdf` seam; under
+    Spark Connect (or a future PySpark) that attribute is gone. The probe
+    must degrade to a plain repartition, never crash the caller."""
+    from ai_metadata_lineage_pyspark_spark.functions.io import fan_out
+
+    df = spark.range(100)
+    real_jdf = df._jdf
+
+    class _NoQueryExecution:
+        # models Spark Connect: the plan-stats probe is unavailable but
+        # DataFrame operations (repartition etc.) still work
+        def queryExecution(self):
+            raise RuntimeError("queryExecution unavailable in this session")
+
+        def __getattr__(self, name):
+            return getattr(real_jdf, name)
+
+    with monkeypatch.context() as m:
+        m.setattr(df, "_jdf", _NoQueryExecution(), raising=False)
+        out = fan_out(df, min_partitions=8)
+    assert out.rdd.getNumPartitions() == 8
+    assert out.count() == 100
