@@ -24,6 +24,34 @@ from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
 
 
+# The full 22-query TPC-H-shaped suite in Q order (registry names; see each
+# operator's docstring for its Q mapping).
+_TPCH_SUITE = [
+    (1, "pricing_summary"),
+    (2, "min_cost_supplier"),
+    (3, "order_shipping_priority"),
+    (4, "late_shipment_priority"),
+    (5, "local_supplier_volume"),
+    (6, "forecast_revenue_change"),
+    (7, "nation_trade_volume"),
+    (8, "nation_market_share"),
+    (9, "product_type_profit"),
+    (10, "returned_item_report"),
+    (11, "important_part_value"),
+    (12, "shipping_delay_priority"),
+    (13, "customer_order_distribution"),
+    (14, "promo_revenue_share"),
+    (15, "top_supplier_revenue"),
+    (16, "supplier_part_variety"),
+    (17, "small_quantity_avg_revenue"),
+    (18, "large_order_customers"),
+    (19, "brand_bracket_revenue"),
+    (20, "excess_shipped_suppliers"),
+    (21, "sole_late_supplier_waits"),
+    (22, "idle_rich_customers"),
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -112,6 +140,19 @@ def main() -> None:
         # clearCache: clearCache silently clears persist flags on live DFs)
         release_persisted()
 
+    # TPC-H power run: all 22 suite queries sequentially (single stream),
+    # the classic power-test shape. A second self-relative metric so a
+    # regression anywhere in the join/agg surface shows up even if the
+    # headline set stays fast.
+    registry = all_queries()
+    tpch_timings: dict[str, float] = {}
+    for qnum, name in _TPCH_SUITE:
+        t0 = time.time()
+        n = registry[name].fn(spark, sf_dir).count()
+        tpch_timings[f"q{qnum:02d}_{name}"] = round(time.time() - t0, 3)
+        print(f"# tpch q{qnum} {name}: {n} rows in {tpch_timings[f'q{qnum:02d}_{name}']}s", file=sys.stderr)
+        release_persisted()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -121,6 +162,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "tpch_power_run": {
+                    "metric": "tpch_22q_single_stream_total",
+                    "value": round(sum(tpch_timings.values()), 3),
+                    "unit": "sec",
+                    "queries": tpch_timings,
+                },
             }
         )
     )
