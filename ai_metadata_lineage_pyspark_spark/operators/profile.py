@@ -94,3 +94,28 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_price"),
         F.countDistinct("l_partkey").alias("n_parts"),
     )
+
+
+@register("table_profile_approx", oracle=None)  # rows-only: sketch output
+def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB swap for `table_profile`: `approx_percentile`
+    (t-digest-style sketch, mergeable partial state, NO per-group sort)
+    replaces exact `percentile`. Registered rows-only by design — the
+    sketch's answers are accuracy-bounded, not bit-reproducible across
+    engines; tests/test_approx.py pins the error bound against the exact
+    operator instead. Shape and column contract are identical to
+    table_profile, so a caller flips one name at scale."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("med_qty"),
+        F.expr("approx_percentile(l_quantity, 0.9, 10000)").alias("p90_qty"),
+        F.expr("approx_percentile(l_extendedprice, 0.5, 10000)").alias("med_price"),
+        (
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_price"),
+        F.expr("approx_count_distinct(l_partkey)").alias("n_parts"),
+    )

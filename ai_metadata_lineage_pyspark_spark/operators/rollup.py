@@ -431,6 +431,41 @@ def customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("customer_value_deciles_approx", oracle=None)  # rows-only: sketch
+def customer_value_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documented 100 TB swap for `customer_value_deciles`: instead of
+    one global NTILE window (all rows through ONE task), compute the nine
+    decile boundaries with `approx_percentile` (mergeable sketch, partial
+    aggregation), broadcast the single boundary row, and assign each row's
+    tile with an embarrassingly parallel array fold — no global sort, no
+    single-task funnel. Decile 1 = top balances, same output contract as the
+    exact operator. Rows-only by design (sketch boundaries are
+    accuracy-bounded, not bit-reproducible); tests/test_approx.py pins
+    population balance and tier monotonicity against the exact result."""
+    c = load(spark, sf_dir, "customer")
+    bounds = c.agg(
+        F.expr(
+            "approx_percentile(c_acctbal,"
+            " array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9), 10000)"
+        ).alias("bounds")
+    )
+    t = c.crossJoin(F.broadcast(bounds)).select(
+        "c_custkey",
+        "c_acctbal",
+        # ascending bucket 1..10 via boundary fold, flipped so decile 1 = top
+        F.expr(
+            "11 - (1 + aggregate(bounds, 0,"
+            " (a, b) -> a + CASE WHEN c_acctbal > b THEN 1 ELSE 0 END))"
+        ).alias("decile"),
+    )
+    return t.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min("c_custkey").alias("min_custkey"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # incremental_event_rollup — high-watermark incremental processing: the
 # batch-CDC contract every scheduled pipeline relies on. The event stream is
