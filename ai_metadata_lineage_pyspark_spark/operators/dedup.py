@@ -217,12 +217,36 @@ _PAIRS_SQL_CTES = f"""
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_persisted()  # drop any prior invocation's cached intermediates
+    sh, buckets = _shingle_buckets(spark, sf_dir)
+    # Pair generation via ONE groupBy shuffle (band_key -> sorted doc list ->
+    # in-bucket pair explosion) instead of a two-sided self-join: half the
+    # shuffle volume, and `ids` is sorted so doc_a < doc_b by construction.
+    # Bucket size is bounded by cluster size of true near-dups (identical
+    # band key implies high similarity), so the per-bucket quadratic is the
+    # same blow-up the self-join had — no worse at scale, fewer stages.
+    cand = (
+        buckets.selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return _verify_pairs(cand, sh)
+
+
+def _shingle_buckets(spark: SparkSession, sf_dir: str):
+    """Persisted shingle table + LSH band buckets (band_key -> sorted doc
+    ids), shared by the exact and capped pair generators.
+
+    The shingle arrays feed three downstream consumers (signatures + both
+    sides of the verification join) and the signature computation is 8 md5
+    evaluations per shingle — persist so each is computed once per
+    partition, not once per consumer. MEMORY_AND_DISK (persist default)
+    spills rather than OOMs at scale; scoped so callers/tests can release.
+    """
     docs = fan_out(load(spark, sf_dir, "documents"))
-    # The shingle arrays feed three downstream consumers (signatures + both
-    # sides of the verification join) and the signature computation is 8 md5
-    # evaluations per shingle — persist both so each is computed once per
-    # partition, not once per consumer. MEMORY_AND_DISK (persist default)
-    # spills rather than OOMs at scale; scoped so callers/tests can release.
     sh = scoped_persist(
         docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
         .filter("size(toks) >= 3")
@@ -245,26 +269,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             " b -> concat(b, ':', sigs[2 * b], '|', sigs[2 * b + 1]))) AS band_key",
         )
     )
-    # Pair generation via ONE groupBy shuffle (band_key -> sorted doc list ->
-    # in-bucket pair explosion) instead of a two-sided self-join: half the
-    # shuffle volume, and `ids` is sorted so doc_a < doc_b by construction.
-    # Bucket size is bounded by cluster size of true near-dups (identical
-    # band key implies high similarity), so the per-bucket quadratic is the
-    # same blow-up the self-join had — no worse at scale, fewer stages.
-    cand = (
+    buckets = (
         bands.groupBy("band_key")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
-        .selectExpr(
-            "explode(flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)),"
-            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
-        )
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
     )
-    # |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct): one
-    # set-intersection per pair instead of intersect + materialized union.
+    return sh, buckets
+
+
+def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs.
+
+    |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct): one
+    set-intersection per pair instead of intersect + materialized union.
+    """
     return (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
         .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
@@ -281,6 +299,42 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _JACCARD_T)
     )
+
+
+# Buckets larger than this cap switch from clique pair emission (O(k²)) to
+# star edges against the bucket representative (O(k)). 64² = 4096 pair
+# structs is a trivial explode; past that, a 10⁹-doc boilerplate bucket's
+# clique would be ~10¹⁷ pairs no engine can materialize.
+_BUCKET_CAP = 64
+
+
+def lsh_pairs_capped(
+    spark: SparkSession, sf_dir: str, bucket_cap: int = _BUCKET_CAP
+) -> DataFrame:
+    """The 100 TB pair generator (ARTIFACTS/r04_skew_probe.md): cliques for
+    normal buckets, star topology (every member verified against the
+    bucket's min doc_id) for oversized ones. Star edges are a subset of the
+    clique's, so downstream components can only split, never wrongly merge;
+    for true-duplicate buckets (the only way a bucket gets huge) the
+    components are identical. Recall tradeoff: a borderline member that
+    fails verification against the representative but would have passed
+    against some other member is dropped — the price of O(k) edges."""
+    release_persisted()
+    sh, buckets = _shingle_buckets(spark, sf_dir)
+    clique = (
+        buckets.filter(F.size("ids") <= bucket_cap)
+        .selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    star = (
+        buckets.filter(F.size("ids") > bucket_cap)
+        .selectExpr("ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b")
+    )
+    return _verify_pairs(clique.union(star).distinct(), sh)
 
 
 # ---------------------------------------------------------------------------
@@ -547,6 +601,24 @@ _MAX_CC_ITERS = 20
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster near-dup pairs into components; canonical = min doc_id."""
     pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+@register("neardup_components_capped", oracle=None)  # rows-only: capped recall
+def neardup_components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB components path: same min-label propagation, but over
+    `lsh_pairs_capped` edges — oversized LSH buckets contribute O(k) star
+    edges instead of an O(k²) clique (see ARTIFACTS/r04_skew_probe.md).
+    Rows-only by design: for non-transitive borderline clusters the capped
+    edge set may split components the exact operator merges;
+    tests/test_decontam_components.py pins equality on true-duplicate
+    clusters, where star and clique produce identical components."""
+    pairs = lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+def _min_label_components(pairs: DataFrame) -> DataFrame:
+    """Iterative min-label propagation over an undirected pair list."""
     # undirected edge list, materialized once (it is consumed every round)
     edges = (
         pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))

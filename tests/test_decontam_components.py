@@ -47,3 +47,56 @@ def test_decontam_only_flags_training_docs(spark, sf_dir):
     # fractions are sane
     assert df.filter((F.col("shared_fraction") <= 0) | (F.col("shared_fraction") > 1)).count() == 0
     assert df.filter(F.col("n_shared_shingles") > F.col("n_shingles")).count() == 0
+
+
+def test_capped_star_components_match_exact_on_duplicate_cluster(spark, tmp_path):
+    """The 100 TB star-topology swap (lsh_pairs_capped): on a true-duplicate
+    hot cluster — the only way an LSH bucket gets huge — star edges must
+    yield EXACTLY the components the full clique yields, with strictly
+    fewer edges."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        _min_label_components,
+        lsh_pairs_capped,
+        minhash_lsh_pairs,
+    )
+
+    template = " ".join(f"tok{i % 13} word{i}" for i in range(60))
+    rows = []
+    for i in range(30):  # hot cluster: shared template + unique suffix
+        rows.append({"doc_id": i, "text": f"{template} unique{i}"})
+    for i in range(30, 50):  # singletons: doc-unique token vocabulary
+        rows.append(
+            {"doc_id": i, "text": " ".join(f"d{i}w{j}x{(i * j) % 97}" for j in range(40))}
+        )
+    for r in rows:
+        r.update(lang="en", source="probe", n_chars=len(r["text"]))
+    schema = pa.schema(
+        [("doc_id", pa.int64()), ("text", pa.string()), ("lang", pa.string()),
+         ("source", pa.string()), ("n_chars", pa.int64())]
+    )
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    exact_pairs = {(r["doc_a"], r["doc_b"])
+                   for r in minhash_lsh_pairs(spark, sf).collect()}
+    exact_comp = {(r["doc_id"], r["component_id"])
+                  for r in _min_label_components(
+                      minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
+                  ).collect()}
+    capped = lsh_pairs_capped(spark, sf, bucket_cap=8)
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+    capped_comp = {(r["doc_id"], r["component_id"])
+                   for r in _min_label_components(
+                       lsh_pairs_capped(spark, sf, bucket_cap=8)
+                       .select("doc_a", "doc_b")
+                   ).collect()}
+
+    # the 30-doc bucket exceeded the cap: star edges are a strict subset
+    assert capped_pairs < exact_pairs
+    assert len(capped_pairs) < 100 < len(exact_pairs)  # O(k) vs O(k²)
+    # ...but the components are identical
+    assert capped_comp == exact_comp
