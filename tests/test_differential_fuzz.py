@@ -236,13 +236,54 @@ def _pred(rng: random.Random) -> str:
     return rng.choice(_PREDICATES)
 
 
+_FAMILIES = [
+    "scan", "scan", "agg", "agg", "win", "win", "join", "setop", "misc",
+    "aggjoin", "subq", "gsets", "aggfilter",
+]
+
+
 def _sql_for_case(seed: int) -> str:
     rng = random.Random(seed)
     t = f"fz_t{rng.randrange(N_TABLES)}"
     u = f"fz_u{rng.randrange(N_TABLES)}"
-    fam = rng.choice(
-        ["scan", "scan", "agg", "agg", "win", "win", "join", "setop", "misc"]
-    )
+    fam = rng.choice(_FAMILIES)
+    if fam == "aggjoin":
+        kind = rng.choice(["JOIN", "LEFT JOIN"])
+        aggs = rng.sample(_AGG_EXPRS, 2)
+        sel = ", ".join(f"{a} AS a{i}" for i, a in enumerate(aggs))
+        return (
+            f"SELECT g AS k0, {sel}, CAST(SUM(v) AS BIGINT) AS sv"
+            f" FROM {t} a {kind} {u} b ON a.i2 = b.k GROUP BY g"
+        )
+    if fam == "subq":
+        if rng.random() < 0.5:
+            # nested derived table: inner filter+projection, outer agg
+            return (
+                f"SELECT g AS k0, COUNT(*) AS n, MIN(e1) AS mn FROM"
+                f" (SELECT g, i1 + coalesce(i2, 0) AS e1 FROM {t}"
+                f" WHERE {_pred(rng)}) sub GROUP BY g"
+            )
+        # correlated scalar subquery per row
+        return (
+            f"SELECT pk, i2, (SELECT MAX(v) FROM {u} WHERE k = i2) AS mv FROM {t}"
+        )
+    if fam == "gsets":
+        form = rng.choice(
+            ["GROUPING SETS ((g), (b1), ())", "CUBE(g, b1)", "ROLLUP(g, b1)"]
+        )
+        return (
+            f"SELECT g, b1, CAST(GROUPING(g) AS INT) AS gg,"
+            f" CAST(GROUPING(b1) AS INT) AS gb, COUNT(*) AS n,"
+            f" CAST(SUM(i2) AS BIGINT) AS s FROM {t} GROUP BY {form}"
+        )
+    if fam == "aggfilter":
+        return (
+            f"SELECT g AS k0,"
+            f" COUNT(*) FILTER (WHERE i1 > 0) AS n_pos,"
+            f" CAST(SUM(i2) FILTER (WHERE b1) AS BIGINT) AS s_true,"
+            f" MAX(s1) FILTER (WHERE length(s1) > 2) AS mx"
+            f" FROM {t} GROUP BY g"
+        )
     if fam == "scan":
         e1, e2 = rng.sample(_ROW_EXPRS, 2)
         return f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t} WHERE {_pred(rng)}"
