@@ -29,11 +29,25 @@ def test_entry_views_match_registry():
         assert sql == qs[name].oracle
 
 
+# Queries that are rows-only BY DESIGN (oracle=None): sketch-backed approx
+# variants whose answers are accuracy-bounded rather than bit-reproducible
+# (error bounds pinned in tests/test_approx.py), and the capped-recall
+# components path (parity pinned in tests/test_decontam_components.py).
+# Anything else missing an oracle is a bug.
+ROWS_ONLY_BY_DESIGN = {
+    "table_profile_approx",
+    "customer_value_deciles_approx",
+    "neardup_components_capped",
+}
+
+
 def test_every_query_has_an_oracle():
-    # Stronger than the driver's requirement: we currently claim full SQL
-    # expressibility. If a future op is genuinely non-SQL, drop it from this
-    # assertion explicitly.
+    # Stronger than the driver's requirement: we claim full SQL
+    # expressibility outside the explicit rows-only allowlist.
     for name, q in all_queries().items():
+        if name in ROWS_ONLY_BY_DESIGN:
+            assert q.oracle is None
+            continue
         assert q.oracle, f"{name} has no oracle"
 
 
@@ -41,6 +55,8 @@ def test_oracle_references_only_known_tables():
     # Any FROM/JOIN target must be a fixture view, a CTE defined in the same
     # statement, or an inline VALUES subquery.
     for name, q in all_queries().items():
+        if q.oracle is None:
+            continue
         # string literals (golden VALUES rows) may contain prose like
         # "derive from temp_c" — drop them before scanning for table refs
         sql = re.sub(r"'[^']*'", "''", q.oracle)
