@@ -307,3 +307,28 @@ def test_join_hint_takes_effect(q):
     plan = I.physical_plan(q("join_strategy_hints"))
     assert "ShuffledHashJoin" in plan
     assert "BroadcastHashJoin" not in plan
+
+
+def test_deciles_approx_has_no_global_window(q):
+    # the exact operator funnels every row through ONE unpartitioned NTILE
+    # window task; the approx swap must not — boundaries broadcast, tile
+    # assignment is an embarrassingly parallel projection
+    exact = q("customer_value_deciles")
+    approx = q("customer_value_deciles_approx")
+    assert I.has_operator(exact, "Window")
+    assert not I.has_operator(approx, "Window")
+    # the 1-row boundary table broadcasts (BNLJ-cross of a single row is
+    # the planner's shape for a broadcast scalar — NOT a data cartesian)
+    assert I.has_operator(approx, "BroadcastNestedLoopJoin")
+    assert I.has_operator(approx, "BroadcastExchange")
+    assert I.partial_aggregate_count(approx) >= 1
+
+
+def test_table_profile_approx_keeps_partial_aggregation(q):
+    # approx_percentile / approx_count_distinct are mergeable sketches —
+    # the plan must show map-side partial aggregation (no sort-based
+    # percentile materialization)
+    df = q("table_profile_approx")
+    assert I.partial_aggregate_count(df) >= 1
+    assert not I.has_operator(df, "Window")
+    assert I.cartesian_product_count(df) == 0
