@@ -238,7 +238,7 @@ def _pred(rng: random.Random) -> str:
 
 _FAMILIES = [
     "scan", "scan", "agg", "agg", "win", "win", "join", "setop", "misc",
-    "aggjoin", "subq", "gsets", "aggfilter",
+    "aggjoin", "subq", "gsets", "aggfilter", "insubq", "datefn",
 ]
 
 
@@ -247,6 +247,39 @@ def _sql_for_case(seed: int) -> str:
     t = f"fz_t{rng.randrange(N_TABLES)}"
     u = f"fz_u{rng.randrange(N_TABLES)}"
     fam = rng.choice(_FAMILIES)
+    if fam == "insubq":
+        # IN / NOT IN with a NULL-bearing subquery: the classic three-valued
+        # logic trap — NOT IN over a set containing NULL yields no rows for
+        # non-members. Both engines implement ANSI semantics; pin it.
+        neg = rng.choice(["", "NOT "])
+        sub = rng.choice(
+            ["SELECT k FROM {u}", "SELECT k FROM {u} WHERE k IS NOT NULL",
+             "SELECT k FROM {u} WHERE v > 0"]
+        ).format(u=u)
+        return f"SELECT pk, i2 FROM {t} WHERE i2 {neg}IN ({sub})"
+    if fam == "datefn":
+        # date/time expression surface over NTZ timestamps incl. pre-1970:
+        # extraction fields, CAST to DATE, date arithmetic via EXTRACT only
+        # (interval literal syntax diverges)
+        # NOT in this pool: EXTRACT(DOW ...) — found divergent by this
+        # fuzzer (sweep seeds 2143 etc.): Spark returns 1-7 Sunday-start,
+        # DuckDB 0-6 Sunday-start. Pinned in
+        # test_known_divergence_dow_convention below.
+        e1, e2 = rng.sample(
+            [
+                "EXTRACT(HOUR FROM ts1)",
+                "EXTRACT(MINUTE FROM ts1)",
+                "EXTRACT(DOY FROM ts1)",
+                "EXTRACT(QUARTER FROM ts1)",
+                "CAST(ts1 AS DATE)",
+                "EXTRACT(YEAR FROM ts1) * 100 + EXTRACT(MONTH FROM ts1)",
+            ],
+            2,
+        )
+        return (
+            f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t}"
+            f" WHERE ts1 IS NOT NULL"
+        )
     if fam == "aggjoin":
         kind = rng.choice(["JOIN", "LEFT JOIN"])
         aggs = rng.sample(_AGG_EXPRS, 2)
@@ -362,3 +395,28 @@ def _run_both(spark, con, sql: str):
 def test_differential_fuzz(engines, seed):
     spark, con = engines
     _run_both(spark, con, _sql_for_case(seed))
+
+
+def test_known_divergence_dow_convention(engines):
+    """Regression pin for a REAL divergence this fuzzer found (extended
+    sweep, seeds 2143/2194/...): EXTRACT(DOW ...) is 1-7 Sunday-start in
+    Spark but 0-6 Sunday-start in DuckDB, so identical SQL using DOW is
+    NOT portable. The engine never uses DOW (grep-clean); any future
+    oracle that needs day-of-week must normalize, e.g. Spark
+    `EXTRACT(DOW ...)` == oracle `EXTRACT(DOW ...) + 1`."""
+    spark, con = engines
+    sql = "SELECT pk, EXTRACT(DOW FROM ts1) AS e1 FROM fz_t3 WHERE ts1 IS NOT NULL"
+    with pytest.raises(AssertionError, match="value mismatch"):
+        _run_both(spark, con, sql)
+    # and the documented normalization reconciles the two conventions
+    srows = {
+        (r["pk"], r["e1"])
+        for r in spark.sql(sql).collect()
+    }
+    drows = {
+        (pk, dow + 1)
+        for pk, dow in con.execute(
+            "SELECT pk, EXTRACT(DOW FROM ts1) FROM fz_t3 WHERE ts1 IS NOT NULL"
+        ).fetchall()
+    }
+    assert srows == drows
