@@ -239,6 +239,49 @@ def _pred(rng: random.Random) -> str:
 _FAMILIES = [
     "scan", "scan", "agg", "agg", "win", "win", "join", "setop", "misc",
     "aggjoin", "subq", "gsets", "aggfilter", "insubq", "datefn",
+    "strfn", "numfn",
+]
+
+_STR_EXPRS = [
+    "lpad(s1, 8, '.')",
+    "rpad(s1, 8, '.')",
+    "reverse(s1)",
+    "repeat(s1, 2)",
+    "instr(s1, 'a')",
+    "left(s1, 3)",
+    "right(s1, 3)",
+    "ltrim(s1)",
+    "rtrim(s1)",
+    "split_part(s1, ' ', 1)",
+    "translate(s1, 'abc', 'xyz')",
+    "ascii(s1)",
+    "chr(CAST(65 + abs(coalesce(i2, 0)) AS INT))",
+    "contains(s1, 'a')",
+    # prefix/suffix via LIKE: the function NAMES diverge (Spark endswith /
+    # DuckDB ends_with), so identical SQL can only use the operator form
+    "s1 LIKE 'h%'",
+    "s1 LIKE '%d'",
+    "s1 LIKE '%o w%'",
+]
+
+# Type-normalized: fuzzing the raw functions found Spark floor/ceil
+# return BIGINT where DuckDB returns DOUBLE, and Spark sign returns
+# DOUBLE where DuckDB returns INTEGER — value-identical, type-divergent
+# (pinned in test_known_divergence_floor_sign_types). The repo's own
+# oracles always CAST these, same as here. floor/ceil operate on a
+# bounded fmod so the BIGINT cast can't overflow on the 1e300 pool value.
+_NUM_EXPRS = [
+    "CAST(floor(d1 % 1000000.0) AS BIGINT)",
+    "CAST(ceil(d1 % 1000000.0) AS BIGINT)",
+    "CAST(sign(d1) AS INT)",
+    "CAST(sign(i1) AS INT)",
+    "sqrt(abs(d1))",
+    "round(d1, 2)",
+    "round(CAST(i1 AS DOUBLE) / 7, 0)",
+    "greatest(i1, i2 * 1000)",
+    "least(i1, i2 * 1000)",
+    "mod(abs(i1), 13)",
+    "CAST(i1 AS DOUBLE) * 0.5",
 ]
 
 
@@ -247,6 +290,14 @@ def _sql_for_case(seed: int) -> str:
     t = f"fz_t{rng.randrange(N_TABLES)}"
     u = f"fz_u{rng.randrange(N_TABLES)}"
     fam = rng.choice(_FAMILIES)
+    if fam == "strfn":
+        e1, e2 = rng.sample(_STR_EXPRS, 2)
+        return (
+            f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t} WHERE s1 IS NOT NULL"
+        )
+    if fam == "numfn":
+        e1, e2 = rng.sample(_NUM_EXPRS, 2)
+        return f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t}"
     if fam == "insubq":
         # IN / NOT IN with a NULL-bearing subquery: the classic three-valued
         # logic trap — NOT IN over a set containing NULL yields no rows for
@@ -420,3 +471,25 @@ def test_known_divergence_dow_convention(engines):
         ).fetchall()
     }
     assert srows == drows
+
+
+def test_known_divergence_floor_sign_types(engines):
+    """Regression pin for two type-level divergences this fuzzer found
+    (extended sweep, seeds 3006/3010/...): on identical SQL, Spark
+    floor(double) -> BIGINT vs DuckDB -> DOUBLE, and Spark sign(int) ->
+    DOUBLE vs DuckDB -> INTEGER. Values agree; the driver's hasher (and
+    canon here) is deliberately type-sensitive, so oracle pairs must CAST
+    both sides — which every oracle in this repo already does."""
+    spark, con = engines
+    for sql in (
+        "SELECT pk, floor(d1 % 100.0) AS e1 FROM fz_t1 WHERE d1 IS NOT NULL",
+        "SELECT pk, sign(i1) AS e1 FROM fz_t1 WHERE i1 IS NOT NULL AND i1 <> 0",
+    ):
+        with pytest.raises(AssertionError, match="value mismatch"):
+            _run_both(spark, con, sql)
+    # CAST on both sides reconciles each
+    _run_both(
+        spark, con,
+        "SELECT pk, CAST(floor(d1 % 100.0) AS BIGINT) AS e1,"
+        " CAST(sign(i1) AS INT) AS e2 FROM fz_t1",
+    )
