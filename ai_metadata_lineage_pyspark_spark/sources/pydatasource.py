@@ -113,8 +113,10 @@ _SCRATCH = os.path.join(
 @dataclass
 class _WroteFiles(WriterCommitMessage):
     n_rows: int
-    # (final_name, temp_path) pairs: tasks stage to attempt-unique temp
-    # files; only the driver-side commit renames winners into place
+    # (final_name, temp_path, n_rows) triples: tasks stage to attempt-unique
+    # temp files; only the driver-side commit renames winners into place.
+    # Per-file row counts let commit() total only the WINNING attempts —
+    # a duplicate speculative attempt's rows must not inflate the manifest.
     files: tuple
 
 
@@ -135,6 +137,7 @@ class LineageJsonWriter(DataSourceWriter):
         attempt = uuid.uuid4().hex[:12]
         handles: dict = {}
         temps: dict = {}
+        counts: dict = {}
         n = 0
         for row in rows:
             d = row.asDict()
@@ -142,44 +145,62 @@ class LineageJsonWriter(DataSourceWriter):
             if script not in handles:
                 tmp = os.path.join(self.path, f"._tmp.{script}.json.{attempt}")
                 temps[script] = tmp
+                counts[script] = 0
                 handles[script] = open(tmp, "w", encoding="utf-8")
             handles[script].write(json.dumps(d, sort_keys=True) + "\n")
+            counts[script] += 1
             n += 1
         for h in handles.values():
             h.close()
         return _WroteFiles(
             n_rows=n,
-            files=tuple((f"{s}.json", temps[s]) for s in sorted(temps)),
+            files=tuple((f"{s}.json", temps[s], counts[s]) for s in sorted(temps)),
         )
 
+    def _sweep_orphans(self):
+        # Attempts that died before returning a commit message leave temps
+        # no message references; the commit/abort barrier guarantees no live
+        # attempt still needs them, so sweep everything still dot-staged.
+        for name in os.listdir(self.path):
+            if name.startswith("._tmp."):
+                try:
+                    os.remove(os.path.join(self.path, name))
+                except OSError:
+                    pass
+
     def commit(self, messages):
-        committed = []
+        committed: dict = {}  # final_name -> rows from the winning attempt
         for m in messages:
-            for final_name, tmp in m.files:
+            for final_name, tmp, rows in m.files:
                 # one winner per final file; duplicate-attempt temps of an
-                # already-committed file are dropped below
+                # already-committed file are dropped below (O(1) lookups —
+                # a repo-catalog write can commit 100k+ per-script files)
                 if final_name not in committed and os.path.exists(tmp):
                     os.replace(tmp, os.path.join(self.path, final_name))
-                    committed.append(final_name)
+                    committed[final_name] = rows
                 elif os.path.exists(tmp):
                     os.remove(tmp)
+        self._sweep_orphans()
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(
                 json.dumps(
                     {
-                        "rows": sum(m.n_rows for m in messages),
+                        # only winners count: a retried partition's rows are
+                        # on disk exactly once, so the manifest says so
+                        "rows": sum(committed.values()),
                         "files": sorted(committed),
                     }
                 )
             )
 
     def abort(self, messages):
-        # drop every staged temp from attempts that did report in; stray
-        # temps from dead attempts are ignored by readers (dot-prefixed)
+        # drop every staged temp from attempts that did report in, then
+        # sweep stray temps from dead attempts (unbounded leak otherwise)
         for m in messages:
-            for _final, tmp in m.files:
+            for _final, tmp, _rows in m.files:
                 if os.path.exists(tmp):
                     os.remove(tmp)
+        self._sweep_orphans()
 
 
 class LineageJsonDataSource(DataSource):

@@ -60,12 +60,29 @@ def test_writer_stages_temps_and_commit_renames_one_winner(tmp_path):
     assert len(lines) == 2
     success = json.loads(open(os.path.join(out, "_SUCCESS")).read())
     assert sorted(success["files"]) == ["s1.json", "s2.json"]
+    # the manifest counts only the WINNING attempts' rows: 2 (s1 from msg1)
+    # + 1 (s2 from msg1); the speculative retry's 1 row is not double-counted
+    assert success["rows"] == 3
+
+
+def test_writer_commit_sweeps_orphaned_temps(tmp_path):
+    # an attempt that dies before reporting leaves a temp no message
+    # references; commit() must sweep it after the barrier
+    out = str(tmp_path)
+    w = LineageJsonWriter({"path": out})
+    msg = _write_rows(w, [{"script_name": "s1", "edge": "a"}])
+    orphan = os.path.join(out, "._tmp.s9.json.deadbeef0000")
+    open(orphan, "w").write("{}\n")
+    w.commit([msg])
+    assert sorted(os.listdir(out)) == ["_SUCCESS", "s1.json"]
 
 
 def test_writer_abort_removes_staged_temps(tmp_path):
     out = str(tmp_path)
     w = LineageJsonWriter({"path": out})
     msg = _write_rows(w, [{"script_name": "s1", "edge": "a"}])
+    orphan = os.path.join(out, "._tmp.s9.json.deadbeef0000")
+    open(orphan, "w").write("{}\n")
     w.abort([msg])
     assert os.listdir(out) == []
 
