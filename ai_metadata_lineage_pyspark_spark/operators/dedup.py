@@ -604,16 +604,97 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _min_label_components(pairs)
 
 
-@register("neardup_components_capped", oracle=None)  # rows-only: capped recall
+def _capped_components_oracle(cap: int) -> str:
+    """DuckDB replay of the CAPPED pair generator + component closure.
+
+    The capped operator's semantics are deterministic and fully
+    SQL-expressible — buckets (band_key -> sorted distinct ids), clique
+    emission for buckets <= cap, star emission (min id vs the rest) above
+    it, Jaccard verification, recursive reachability closure — so the
+    capped path gets a real hash-checked oracle on ARBITRARY inputs, not
+    just the clique-pure slice where star == clique. (The honest caveat
+    stands: capped components may SPLIT borderline clusters relative to
+    `neardup_components`; this oracle checks the capped semantics against
+    themselves, not against the exact operator.)
+    """
+    return f"""
+    WITH RECURSIVE {_PAIRS_SQL_CTES},
+    buckets AS (
+      SELECT band, band_key, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM bands GROUP BY band, band_key
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    small AS (
+      SELECT band, band_key, unnest(ids) AS d FROM buckets WHERE len(ids) <= {cap}
+    ),
+    clique_c AS (
+      SELECT x.d AS doc_a, y.d AS doc_b
+      FROM small x JOIN small y
+        ON x.band = y.band AND x.band_key = y.band_key AND x.d < y.d
+    ),
+    star_c AS (
+      SELECT ids[1] AS doc_a, unnest(ids[2:]) AS doc_b
+      FROM buckets WHERE len(ids) > {cap}
+    ),
+    cand_c AS (
+      SELECT DISTINCT doc_a, doc_b
+      FROM (SELECT * FROM clique_c UNION ALL SELECT * FROM star_c)
+    ),
+    scored_c AS (
+      SELECT c.doc_a, c.doc_b,
+        len(list_intersect(sa.shingles, sb.shingles)) AS i,
+        len(sa.shingles) + len(sb.shingles) AS ab
+      FROM cand_c c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    pairs_c AS (
+      SELECT doc_a, doc_b FROM scored_c
+      WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
+    ),
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs_c
+      UNION
+      SELECT doc_b, doc_a FROM pairs_c
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+      FROM reach GROUP BY a
+    )
+    SELECT doc_id, component_id,
+      COUNT(*) OVER (PARTITION BY component_id) AS component_size,
+      doc_id = component_id AS is_canonical
+    FROM comp
+    """
+
+
+@register("neardup_components_capped", oracle=_capped_components_oracle(_BUCKET_CAP))
 def neardup_components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB components path: same min-label propagation, but over
     `lsh_pairs_capped` edges — oversized LSH buckets contribute O(k) star
     edges instead of an O(k²) clique (see ARTIFACTS/r04_skew_probe.md).
-    Rows-only by design: for non-transitive borderline clusters the capped
-    edge set may split components the exact operator merges;
+    Hash-checked against a DuckDB replay of the SAME capped semantics
+    (_capped_components_oracle); capped components may still split
+    borderline clusters relative to the exact `neardup_components` —
     tests/test_decontam_components.py pins equality on true-duplicate
     clusters, where star and clique produce identical components."""
     pairs = lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
+    return _min_label_components(pairs)
+
+
+@register("neardup_components_star", oracle=_capped_components_oracle(2))
+def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-branch exerciser: the capped path with bucket_cap=2, so every
+    LSH bucket of 3+ docs takes the O(k) star route even at fixture scale
+    (the default cap of {_BUCKET_CAP} never triggers on test data). The
+    oracle replays the identical cap-2 semantics, making the star topology
+    itself hash-checked by the driver rather than only pytest-pinned."""
+    pairs = lsh_pairs_capped(spark, sf_dir, bucket_cap=2).select("doc_a", "doc_b")
     return _min_label_components(pairs)
 
 

@@ -31,13 +31,13 @@ def test_entry_views_match_registry():
 
 # Queries that are rows-only BY DESIGN (oracle=None): sketch-backed approx
 # variants whose answers are accuracy-bounded rather than bit-reproducible
-# (error bounds pinned in tests/test_approx.py), and the capped-recall
-# components path (parity pinned in tests/test_decontam_components.py).
+# (error bounds pinned in tests/test_approx.py). The capped components path
+# graduated to a full hash-check in r05 via a DuckDB replay of its own
+# capped star/clique semantics (_capped_components_oracle).
 # Anything else missing an oracle is a bug.
 ROWS_ONLY_BY_DESIGN = {
     "table_profile_approx",
     "customer_value_deciles_approx",
-    "neardup_components_capped",
 }
 
 
