@@ -45,16 +45,29 @@ _SQL_HEX2 = (
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real image decode — requires pillow, which this environment does not
-    ship. Integration point: replace the deterministic fake in
-    `image_meta_extract`'s mapInPandas stage with PIL.Image.open(BytesIO(b))
-    and emit true (width, height, mode). The Spark-side contract (schema,
-    batching, partitioning) is identical either way.
+    """Real image decode behind the codec import gate.
+
+    When pillow is installed this returns the TRUE (width, height, channels)
+    of the encoded image; in a codec-less environment it raises
+    NotImplementedError and `image_meta_extract` runs the deterministic
+    stand-in instead. The Spark-side contract (schema, Arrow batching,
+    partitioning) is identical either way — tests/test_codec_parity.py
+    drives real PNG bytes through the same mapInPandas seam wherever PIL
+    exists, so the decode branch is covered-for-free on codec-equipped
+    clusters (same treatment as the Delta parity hook).
     """
-    raise NotImplementedError(
-        "image decoding requires pillow; this environment stubs the codec "
-        "step — see image_meta_extract for the deterministic stand-in"
-    )
+    try:
+        from io import BytesIO
+
+        from PIL import Image
+    except ImportError as e:  # codec-less sandbox: documented stub seam
+        raise NotImplementedError(
+            "image decoding requires pillow; this environment stubs the "
+            "codec step — see image_meta_extract for the deterministic "
+            "stand-in and tests/test_codec_parity.py for the real-decode hook"
+        ) from e
+    with Image.open(BytesIO(payload)) as im:
+        return {"width": im.width, "height": im.height, "channels": len(im.getbands())}
 
 
 def with_payload(docs: DataFrame) -> DataFrame:
@@ -145,6 +158,41 @@ def _decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "batch_size": len(pdf),
             }
         )
+
+
+def _real_decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The REAL decoder over the identical mapInPandas seam: same input
+    columns (doc_id, payload), same _IMAGE_META_SCHEMA output, but width/
+    height/channels come from decode_image (PIL) instead of the md5-derived
+    stand-in. Executor-side import of PIL, exactly like a production decode
+    stage — the driver never needs the codec."""
+    for pdf in batches:
+        payloads = [bytes(b) for b in pdf["payload"]]
+        metas = [decode_image(b) for b in payloads]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in payloads],
+                "content_hash": [hashlib.md5(b).hexdigest() for b in payloads],
+                "width": [m["width"] for m in metas],
+                "height": [m["height"] for m in metas],
+                "channels": [m["channels"] for m in metas],
+                "batch_size": len(pdf),
+            }
+        )
+
+
+def image_meta_extract_decoded(images: DataFrame) -> DataFrame:
+    """image_meta_extract's decode stage with the real codec: `images` is
+    any DataFrame with (doc_id long, payload binary) where payload holds
+    real encoded image bytes. Used by the codec parity hook; a production
+    pipeline would call this directly on its binary-column manifest."""
+    meta = images.select("doc_id", "payload").mapInPandas(
+        _real_decode_batches, schema=_IMAGE_META_SCHEMA
+    )
+    return meta.select(
+        "doc_id", "n_bytes", "content_hash", "width", "height", "channels"
+    )
 
 
 _IMAGE_META_ORACLE = f"""
