@@ -279,6 +279,16 @@ class EventsReplayStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.path = options["path"]
         self.slice_parts = int(options.get("sliceParts", "4"))
+        # maxRowsPerBatch bounds each micro-batch's admission (the
+        # maxFilesPerTrigger analogue for this row-offset source): unset ->
+        # the whole file is one batch (availableNow parity path); set -> the
+        # offset advances incrementally per trigger, so a continuous-trigger
+        # query replays the file across REAL multiple micro-batches with
+        # cross-batch state evolution (tests/test_streaming.py pins per-batch
+        # parity against the batch prefix shadow).
+        mrb = options.get("maxRowsPerBatch")
+        self.max_rows = int(mrb) if mrb is not None else None
+        self.pos = 0
         import pyarrow.parquet as pq
 
         self.total = pq.ParquetFile(self.path).metadata.num_rows
@@ -287,8 +297,13 @@ class EventsReplayStreamReader(DataSourceStreamReader):
         return {"idx": 0}
 
     def latestOffset(self) -> dict:
-        # a live source would poll upstream here
-        return {"idx": self.total}
+        # a live source would poll upstream here; with a batch-size bound we
+        # admit at most max_rows new rows per trigger (monotone even if the
+        # engine probes latestOffset more than once per batch)
+        if self.max_rows is None:
+            return {"idx": self.total}
+        self.pos = min(self.pos + self.max_rows, self.total)
+        return {"idx": self.pos}
 
     def partitions(self, start: dict, end: dict):
         s, e = start["idx"], min(end["idx"], self.total)

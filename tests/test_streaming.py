@@ -69,3 +69,137 @@ def test_watermark_finalizes_windows_and_drops_late_rows(spark, tmp_path):
     # 11:05 + 11:10; the late 09:30 row was dropped (no (9, 1) row) and
     # 12:10's window is not yet finalizable
     assert rows == {(10, 2), (11, 2)}
+
+
+def _await_rows(snapshots, target, q, timeout_s=120):
+    """Wait until the latest complete-mode snapshot accounts for `target`
+    input rows, then stop the query."""
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        if snapshots and sum(e for e, _ in snapshots[-1][1].values()) >= target:
+            break
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+
+def test_custom_source_multi_batch_replay(spark):
+    """VERDICT r04 next-step #6: streaming_replay_counts' source driven
+    through REAL incremental micro-batches (maxRowsPerBatch), with the
+    aggregate state after EVERY batch asserted equal to the batch shadow
+    over the row prefix admitted so far — not just final-state parity."""
+    import pyarrow.parquet as pq
+
+    from ai_metadata_lineage_pyspark_spark.sources.pydatasource import (
+        EventsReplayDataSource,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    max_rows = (total + 4) // 5  # ~5 micro-batches
+
+    spark.dataSource.register(EventsReplayDataSource)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("maxRowsPerBatch", str(max_rows))
+        .load()
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"), F.sum("user_id").alias("sum_user_ids")
+    )
+
+    snapshots: list[tuple[int, dict]] = []
+
+    def capture(bdf, bid: int) -> None:
+        snapshots.append(
+            (bid, {r["event_type"]: (r["events"], r["sum_user_ids"]) for r in bdf.collect()})
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(capture)
+        .outputMode("complete")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    _await_rows(snapshots, total, q)
+
+    assert len(snapshots) >= 3, f"expected >=3 micro-batches, got {len(snapshots)}"
+    # prefix shadow: the source admits rows in file order, so after a batch
+    # whose state covers n rows, the state must equal a batch groupBy over
+    # the FIRST n rows of the parquet file
+    pdf = pq.read_table(path, columns=["user_id", "event_type"]).to_pandas()
+    seen = -1
+    for _bid, snap in snapshots:
+        n = sum(e for e, _ in snap.values())
+        assert n > seen, "complete-mode state must grow monotonically"
+        seen = n
+        prefix = pdf.iloc[:n]
+        expected = {
+            et: (int(g["user_id"].size), int(g["user_id"].sum()))
+            for et, g in prefix.groupby("event_type")
+        }
+        assert snap == expected, f"state after {n} rows diverges from batch shadow"
+    assert seen == total  # every row arrived exactly once
+
+
+def test_session_window_multi_batch_state_evolution(spark, tmp_path):
+    """Watermarked session_window across 3 file-source micro-batches:
+    after every batch, complete-mode session state equals the batch-mode
+    session computation over the files admitted so far — including a
+    session that MERGES when a later batch bridges the gap."""
+    src = str(tmp_path / "sess_src")
+    os.makedirs(src)
+    t = lambda h, m: datetime(2026, 1, 1, h, m, 0)  # noqa: E731
+    now = time.time()
+
+    batches = [
+        # batch 0: u1 has two sessions-to-be (09:00 and 10:30), u2 one
+        [(t(9, 0), 1), (t(10, 30), 1), (t(9, 10), 2)],
+        # batch 1: 09:20 extends u1's first session; u2 gets a second session
+        [(t(9, 20), 1), (t(11, 0), 2)],
+        # batch 2: 10:05 is 45 min past 09:20 (no merge with the morning
+        # session) but 25 min before 10:30 -> it EXTENDS the 10:30 session
+        # backward, re-keying that session's start to 10:05
+        [(t(10, 5), 1)],
+    ]
+    for i, rows in enumerate(batches):
+        _write_batch(spark, rows, src, now - 100 + 30 * i)
+
+    events = (
+        spark.readStream.schema("ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withWatermark("ts", "30 minutes")
+    )
+    sessions = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("events"))
+        .select("user_id", F.hour("w.start").alias("start_h"),
+                F.minute("w.start").alias("start_m"), "events")
+    )
+
+    snapshots: list[tuple[int, set]] = []
+
+    def capture(bdf, bid: int) -> None:
+        snapshots.append((bid, {tuple(r) for r in bdf.collect()}))
+
+    q = (
+        sessions.writeStream.foreachBatch(capture)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    assert len(snapshots) == 3, f"expected 3 micro-batches, got {len(snapshots)}"
+    expected_by_batch = [
+        # (user_id, start_h, start_m, events)
+        {(1, 9, 0, 1), (1, 10, 30, 1), (2, 9, 10, 1)},
+        {(1, 9, 0, 2), (1, 10, 30, 1), (2, 9, 10, 1), (2, 11, 0, 1)},
+        # 10:05 merges into the 10:30 session (25 min gap), moving its
+        # start; the 09:00 session is untouched (09:20 -> 10:05 is 45 min)
+        {(1, 9, 0, 2), (1, 10, 5, 2), (2, 9, 10, 1), (2, 11, 0, 1)},
+    ]
+    for (bid, got), want in zip(snapshots, expected_by_batch):
+        assert got == want, f"batch {bid}: {got} != {want}"
