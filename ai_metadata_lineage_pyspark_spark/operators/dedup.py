@@ -20,7 +20,7 @@ bit-exact double fold from functions/vectors.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.cache import release_persisted, scoped_persist
@@ -771,4 +771,69 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             cos.alias("cosine"),
         )
         .filter(F.col("cosine") >= _COS_T)
+    )
+
+
+@register(
+    "neardup_canonical_pick",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL_CTES},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+      FROM reach GROUP BY a
+    ),
+    members AS (
+      SELECT c.component_id, c.doc_id, d.n_chars
+      FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY component_id
+                                   ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM members
+    )
+    SELECT m.component_id,
+      CAST(COUNT(*) AS BIGINT) AS component_size,
+      CAST(SUM(m.n_chars) AS BIGINT) AS total_chars,
+      MAX(CASE WHEN r.rn = 1 THEN r.doc_id END) AS canonical_doc,
+      CAST(MAX(CASE WHEN r.rn = 1 THEN r.n_chars END) AS BIGINT) AS canonical_chars
+    FROM members m JOIN ranked r
+      ON r.component_id = m.component_id AND r.doc_id = m.doc_id
+    GROUP BY m.component_id
+    """,
+)
+def neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering in a real dedup pipeline: from each
+    near-dup component, keep the best representative — here the LONGEST
+    member (ties to the smallest doc_id), which is the usual content-rich
+    canonical rule, rather than `neardup_components`' positional min-id
+    canonical.
+
+    Spark shape: the component table (pairs-scale, tiny vs the corpus)
+    joins `documents` on its partitioned key to pull the quality column,
+    one row_number window per component picks the winner, and the rollup
+    is component-keyed with map-side combine. At 100 TB the join is the
+    only corpus-touching stage and it is a semi-join-shaped probe of the
+    doc table by component membership — the corpus never reshuffles."""
+    comps = neardup_components(spark, sf_dir).select("doc_id", "component_id")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    members = comps.join(docs, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc()
+    )
+    ranked = members.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("component_size"),
+        F.sum("n_chars").alias("total_chars"),
+        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
     )

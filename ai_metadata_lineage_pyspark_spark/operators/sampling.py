@@ -183,3 +183,142 @@ def train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# weighted_doc_sample — per-row Bernoulli sampling with a data-dependent
+# keep-rate (importance sampling by document quality proxy).
+# ---------------------------------------------------------------------------
+
+# keep-rate in percent, a pure function of row content: longer docs are
+# kept more aggressively, clamped to [10, 90]. Integer arithmetic only.
+_WEIGHT_RATE = "least(90, greatest(10, n_chars DIV 20))"
+_WEIGHT_RATE_SQL = "least(90, greatest(10, n_chars // 20))"
+
+
+@register(
+    "weighted_doc_sample",
+    oracle=f"""
+    WITH s AS (
+      SELECT source, doc_id, n_chars, {_BUCKET_SQL} AS bucket,
+        {_WEIGHT_RATE_SQL} AS rate
+      FROM documents
+    )
+    SELECT source,
+      COUNT(*) AS n_total,
+      COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled,
+      CAST(SUM(rate) AS BIGINT) AS expected_pct_sum,
+      MIN(doc_id) FILTER (WHERE bucket < rate) AS min_sampled_doc,
+      CAST(SUM(n_chars) FILTER (WHERE bucket < rate) AS BIGINT) AS sampled_chars
+    FROM s
+    GROUP BY source
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance sampling with per-row weights: each doc's keep-rate is a
+    function of its own quality proxy (length), and the keep decision is
+    the same deterministic md5 gate the stratified sampler uses — so the
+    weighted sample is reproducible across engines, partitionings and
+    corpus growth, with zero shuffle for the selection itself.
+    `expected_pct_sum` (the exact integer sum of keep-rates) is the audit
+    column: n_sampled should track expected_pct_sum/100 per source."""
+    docs = load(spark, sf_dir, "documents")
+    s = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(_BUCKET_SPARK).alias("bucket"),
+        F.expr(_WEIGHT_RATE).alias("rate"),
+    )
+    keep = F.col("bucket") < F.col("rate")
+    return s.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+        F.sum("rate").alias("expected_pct_sum"),
+        F.min(F.when(keep, F.col("doc_id"))).alias("min_sampled_doc"),
+        F.sum(F.when(keep, F.col("n_chars"))).alias("sampled_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doc_mixture_schedule — multi-epoch annealed domain-mixture sampling plan
+# (curriculum schedule): per epoch the keep-rate per source rises toward
+# uniform, and each epoch draws an INDEPENDENT deterministic sample (the
+# gate hashes doc_id and epoch together).
+# ---------------------------------------------------------------------------
+
+_MIX_EPOCHS = 3
+# base keep-rate percent per source index (source = 'src<k>'): spreads the
+# 20 fixture sources over five rate tiers. Identical integer expression in
+# both engines.
+_BASE_RATE = "20 + 14 * ({idx} % 5)"
+_EPOCH_ANNEAL = 15  # percentage points added per epoch past the first
+
+_EPOCH_BUCKET_SPARK = (
+    "pmod(cast(conv(substr(md5(concat(cast(doc_id as string), ':', cast(epoch as string))),"
+    " 1, 8), 16, 10) as bigint), 100)"
+)
+_EPOCH_BUCKET_SQL = (
+    "(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(epoch AS VARCHAR)),"
+    " 1, 8))::BIGINT % 100)"
+)
+
+
+@register(
+    "doc_mixture_schedule",
+    oracle=f"""
+    WITH epochs AS (SELECT unnest(range(1, {_MIX_EPOCHS + 1})) AS epoch),
+    s AS (
+      SELECT d.source, d.doc_id, d.n_chars, e.epoch,
+        CAST(substr(d.source, 4) AS BIGINT) AS src_idx
+      FROM documents d CROSS JOIN epochs e
+    ),
+    rated AS (
+      SELECT *,
+        least(100, {_BASE_RATE.format(idx="src_idx")} + {_EPOCH_ANNEAL} * (epoch - 1)) AS rate,
+        {_EPOCH_BUCKET_SQL} AS bucket
+      FROM s
+    )
+    SELECT epoch, source, rate,
+      COUNT(*) AS n_docs,
+      CAST(COUNT(*) * rate // 100 AS BIGINT) AS expected_docs,
+      COUNT(*) FILTER (WHERE bucket < rate) AS n_sampled,
+      CAST(SUM(n_chars) FILTER (WHERE bucket < rate) AS BIGINT) AS sampled_chars
+    FROM rated
+    GROUP BY epoch, source, rate
+    """,
+)
+def doc_mixture_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annealed mixture schedule: epoch 1 samples sources at tiered base
+    rates (domain weighting), later epochs anneal every source toward
+    uniform inclusion — the standard curriculum shape for pre-training data
+    (specialize early epochs, flatten later ones).
+
+    Each (doc, epoch) keep decision hashes doc_id WITH the epoch, so
+    epochs draw independent deterministic samples rather than nested
+    subsets. The plan is a scan × tiny epoch range (a 3-row broadcast-able
+    cross join), one rollup shuffle; no per-epoch corpus re-scan at 100 TB
+    — one pass emits every epoch's allocation."""
+    docs = load(spark, sf_dir, "documents")
+    epochs = spark.range(1, _MIX_EPOCHS + 1).select(F.col("id").alias("epoch"))
+    s = docs.crossJoin(F.broadcast(epochs)).select(
+        "source",
+        "doc_id",
+        "n_chars",
+        "epoch",
+        F.expr("CAST(substr(source, 4) AS BIGINT)").alias("src_idx"),
+    )
+    rated = s.select(
+        "*",
+        F.expr(
+            f"least(100, {_BASE_RATE.format(idx='src_idx')} + {_EPOCH_ANNEAL} * (epoch - 1))"
+        ).alias("rate"),
+        F.expr(_EPOCH_BUCKET_SPARK).alias("bucket"),
+    )
+    keep = F.col("bucket") < F.col("rate")
+    return rated.groupBy("epoch", "source", "rate").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(COUNT(1) * rate DIV 100 AS BIGINT)").alias("expected_docs"),
+        F.count(F.when(keep, 1)).alias("n_sampled"),
+        F.sum(F.when(keep, F.col("n_chars"))).alias("sampled_chars"),
+    )

@@ -319,3 +319,83 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= _TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# kmeans_assign — one deterministic Lloyd assignment step over the
+# embedding corpus (the building block of semantic clustering / coarse
+# IVF codebook training).
+# ---------------------------------------------------------------------------
+
+_KM_K = 8  # centroids = the first K vec_ids (deterministic init)
+
+
+@register(
+    "kmeans_assign",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id < {_KM_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    best AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM scored
+    )
+    SELECT cent_id,
+      CAST(COUNT(*) AS BIGINT) AS n_points,
+      CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS BIGINT) AS sum_cos_micro,
+      round(CAST(SUM(CAST(round(cos * 1000000) AS BIGINT)) AS DOUBLE)
+            / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS avg_cos,
+      MIN(vec_id) AS min_member
+    FROM best WHERE rn = 1
+    GROUP BY cent_id
+    """,
+)
+def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means (spherical / cosine) assignment step with deterministic
+    centroid init (first K vectors by id): every embedding goes to its
+    most-similar centroid; output is the per-cluster census.
+
+    Spark shape: the K-row centroid table broadcasts, assignment is a
+    map-side cross join + K-way max (WindowGroupLimit keeps only the top
+    row per vec_id), and the census is one K-row aggregation with map-side
+    combine — a single scan of the corpus per Lloyd iteration at 100 TB.
+    The full Lloyd loop alternates this step with an element-wise mean
+    reduce per cluster; this registered step is the oracle-able unit
+    (centroid-mean floats are summation-order-dependent, so the iterated
+    loop pins convergence in pytest instead of a SQL oracle).
+    Per-point cosines are quantized to exact integer micro-units BEFORE the
+    cluster sum so the rollup is order-independent and engine-exact."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+    best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    micro = "CAST(round(cos * 1000000) AS BIGINT)"
+    return best.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.expr(micro)).alias("sum_cos_micro"),
+        F.expr(
+            f"round(CAST(SUM({micro}) AS DOUBLE)"
+            " / (CAST(COUNT(1) AS DOUBLE) * 1000000.0), 6)"
+        ).alias("avg_cos"),
+        F.min("vec_id").alias("min_member"),
+    )

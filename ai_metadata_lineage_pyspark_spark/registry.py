@@ -69,6 +69,7 @@ def _ensure_loaded() -> None:
         graph,
         hygiene,
         merge,
+        mining,
         multimodal,
         profile,
         quality,

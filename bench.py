@@ -153,6 +153,27 @@ def main() -> None:
         print(f"# tpch q{qnum} {name}: {n} rows in {tpch_timings[f'q{qnum:02d}_{name}']}s", file=sys.stderr)
         release_persisted()
 
+    # Mining/curation suite (round-5 additions): timed as a SEPARATE metric
+    # so the headline total stays comparable round-over-round against the
+    # round-1 anchor (same query set), while the new surface still gets a
+    # recorded per-round number.
+    mining_suite = [
+        "frequent_pair_mining",
+        "daily_revenue_anomaly",
+        "zorder_layout",
+        "weighted_doc_sample",
+        "doc_mixture_schedule",
+        "kmeans_assign",
+        "neardup_canonical_pick",
+    ]
+    mining_timings: dict[str, float] = {}
+    for name in mining_suite:
+        t0 = time.time()
+        n = registry[name].fn(spark, sf_dir).count()
+        mining_timings[name] = round(time.time() - t0, 3)
+        print(f"# mining {name}: {n} rows in {mining_timings[name]}s", file=sys.stderr)
+        release_persisted()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -162,6 +183,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "mining_suite": {
+                    "metric": "mining_curation_suite_total",
+                    "value": round(sum(mining_timings.values()), 3),
+                    "unit": "sec",
+                    "queries": mining_timings,
+                },
                 "tpch_power_run": {
                     "metric": "tpch_22q_single_stream_total",
                     "value": round(sum(tpch_timings.values()), 3),

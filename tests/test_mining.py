@@ -1,0 +1,197 @@
+"""Unit + plan tests for the round-5 mining/sampling/clustering additions
+(`frequent_pair_mining`, `daily_revenue_anomaly`, `zorder_layout`,
+`weighted_doc_sample`, `doc_mixture_schedule`, `kmeans_assign`,
+`neardup_canonical_pick`). Hash-parity vs DuckDB is covered by the oracle
+gate; these pin the semantic invariants and the physical-plan shapes."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ai_metadata_lineage_pyspark_spark.plans import inspect as I
+from ai_metadata_lineage_pyspark_spark.registry import all_queries
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    qs = all_queries()
+
+    def build(name):
+        return qs[name].fn(spark, sf_dir)
+
+    return build
+
+
+# --- frequent_pair_mining ---------------------------------------------------
+
+
+def test_pair_mining_pairs_are_ordered_and_supported(q):
+    rows = q("frequent_pair_mining").collect()
+    assert rows, "expected at least one frequent pair"
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.support >= 2
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True)
+
+
+def test_pair_mining_plan_has_no_join(q):
+    # the basket-array shape must not contain any join operator: pair
+    # expansion is a map-side array expression, not an items self-join
+    df = q("frequent_pair_mining")
+    plan = I.physical_plan(df)
+    assert "Join" not in plan
+    assert I.partial_aggregate_count(df) >= 2  # basket build + pair count
+
+
+# --- daily_revenue_anomaly --------------------------------------------------
+
+
+def test_anomaly_zscore_is_bounded_and_flags_match(q):
+    rows = q("daily_revenue_anomaly").collect()
+    assert rows
+    for r in rows:
+        if r.zscore is not None:
+            # |z| of one element within a 7-sample window is bounded by
+            # (n-1)/sqrt(n) = 6/sqrt(7) ≈ 2.2678
+            assert abs(r.zscore) <= 2.268
+            assert r.is_spike == (r.zscore > 2.0)
+        else:
+            assert r.is_spike is False
+
+
+def test_anomaly_aggregates_before_window(q):
+    # the window input must be the per-day rollup (partial agg present);
+    # the ordered window over the day series is the post-shuffle stage
+    df = q("daily_revenue_anomaly")
+    assert I.partial_aggregate_count(df) >= 1
+    assert "Window" in I.physical_plan(df)
+
+
+# --- zorder_layout ----------------------------------------------------------
+
+
+def test_zorder_buckets_partition_the_table(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = q("zorder_layout").collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert len(rows) >= 2, "bucket shift should yield multiple buckets"
+    # clustering quality: every bucket's bounding box must be far smaller
+    # than the full 2-D domain (the whole point of the Z-layout)
+    full_area = (
+        (max(r.max_cust for r in rows) - min(r.min_cust for r in rows) + 1)
+        * (max(r.max_day for r in rows) - min(r.min_day for r in rows) + 1)
+    )
+    for r in rows:
+        assert r.bbox_area <= full_area / 2
+
+
+def test_zorder_plan_is_pure_codegen(q):
+    df = q("zorder_layout")
+    plan = I.physical_plan(df)
+    assert "Join" not in plan
+    assert "python" not in plan.lower()  # 32 shift-mask terms, no UDF
+    assert I.shuffle_exchange_count(df) == 1  # only the 64-row rollup
+
+
+# --- weighted_doc_sample / doc_mixture_schedule -----------------------------
+
+
+def test_weighted_sample_tracks_expected_rate(q):
+    rows = q("weighted_doc_sample").collect()
+    assert rows
+    total = sum(r.n_total for r in rows)
+    sampled = sum(r.n_sampled for r in rows)
+    expected = sum(r.expected_pct_sum for r in rows) / 100.0
+    assert 0 < sampled < total
+    # md5 gate is uniform: realized sample within ±30% of the exact
+    # expected mass (loose: fixture is small)
+    assert abs(sampled - expected) <= 0.3 * expected
+
+
+def test_mixture_rates_anneal_upward(q):
+    rows = q("doc_mixture_schedule").collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r.source, {})[r.epoch] = r
+    for source, per_epoch in by_source.items():
+        assert set(per_epoch) == {1, 2, 3}
+        rates = [per_epoch[e].rate for e in (1, 2, 3)]
+        assert rates == sorted(rates), f"{source} rates must be non-decreasing"
+        assert all(r <= 100 for r in rates)
+        # independent per-epoch samples: n_sampled tracks rate direction
+        # in expectation; pin only the hard invariant n_sampled <= n_docs
+        for e in (1, 2, 3):
+            assert per_epoch[e].n_sampled <= per_epoch[e].n_docs
+
+
+def test_mixture_epoch_samples_are_independent(spark, sf_dir):
+    # epoch gates hash (doc_id, epoch): epoch-2 selection must not be a
+    # subset/superset of epoch-1 at equal rates — check the bucket exprs
+    # differ per epoch on a fixed doc
+    from ai_metadata_lineage_pyspark_spark.operators.sampling import (
+        _EPOCH_BUCKET_SPARK,
+    )
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(1).alias("epoch")
+    ).select(F.expr(_EPOCH_BUCKET_SPARK).alias("b1"))
+    df2 = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(2).alias("epoch")
+    ).select(F.expr(_EPOCH_BUCKET_SPARK).alias("b2"))
+    b1 = [r.b1 for r in df.collect()]
+    b2 = [r.b2 for r in df2.collect()]
+    assert b1 != b2
+
+
+# --- kmeans_assign ----------------------------------------------------------
+
+
+def test_kmeans_covers_corpus_and_centroids_self_assign(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = q("kmeans_assign").collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_vecs
+    # every centroid's own vector has cosine 1.0 with itself, so each of
+    # the K clusters is non-empty and contains its centroid id
+    assert len(rows) == 8
+    for r in rows:
+        assert r.min_member <= r.cent_id
+        assert -1.0 <= r.avg_cos <= 1.0
+
+
+def test_kmeans_centroids_are_broadcast(q):
+    # the K-row centroid side must broadcast (BroadcastNestedLoopJoin
+    # BuildRight for a cross join), never a CartesianProduct shuffle
+    df = q("kmeans_assign")
+    plan = I.physical_plan(df)
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
+    assert I.cartesian_product_count(df) == 0
+    # and the per-vector argmax must use the WindowGroupLimit top-1 path
+    assert "WindowGroupLimit" in plan
+
+
+# --- neardup_canonical_pick -------------------------------------------------
+
+
+def test_canonical_pick_chooses_longest_member(q, spark, sf_dir):
+    comps = q("neardup_components")
+    picks = {r.component_id: r for r in q("neardup_canonical_pick").collect()}
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    docs = {r.doc_id: r.n_chars for r in load(spark, sf_dir, "documents").collect()}
+    members: dict[int, list[int]] = {}
+    for r in comps.collect():
+        members.setdefault(r.component_id, []).append(r.doc_id)
+    assert set(picks) == set(members)
+    for cid, docs_in in members.items():
+        p = picks[cid]
+        assert p.component_size == len(docs_in)
+        best = sorted(docs_in, key=lambda d: (-docs[d], d))[0]
+        assert p.canonical_doc == best
+        assert p.canonical_chars == docs[best]
+        assert p.total_chars == sum(docs[d] for d in docs_in)
