@@ -257,3 +257,76 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi_ratio_ppm").desc(), "bigram")
         .limit(_PMI_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# lm_bigram_doc_score — corpus-statistics language-model proxy: score every
+# document by how "ordinary" its adjacent bigrams are in the corpus. The
+# integer analogue of a perplexity filter (low commonality = unusual or
+# garbled text), without any float log() to drift across engines.
+# ---------------------------------------------------------------------------
+
+_LM_UNUSUAL_THRESHOLD = 5  # avg corpus bigram count below this -> flagged
+
+
+@register(
+    "lm_bigram_doc_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    doc_bi AS (
+      SELECT doc_id,
+        unnest(list_transform(generate_series(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i + 1])) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    counts AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_bi FROM doc_bi GROUP BY bigram
+    ),
+    scored AS (
+      SELECT d.doc_id, c.n_bi FROM doc_bi d JOIN counts c ON d.bigram = c.bigram
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      CAST(SUM(n_bi) // COUNT(*) AS BIGINT) AS avg_bigram_count,
+      (SUM(n_bi) // COUNT(*)) < {_LM_UNUSUAL_THRESHOLD} AS is_unusual
+    FROM scored
+    GROUP BY doc_id
+    """,
+)
+def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality scoring from the corpus's own n-gram
+    statistics: each doc's score is the average corpus frequency of its
+    adjacent bigrams — fluent in-distribution text scores high, garbled or
+    out-of-domain text scores low. This is the hygiene-family filter a real
+    curation stack runs where a true LM is too expensive: one pass builds
+    the bigram table, one token-keyed join scores every doc.
+
+    Integer throughout (counts, integer-div average) — no log()/float
+    perplexity, so the score is engine-exact. Plan: adjacent bigrams are
+    row-local array work (corpus-linear), the count table aggregates with
+    map-side combine, and the score join is the same bigram-keyed shuffle
+    shape as TF-IDF — at 100 TB both sides partition by the join key and
+    stop-bigram skew is AQE-handled (bounded by the same vocabulary skew
+    the inverted index documents)."""
+    toks = load(spark, sf_dir, "documents").select(
+        "doc_id", F.expr("split(lower(text), '\\\\s+')").alias("t")
+    )
+    doc_bi = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr("transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i]))")
+            ).alias("bigram"),
+        )
+    )
+    counts = doc_bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi"))
+    scored = doc_bi.join(counts, "bigram")
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.expr("SUM(n_bi) DIV COUNT(1)").alias("avg_bigram_count"),
+        F.expr(f"(SUM(n_bi) DIV COUNT(1)) < {_LM_UNUSUAL_THRESHOLD}").alias("is_unusual"),
+    )

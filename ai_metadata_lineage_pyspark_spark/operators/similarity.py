@@ -399,3 +399,92 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_cos"),
         F.min("vec_id").alias("min_member"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantize_int8 — symmetric per-vector int8 quantization of the
+# embedding column plus the reconstruction-error audit, the compression
+# step an ANN/vector-store pipeline runs before indexing at scale (4x
+# smaller vectors, SIMD-friendly integer dot products).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id, label,
+        list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS scale,
+        embedding::DOUBLE[] AS emb
+      FROM embeddings
+    ),
+    quant AS (
+      SELECT vec_id, label, scale,
+        list_transform(emb, x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qv,
+        emb
+      FROM q WHERE scale > 0
+    ),
+    err AS (
+      SELECT vec_id, label,
+        CAST(list_sum(qv) AS BIGINT) AS q_sum,
+        CAST(list_max(list_transform(qv, v -> abs(v))) AS BIGINT) AS q_max_abs,
+        CAST(list_sum(list_transform(generate_series(1, len(qv)),
+          i -> CAST(floor(abs(emb[i] * 127.0 / scale - qv[i]) * 1000000.0 + 0.5)
+               AS BIGINT))) AS BIGINT) AS err_micro
+      FROM quant
+    )
+    SELECT label,
+      CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      CAST(SUM(q_sum) AS BIGINT) AS sum_quant,
+      CAST(MAX(q_max_abs) AS BIGINT) AS max_abs_quant,
+      CAST(SUM(err_micro) AS BIGINT) AS total_err_micro
+    FROM err
+    GROUP BY label
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization: per vector, scale = max |x|, each
+    element maps to round(x * 127 / scale) ∈ [-127, 127]; output is the
+    per-label audit census (quantized mass, max magnitude — must be 127 —
+    and total reconstruction error in exact micro-units).
+
+    Everything is row-local higher-order array arithmetic in whole-stage
+    codegen — zero shuffle before the label rollup, so the operator is a
+    pure scan at 100 TB (the real pipeline writes the quantized column
+    alongside; the audit aggregate here is what makes it oracle-checkable).
+    round-half-up is spelled floor(x + 0.5) in BOTH engines, and the
+    per-element errors are quantized to exact integer micro-units before
+    any summation, so the census is order-independent and engine-exact."""
+    q = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr(
+            "array_max(transform(embedding, x -> abs(cast(x as double))))"
+        ).alias("scale"),
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+    )
+    quant = q.filter(F.col("scale") > 0).select(
+        "vec_id",
+        "label",
+        "scale",
+        "emb",
+        F.expr(
+            "transform(emb, x -> CAST(floor(x * 127.0D / scale + 0.5D) AS BIGINT))"
+        ).alias("qv"),
+    )
+    err = quant.select(
+        "label",
+        F.expr("aggregate(qv, 0L, (a, v) -> a + v)").alias("q_sum"),
+        F.expr("array_max(transform(qv, v -> abs(v)))").alias("q_max_abs"),
+        F.expr(
+            "aggregate(zip_with(emb, qv, (x, v) ->"
+            " CAST(floor(abs(x * 127.0D / scale - CAST(v AS DOUBLE)) * 1000000.0D + 0.5D)"
+            " AS BIGINT)), 0L, (a, e) -> a + e)"
+        ).alias("err_micro"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("q_sum").alias("sum_quant"),
+        F.max("q_max_abs").alias("max_abs_quant"),
+        F.sum("err_micro").alias("total_err_micro"),
+    )

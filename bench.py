@@ -129,15 +129,30 @@ def main() -> None:
 
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     timings: dict[str, float] = {}
+    steady: dict[str, float] = {}
     for name, q in queries.items():
         t0 = time.time()
         df = q.fn(spark, sf_dir)
         n = df.count()
         timings[name] = round(time.time() - t0, 3)
-        print(f"# {name}: {n} rows in {timings[name]}s", file=sys.stderr)
         # drop this query's persisted intermediates so successive queries
         # don't compete for executor storage memory (scoped release, not
         # clearCache: clearCache silently clears persist flags on live DFs)
+        release_persisted()
+        # second execution of the same query: steady-state plan throughput.
+        # The first-run number above includes this plan's one-time codegen/
+        # Janino/JIT compile, which is a per-HOST constant (it varies ~2x
+        # between sandbox hosts and is irrelevant at cluster scale, where
+        # compile happens once per executor lifetime). Recording both lets a
+        # round-over-round comparison distinguish a genuine plan regression
+        # (steady moves) from host JIT variance (only first-run moves).
+        t0 = time.time()
+        q.fn(spark, sf_dir).count()
+        steady[name] = round(time.time() - t0, 3)
+        print(
+            f"# {name}: {n} rows in {timings[name]}s (steady {steady[name]}s)",
+            file=sys.stderr,
+        )
         release_persisted()
 
     # TPC-H power run: all 22 suite queries sequentially (single stream),
@@ -182,6 +197,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_steady": steady,
+                "steady_total": round(sum(steady.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "mining_suite": {
                     "metric": "mining_curation_suite_total",

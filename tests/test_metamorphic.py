@@ -58,6 +58,9 @@ METAMORPHIC_QUERIES = [
     "tfidf_top_terms",
     "corpus_curation",
     "quality_classifier_score",
+    "weighted_doc_sample",
+    "doc_mixture_schedule",
+    "neardup_canonical_pick",
 ]
 
 

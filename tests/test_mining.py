@@ -195,3 +195,47 @@ def test_canonical_pick_chooses_longest_member(q, spark, sf_dir):
         assert p.canonical_doc == best
         assert p.canonical_chars == docs[best]
         assert p.total_chars == sum(docs[d] for d in docs_in)
+
+
+# --- lm_bigram_doc_score ----------------------------------------------------
+
+
+def test_lm_score_covers_all_multiword_docs(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = q("lm_bigram_doc_score").collect()
+    n_docs = (
+        load(spark, sf_dir, "documents")
+        .where("size(split(lower(text), '\\\\s+')) >= 2")
+        .count()
+    )
+    assert len(rows) == n_docs
+    for r in rows:
+        assert r.n_bigrams >= 1
+        assert r.avg_bigram_count >= 1  # every bigram occurs at least once
+        assert r.is_unusual == (r.avg_bigram_count < 5)
+
+
+# --- embedding_quantize_int8 ------------------------------------------------
+
+
+def test_quantize_census_is_sane(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = q("embedding_quantize_int8").collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    dim = 64
+    for r in rows:
+        # max element of every vector quantizes to exactly +/-127
+        assert r.max_abs_quant == 127
+        # rounding error is < 0.5 ulp per element -> < 0.5e6 micro-units
+        assert r.total_err_micro < r.n_vecs * dim * 500_000
+
+
+def test_quantize_plan_is_shuffle_minimal(q):
+    from ai_metadata_lineage_pyspark_spark.plans import inspect as I
+
+    df = q("embedding_quantize_int8")
+    assert I.shuffle_exchange_count(df) == 1  # only the label rollup
+    assert "Join" not in I.physical_plan(df)
