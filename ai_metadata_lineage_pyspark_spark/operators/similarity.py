@@ -31,22 +31,31 @@ from ..registry import register
 _TOP_K = 10
 _QUERY_MOD = 50  # vec_id % 50 == 0 -> query set (~2% of corpus)
 
+# exact brute-force top-k CTE chain, shared by the cosine_topk oracle and
+# the ann_recall_eval oracle (which uses it as ground truth)
+_EXACT_TOPK_CTES = f"""
+    ex_q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    ex_scored AS (
+      SELECT ex_q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        list_cosine_similarity(ex_q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
+      FROM ex_q JOIN embeddings c ON ex_q.vec_id <> c.vec_id
+    ),
+    ex_ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM ex_scored
+    ),
+    exact_topk AS (
+      SELECT query_id, neighbor_id, cosine, rank FROM ex_ranked WHERE rank <= {_TOP_K}
+    )
+"""
+
 
 @register(
     "cosine_topk",
     oracle=f"""
-    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
-    scored AS (
-      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
-      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id
-    ),
-    ranked AS (
-      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
-                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
-      FROM scored
-    )
-    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+    WITH {_EXACT_TOPK_CTES}
+    SELECT query_id, neighbor_id, cosine, rank FROM exact_topk
     """,
     bench=True,
 )
@@ -153,16 +162,14 @@ _bucket_sql = lsh_bucket_sql
 _IVF_CENT_MOD = 100  # vec_id % 100 == 0 -> centroid set (~1% of corpus)
 _NPROBE = 2
 
-
-@register(
-    "ivf_topk",
-    bench=True,
-    oracle=f"""
-    WITH cent AS (
+# IVF ANN CTE chain, shared by the ivf_topk oracle and the ann_recall_eval
+# oracle (which measures its recall against the exact chain)
+_IVF_TOPK_CTES = f"""
+    cent AS (
       SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
       WHERE vec_id % {_IVF_CENT_MOD} = 0
     ),
-    scored AS (
+    ivf_scored AS (
       SELECT e.vec_id, cent.cent_id,
         list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) AS cos
       FROM embeddings e, cent
@@ -170,7 +177,7 @@ _NPROBE = 2
     ranked_cells AS (
       SELECT vec_id, cent_id,
         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
-      FROM scored
+      FROM ivf_scored
     ),
     assigned AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rn = 1),
     probes AS (
@@ -189,12 +196,24 @@ _NPROBE = 2
       JOIN embeddings q ON q.vec_id = c.query_id
       JOIN embeddings n ON n.vec_id = c.neighbor_id
     ),
-    ranked AS (
+    ivf_ranked AS (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM pair_scores
+    ),
+    ivf_topk_res AS (
+      SELECT query_id, neighbor_id, cell, cosine, rank
+      FROM ivf_ranked WHERE rank <= {_TOP_K}
     )
-    SELECT query_id, neighbor_id, cell, cosine, rank FROM ranked WHERE rank <= {_TOP_K}
+"""
+
+
+@register(
+    "ivf_topk",
+    bench=True,
+    oracle=f"""
+    WITH {_IVF_TOPK_CTES}
+    SELECT query_id, neighbor_id, cell, cosine, rank FROM ivf_topk_res
     """,
 )
 def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -488,3 +507,186 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("q_max_abs").alias("max_abs_quant"),
         F.sum("err_micro").alias("total_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ann_recall_eval — index-quality monitoring: recall@k of the IVF ANN path
+# against the exact brute-force ground truth, per query. The evaluation
+# loop every production ANN deployment runs when (re)tuning nprobe/nlist.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_recall_eval",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTES},
+    {_IVF_TOPK_CTES}
+    SELECT e.query_id,
+      CAST(COUNT(*) AS BIGINT) AS n_exact,
+      CAST(COUNT(i.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(i.neighbor_id) * 100 // COUNT(*) AS BIGINT) AS recall_pct
+    FROM exact_topk e
+    LEFT JOIN ivf_topk_res i
+      ON i.query_id = e.query_id AND i.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{10} of `ivf_topk` measured against `cosine_topk`
+    ground truth — the operator behind an ANN index-tuning dashboard
+    (raise nprobe until recall_pct clears the SLO, then stop paying for
+    more probes).
+
+    Spark shape: both sides are the already-registered plans; the
+    evaluation itself is a (query_id, neighbor_id) equi-join of two
+    top-k-sized tables (|Q|·k rows each — trivially small relative to the
+    corpus at any scale) and one query-keyed rollup. Integer recall
+    percentage (hits*100 // k) keeps the output engine-exact."""
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        F.expr("CAST(COUNT(hit) * 100 DIV COUNT(1) AS BIGINT)").alias("recall_pct"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# kmeans_iterate — a FULL deterministic Lloyd round: assign -> centroid
+# update -> reassign, with the centroid mean computed in exact integer
+# micro-units so the updated centroids (and therefore the second
+# assignment) are bit-identical across engines and partitionings.
+# ---------------------------------------------------------------------------
+
+_KM_DIM = 64
+_KM_MICRO = 1_000_000
+
+
+@register(
+    "kmeans_iterate",
+    oracle=f"""
+    WITH emb AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb,
+        list_transform(embedding::DOUBLE[],
+                       x -> CAST(round(x * {_KM_MICRO}) AS BIGINT)) AS mi
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cent_id, emb AS c_emb FROM emb WHERE vec_id < {_KM_K}),
+    s1 AS (
+      SELECT e.vec_id, c.cent_id, e.mi,
+        list_cosine_similarity(e.emb, c.c_emb) AS cos
+      FROM emb e CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, mi, cent_id AS cell FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM s1
+      ) WHERE rn = 1
+    ),
+    dims AS (
+      SELECT a.cell, t.d, CAST(SUM(a.mi[t.d]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM a1 a CROSS JOIN (SELECT unnest(generate_series(1, {_KM_DIM})) AS d) t
+      GROUP BY a.cell, t.d
+    ),
+    c1 AS (
+      SELECT cell AS cent_id,
+        list_transform(list(CAST(s // n AS BIGINT) ORDER BY d),
+                       v -> CAST(v AS DOUBLE) / {_KM_MICRO}.0) AS c_emb
+      FROM dims GROUP BY cell
+    ),
+    s2 AS (
+      SELECT e.vec_id, c.cent_id,
+        list_cosine_similarity(e.emb, c.c_emb) AS cos
+      FROM emb e CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT vec_id, cent_id, cos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM s2
+      ) WHERE rn = 1
+    )
+    SELECT cent_id,
+      CAST(COUNT(*) AS BIGINT) AS n_points,
+      CAST(SUM(CAST(round(cos * {_KM_MICRO}) AS BIGINT)) AS BIGINT) AS sum_cos_micro,
+      MIN(vec_id) AS min_member
+    FROM a2
+    GROUP BY cent_id
+    """,
+)
+def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One complete Lloyd iteration, engine-exact: assignment to the K
+    deterministic seed centroids, centroid UPDATE as an element-wise mean
+    in exact integer micro-units (each coordinate quantized to 1e-6 before
+    summation, integer-divided by the member count), then the second
+    assignment against the updated centroids. Demonstrates that the
+    iterated form of `kmeans_assign` — normally un-oracle-able because
+    float centroid means are summation-order-dependent — becomes fully
+    hash-checkable once the reduce is integer.
+
+    Spark shape per iteration: broadcast K centroids; argmax via
+    WindowGroupLimit; the centroid update aggregates {_KM_DIM} integer sums
+    per cluster with map-side combine (shuffle carries K×{_KM_DIM} longs —
+    constant, corpus-independent); the new centroid table is K rows built
+    on the driver side of the plan and re-broadcast. At 100 TB every
+    iteration is one corpus scan + one constant-size shuffle, the canonical
+    distributed-k-means shape."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> cast(x as double))").alias("emb"),
+        F.expr(
+            f"transform(embedding, x -> CAST(round(cast(x as double) * {_KM_MICRO}) AS BIGINT))"
+        ).alias("mi"),
+    )
+    c0 = F.broadcast(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cent_id"), F.col("emb").alias("c_emb")
+        )
+    )
+    s1 = emb.crossJoin(c0).select(
+        "vec_id", "cent_id", "mi", F.expr(_km_cos("emb", "c_emb")).alias("cos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+    a1 = (
+        s1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "mi", F.col("cent_id").alias("cell"))
+    )
+    # element-wise integer mean: 64 explicit SUM aggregates (map-side
+    # combined; the shuffle carries K rows x 64 longs, nothing data-sized)
+    dim_sums = a1.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.expr(f"mi[{d}]")).alias(f"s{d}") for d in range(_KM_DIM)],
+    )
+    c1 = F.broadcast(
+        dim_sums.select(
+            F.col("cell").alias("cent_id"),
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"CAST(s{d} DIV n AS DOUBLE) / {_KM_MICRO}.0D" for d in range(_KM_DIM)
+                )
+                + ")"
+            ).alias("c_emb"),
+        )
+    )
+    s2 = emb.crossJoin(c1).select(
+        "vec_id", "cent_id", F.expr(_km_cos("emb", "c_emb")).alias("cos")
+    )
+    a2 = s2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return a2.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.sum(F.expr(f"CAST(round(cos * {_KM_MICRO}) AS BIGINT)")).alias("sum_cos_micro"),
+        F.min("vec_id").alias("min_member"),
+    )
+
+
+def _km_cos(a: str, b: str) -> str:
+    """Cosine over two DOUBLE arrays via the shared bit-exact folds."""
+    from ..functions.vectors import cosine_expr
+
+    return cosine_expr(a, b)

@@ -239,3 +239,31 @@ def test_quantize_plan_is_shuffle_minimal(q):
     df = q("embedding_quantize_int8")
     assert I.shuffle_exchange_count(df) == 1  # only the label rollup
     assert "Join" not in I.physical_plan(df)
+
+
+# --- ann_recall_eval / kmeans_iterate ---------------------------------------
+
+
+def test_ann_recall_is_complete_and_bounded(q):
+    rows = q("ann_recall_eval").collect()
+    exact_queries = {r.query_id for r in q("cosine_topk").collect()}
+    assert {r.query_id for r in rows} == exact_queries
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hits <= r.n_exact
+        assert r.recall_pct == r.n_hits * 100 // r.n_exact
+
+
+def test_kmeans_iterate_improves_objective(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    step1 = q("kmeans_assign").collect()
+    step2 = q("kmeans_iterate").collect()
+    n_vecs = load(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in step2) == n_vecs
+    # Lloyd monotonicity: moving centroids to their members' mean cannot
+    # decrease the total assignment similarity (allow tiny slack for the
+    # integer micro-quantization of the updated centroids)
+    obj1 = sum(r.sum_cos_micro for r in step1)
+    obj2 = sum(r.sum_cos_micro for r in step2)
+    assert obj2 >= obj1 - n_vecs  # <= 1 micro-unit slack per point

@@ -45,6 +45,15 @@ QUERIES = [
     "corpus_curation",
     "minhash_lsh_pairs",
     "cosine_topk",
+    # round-5 additions that touch the replicated tables (documents /
+    # embeddings): the corpus-statistics LM filter (bigram-keyed join),
+    # the dedup-cluster canonical pick (components + doc join), k-means
+    # assignment (broadcast centroids), and the quantization census
+    # (pure scan) — the four new shapes whose scaling is worth probing.
+    "lm_bigram_doc_score",
+    "neardup_canonical_pick",
+    "kmeans_assign",
+    "embedding_quantize_int8",
 ]
 
 _TABLES = (
