@@ -252,15 +252,29 @@ def _shingle_buckets(spark: SparkSession, sf_dir: str):
         .filter("size(toks) >= 3")
         .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
     )
-    # All 8 signatures as ONE array expression (not 8 projected columns):
-    # the generated code is an order of magnitude smaller, which matters
-    # because codegen compile time is paid per fresh plan. Band keys embed
-    # the band index, so one explode yields the (doc, band_key) stream.
+    buckets = (
+        _band_stream(sh)
+        .groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    return sh, buckets
+
+
+def _band_stream(sh: DataFrame) -> DataFrame:
+    """(doc_id, band_key) stream from the shingle table.
+
+    All 8 signatures as ONE array expression (not 8 projected columns):
+    the generated code is an order of magnitude smaller, which matters
+    because codegen compile time is paid per fresh plan. Band keys embed
+    the band index, so one explode yields the (doc, band_key) stream.
+    Shared by the corpus-internal bucket builder and the incremental
+    (new-batch vs existing-corpus) dedup join."""
     sigs_expr = (
         f"transform(sequence(0, {_N_SIGS - 1}),"
         " j -> array_min(transform(hp, h -> h[0] + j * h[1])))"
     )
-    bands = (
+    return (
         sh.selectExpr("doc_id", f"{_HASH_PAIRS_SPARK} AS hp")
         .selectExpr("doc_id", f"{sigs_expr} AS sigs")
         .selectExpr(
@@ -269,12 +283,6 @@ def _shingle_buckets(spark: SparkSession, sf_dir: str):
             " b -> concat(b, ':', sigs[2 * b], '|', sigs[2 * b + 1]))) AS band_key",
         )
     )
-    buckets = (
-        bands.groupBy("band_key")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    return sh, buckets
 
 
 def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
@@ -837,3 +845,119 @@ def neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
         F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_corpus_dedup — dedup a NEW batch against the EXISTING corpus:
+# the step an ongoing ingestion pipeline runs on every crawl delta, where
+# re-running whole-corpus dedup would rescan 100 TB for a 100 GB batch.
+# ---------------------------------------------------------------------------
+
+_INC_MOD = 5  # doc_id % 5 == 0 -> incoming batch (~20%); rest = corpus
+
+_NORM_HASH_SPARK = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+_NORM_HASH_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+
+@register(
+    "incremental_corpus_dedup",
+    oracle=f"""
+    WITH {_PAIRS_SQL_CTES},
+    inc AS (
+      SELECT doc_id, {_NORM_HASH_SQL} AS h FROM documents
+      WHERE doc_id % {_INC_MOD} = 0
+    ),
+    ex AS (
+      SELECT doc_id, {_NORM_HASH_SQL} AS h FROM documents
+      WHERE doc_id % {_INC_MOD} <> 0
+    ),
+    exact_m AS (
+      SELECT i.doc_id, CAST(COUNT(e.doc_id) AS BIGINT) AS n_exact_dups
+      FROM inc i LEFT JOIN ex e ON e.h = i.h
+      GROUP BY i.doc_id
+    ),
+    cand2 AS (
+      SELECT DISTINCT a.doc_id AS d_in, b.doc_id AS d_ex
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id % {_INC_MOD} = 0 AND b.doc_id % {_INC_MOD} <> 0
+    ),
+    near_m AS (
+      SELECT c.d_in AS doc_id,
+        CAST(COUNT(*) FILTER (
+          WHERE CAST(len(list_intersect(si.shingles, se.shingles)) AS DOUBLE)
+                / (len(si.shingles) + len(se.shingles)
+                   - len(list_intersect(si.shingles, se.shingles)))
+                >= {_JACCARD_T}) AS BIGINT) AS n_near_dups
+      FROM cand2 c
+      JOIN sh si ON si.doc_id = c.d_in
+      JOIN sh se ON se.doc_id = c.d_ex
+      GROUP BY c.d_in
+    )
+    SELECT i.doc_id,
+      COALESCE(x.n_exact_dups, 0) AS n_exact_dups,
+      COALESCE(n.n_near_dups, 0) AS n_near_dups,
+      COALESCE(x.n_exact_dups, 0) = 0 AND COALESCE(n.n_near_dups, 0) = 0 AS is_new
+    FROM inc i
+    LEFT JOIN exact_m x ON x.doc_id = i.doc_id
+    LEFT JOIN near_m n ON n.doc_id = i.doc_id
+    """,
+)
+def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-vs-corpus dedup: every incoming doc is checked for (a) exact
+    duplicates in the existing corpus via the normalized-text hash and
+    (b) near-duplicates via the SAME MinHash band keys the corpus-internal
+    LSH uses, verified with exact shingle Jaccard. Output is the admission
+    record: matches found, and `is_new` (admit iff no match of either kind).
+
+    The 100 TB shape this models: the existing corpus's (band_key ->
+    doc_ids) index and hash set are ALREADY materialized from prior runs,
+    so the incremental join is batch-sized on one side and index-probe-
+    sized on the other — the corpus is never rescanned per delta, and
+    admitted docs append to both indexes for the next batch. Here both
+    sides derive from the one fixture table (split by id) so the whole
+    admission decision is oracle-checkable end-to-end."""
+    release_persisted()
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    hashes = docs.selectExpr("doc_id", f"{_NORM_HASH_SPARK} AS h")
+    is_inc = F.pmod(F.col("doc_id"), F.lit(_INC_MOD)) == 0
+    inc_h = hashes.filter(is_inc)
+    ex_h = hashes.filter(~is_inc).select("h", F.col("doc_id").alias("ex_id"))
+    exact_m = (
+        inc_h.join(ex_h, "h", "left")
+        .groupBy("doc_id")
+        .agg(F.count("ex_id").alias("n_exact_dups"))
+    )
+    sh, _ = _shingle_buckets(spark, sf_dir)
+    bands = _band_stream(sh)
+    cand = (
+        bands.filter(is_inc)
+        .select(F.col("doc_id").alias("doc_a"), "band_key")
+        .join(
+            bands.filter(~is_inc).select(F.col("doc_id").alias("doc_b"), "band_key"),
+            "band_key",
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    near_m = (
+        _verify_pairs(cand, sh)
+        .groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("n_near_dups"))
+        .withColumnRenamed("doc_a", "doc_id")
+    )
+    out = (
+        inc_h.select("doc_id")
+        .join(exact_m, "doc_id", "left")
+        .join(near_m, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_exact_dups", F.lit(0)).alias("n_exact_dups"),
+            F.coalesce("n_near_dups", F.lit(0)).alias("n_near_dups"),
+            (
+                (F.coalesce("n_exact_dups", F.lit(0)) == 0)
+                & (F.coalesce("n_near_dups", F.lit(0)) == 0)
+            ).alias("is_new"),
+        )
+    )
+    return out

@@ -267,3 +267,30 @@ def test_kmeans_iterate_improves_objective(q, spark, sf_dir):
     obj1 = sum(r.sum_cos_micro for r in step1)
     obj2 = sum(r.sum_cos_micro for r in step2)
     assert obj2 >= obj1 - n_vecs  # <= 1 micro-unit slack per point
+
+
+# --- incremental_corpus_dedup -----------------------------------------------
+
+
+def test_incremental_dedup_admission_record(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = {r.doc_id: r for r in q("incremental_corpus_dedup").collect()}
+    docs = load(spark, sf_dir, "documents").collect()
+    incoming = [d for d in docs if d.doc_id % 5 == 0]
+    assert set(rows) == {d.doc_id for d in incoming}
+    for r in rows.values():
+        assert r.is_new == (r.n_exact_dups == 0 and r.n_near_dups == 0)
+    # cross-check exact matches against a driver-side recomputation
+    import re
+
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower()).strip()
+
+    existing_norms = {}
+    for d in docs:
+        if d.doc_id % 5 != 0:
+            existing_norms.setdefault(norm(d.text), 0)
+            existing_norms[norm(d.text)] += 1
+    for d in incoming:
+        assert rows[d.doc_id].n_exact_dups == existing_norms.get(norm(d.text), 0)
