@@ -330,3 +330,76 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("SUM(n_bi) DIV COUNT(1)").alias("avg_bigram_count"),
         F.expr(f"(SUM(n_bi) DIV COUNT(1)) < {_LM_UNUSUAL_THRESHOLD}").alias("is_unusual"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_merge_candidates — the counting step of byte-pair-encoding tokenizer
+# training: adjacent character-pair frequencies over the corpus, weighted
+# by word frequency, computed on the VOCABULARY (distinct words) rather
+# than the raw token stream.
+# ---------------------------------------------------------------------------
+
+_BPE_TOP = 25
+
+
+@register(
+    "bpe_merge_candidates",
+    oracle=f"""
+    WITH words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+      )
+      WHERE word <> '' AND len(word) >= 2
+      GROUP BY word
+    ),
+    char_pairs AS (
+      SELECT substr(w.word, p.i, 2) AS pair, w.n_word
+      FROM words w
+      CROSS JOIN LATERAL (SELECT unnest(generate_series(1, len(w.word) - 1)) AS i) p
+    )
+    SELECT pair,
+      CAST(SUM(n_word) AS BIGINT) AS n_occurrences,
+      CAST(COUNT(*) AS BIGINT) AS n_distinct_words
+    FROM char_pairs
+    GROUP BY pair
+    ORDER BY n_occurrences DESC, pair ASC
+    LIMIT {_BPE_TOP}
+    """,
+)
+def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first merge-selection round of BPE tokenizer training: which
+    adjacent character pair occurs most often across the corpus (weighted
+    by word frequency) — exactly the statistic a tokenizer-fitting job
+    computes over the pre-training corpus before each merge.
+
+    Scale shape: the heavy aggregation (word counts) happens FIRST, so the
+    quadratic-ish character-pair explosion runs over the vocabulary
+    (|V| distinct words, sublinear in corpus size by Heaps' law), not the
+    raw token stream — the same reduce-then-expand trick real BPE trainers
+    use. Pair extraction is a row-local codegen array expression; two
+    token/pair-keyed shuffles with map-side combine; deterministic
+    integer-weighted top-k."""
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"))
+        .where("word <> '' AND length(word) >= 2")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "n_word",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(
+            F.sum("n_word").alias("n_occurrences"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(_BPE_TOP)
+    )

@@ -294,3 +294,18 @@ def test_incremental_dedup_admission_record(q, spark, sf_dir):
             existing_norms[norm(d.text)] += 1
     for d in incoming:
         assert rows[d.doc_id].n_exact_dups == existing_norms.get(norm(d.text), 0)
+
+
+# --- bpe_merge_candidates ---------------------------------------------------
+
+
+def test_bpe_candidates_are_ranked_and_consistent(q):
+    rows = q("bpe_merge_candidates").collect()
+    assert len(rows) == 25
+    occs = [r.n_occurrences for r in rows]
+    assert occs == sorted(occs, reverse=True)
+    for r in rows:
+        assert len(r.pair) == 2
+        # a pair cannot occur in fewer distinct words than once, nor occur
+        # fewer times than the words containing it
+        assert 1 <= r.n_distinct_words <= r.n_occurrences
