@@ -251,3 +251,119 @@ def lang_mix_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("alloc_ppm", F.expr("CAST(w_micro * 1000000 div total_w AS BIGINT)"))
         .select("lang", "n_docs", "n_tokens", "w_micro", "alloc_ppm")
     )
+
+
+# ---------------------------------------------------------------------------
+# perceptron_quality_step — distributed TRAINING of a linear quality probe:
+# two full-batch perceptron epochs over surface features, in exact integer
+# arithmetic (no sigmoid/exp, so no libm drift) — the oracle-able core of
+# fitting the very classifier quality_classifier_score evaluates.
+# ---------------------------------------------------------------------------
+
+# integer surface features per doc: length signal, lexical diversity,
+# volume, bias. Label: is-English (+1/-1) — a weak-supervision probe of
+# whether surface stats separate the dominant language.
+_PCT_FEATS_SPARK = (
+    "n_chars DIV 100",
+    "size(array_distinct(split(lower(text), '\\\\s+')))",
+    "size(split(lower(text), '\\\\s+'))",
+    "1",
+)
+_PCT_FEATS_SQL = (
+    "n_chars // 100",
+    "len(list_distinct(regexp_split_to_array(lower(text), '\\s+')))",
+    "len(regexp_split_to_array(lower(text), '\\s+'))",
+    "1",
+)
+_PCT_LABEL_SPARK = "IF(lang = 'en', 1, -1)"
+_PCT_LABEL_SQL = "CASE WHEN lang = 'en' THEN 1 ELSE -1 END"
+_PCT_NAMES = ("w_len", "w_distinct", "w_tokens", "w_bias")
+
+
+def _pct_oracle() -> str:
+    f = _PCT_FEATS_SQL
+    feats = ",\n        ".join(
+        f"CAST({e} AS BIGINT) AS x{i}" for i, e in enumerate(f)
+    )
+    upd1 = ", ".join(f"CAST(SUM(y * x{i}) AS BIGINT) AS w{i}" for i in range(4))
+    margin = " + ".join(f"w.w{i} * f.x{i}" for i in range(4))
+    upd2 = ", ".join(
+        f"CAST(COALESCE(SUM(y * x{i}) FILTER (WHERE y * ({margin}) <= 0), 0)"
+        f" AS BIGINT) AS u{i}"
+        for i in range(4)
+    )
+    sel_w1 = ", ".join(f"w{i} AS {n}" for i, n in enumerate(_PCT_NAMES))
+    sel_w2 = ", ".join(f"w.w{i} + u.u{i} AS {n}" for i, n in enumerate(_PCT_NAMES))
+    return f"""
+    WITH feats AS (
+      SELECT {_PCT_LABEL_SQL} AS y,
+        {feats}
+      FROM documents
+    ),
+    w1 AS (SELECT {upd1}, CAST(COUNT(*) AS BIGINT) AS n_updates FROM feats),
+    s2 AS (
+      SELECT {upd2},
+        CAST(COUNT(*) FILTER (WHERE y * ({margin}) <= 0) AS BIGINT) AS n_updates
+      FROM feats f CROSS JOIN w1 w
+    )
+    SELECT 1 AS step, n_updates, {sel_w1} FROM w1
+    UNION ALL
+    SELECT 2 AS step, u.n_updates, {sel_w2} FROM w1 w CROSS JOIN s2 u
+    """
+
+
+@register("perceptron_quality_step", oracle=_pct_oracle())
+def perceptron_quality_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two unrolled full-batch perceptron epochs (w0 = 0, so epoch 1's
+    update is the class-weighted feature sum over ALL docs; epoch 2 updates
+    on the docs the epoch-1 weights still misclassify). Everything is
+    BIGINT — feature sums, margins, updates — so the trained weights are
+    bit-identical across engines AND partitionings, which float gradient
+    descent can never be (summation-order-dependent).
+
+    Scale shape per epoch: one corpus scan; the update aggregation is 4
+    integer sums with map-side combine (the shuffle carries ONE row of 4
+    longs); the running weight vector re-enters as a 1-row broadcast cross
+    join. This is exactly how a linear probe / logreg-by-SGD-epoch fits on
+    a 1000-executor cluster — the model state is driver-sized, the data
+    never moves."""
+    f = _PCT_FEATS_SPARK
+    feats = load(spark, sf_dir, "documents").select(
+        F.expr(_PCT_LABEL_SPARK).alias("y"),
+        *[F.expr(f"CAST({e} AS BIGINT)").alias(f"x{i}") for i, e in enumerate(f)],
+    )
+    w1 = feats.agg(
+        *[F.sum(F.expr(f"y * x{i}")).alias(f"w{i}") for i in range(4)],
+        F.count(F.lit(1)).alias("n_updates"),
+    )
+    margin = " + ".join(f"w{i} * x{i}" for i in range(4))
+    miscl = f"y * ({margin}) <= 0"
+    s2 = (
+        feats.crossJoin(F.broadcast(w1))
+        .agg(
+            *[
+                F.coalesce(
+                    F.sum(F.when(F.expr(miscl), F.expr(f"y * x{i}"))), F.lit(0)
+                ).alias(f"u{i}")
+                for i in range(4)
+            ],
+            F.count(F.when(F.expr(miscl), 1)).alias("n2"),
+        )
+    )
+    row1 = w1.select(
+        F.lit(1).alias("step"),
+        "n_updates",
+        *[F.col(f"w{i}").alias(n) for i, n in enumerate(_PCT_NAMES)],
+    )
+    row2 = (
+        w1.crossJoin(s2)
+        .select(
+            F.lit(2).alias("step"),
+            F.col("n2").alias("n_updates"),
+            *[
+                F.expr(f"w{i} + u{i}").alias(n)
+                for i, n in enumerate(_PCT_NAMES)
+            ],
+        )
+    )
+    return row1.unionByName(row2)

@@ -309,3 +309,23 @@ def test_bpe_candidates_are_ranked_and_consistent(q):
         # a pair cannot occur in fewer distinct words than once, nor occur
         # fewer times than the words containing it
         assert 1 <= r.n_distinct_words <= r.n_occurrences
+
+
+# --- perceptron_quality_step ------------------------------------------------
+
+
+def test_perceptron_epochs_update_consistently(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = {r.step: r for r in q("perceptron_quality_step").collect()}
+    assert set(rows) == {1, 2}
+    n_docs = load(spark, sf_dir, "documents").count()
+    # w0 = 0 misclassifies everything (y*0 <= 0), so epoch 1 updates on
+    # every doc and its weights are the full class-weighted feature sums
+    assert rows[1].n_updates == n_docs
+    # epoch 2 can only update on a subset
+    assert 0 <= rows[2].n_updates <= n_docs
+    # weights stay integral and epoch-2 weights differ from epoch-1 iff
+    # any update happened
+    if rows[2].n_updates == 0:
+        assert (rows[2].w_len, rows[2].w_bias) == (rows[1].w_len, rows[1].w_bias)
