@@ -63,7 +63,7 @@ def test_oracle_references_only_known_tables():
         ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?\s+AS\s*\(", sql, re.I))
         refs = set(re.findall(r"(?:FROM|JOIN)\s+(\w+)", sql, re.I))
         # table functions are valid FROM/JOIN targets, not tables
-        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet", "generate_series", "read_text"}
+        unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet", "generate_series", "read_text", "lateral", "LATERAL"}
         # inline VALUES produce derived tables aliased AS t(...): FROM (VALUES...)
         assert not unknown, f"{name}: unknown tables {unknown}"
 
