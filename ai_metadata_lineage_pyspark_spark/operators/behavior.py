@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.io import load
+from ..functions.io import load, load_events
 from ..registry import register
 
 
@@ -124,4 +124,66 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "n_users",
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# event_transition_matrix — first-order Markov transition counts over each
+# user's time-ordered event stream: the behavioral-analytics statistic
+# behind next-action prediction, funnel design, and bot detection.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+        LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id)
+          AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type, event_type AS next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, n,
+      CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
+        AS prob_ppm
+    FROM trans
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev event → next event) counts and integer-ppm transition
+    probabilities per source state, from each user's time-ordered stream
+    (ties broken by event_id, matching the oracle exactly).
+
+    Scale shape: ONE user-keyed shuffle for the lag window (the same
+    partitioning every per-user operator in this engine reuses), then a
+    transition-keyed rollup whose cardinality is |event_types|² —
+    constant, so the second shuffle carries a handful of rows regardless
+    of corpus size. The ppm normalization windows over that constant-size
+    table, never the fact table."""
+    from pyspark.sql import Window as W
+
+    ev = load_events(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ordered = ev.select(
+        "user_id", "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wp = W.partitionBy("prev_type")
+    return trans.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr("CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)").alias(
+            "prob_ppm"
+        ),
     )

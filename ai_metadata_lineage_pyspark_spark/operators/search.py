@@ -403,3 +403,99 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
         .limit(_BPE_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# lexical_search_topk — keyword retrieval: integer-exact TF-IDF scoring of
+# a fixed query set against the corpus, top-k docs per query. The lexical
+# half of a hybrid (sparse + dense) retrieval stack; the dense half is
+# similarity.py's cosine_topk/ivf_topk.
+# ---------------------------------------------------------------------------
+
+_SEARCH_QUERIES = ("spark table scan", "hash join merge", "window sort batch")
+_SEARCH_TOP_K = 5
+
+
+def _search_query_values_sql() -> str:
+    return ", ".join(f"({i}, '{q}')" for i, q in enumerate(_SEARCH_QUERIES))
+
+
+@register(
+    "lexical_search_topk",
+    oracle=f"""
+    WITH queries(query_id, qtext) AS (VALUES {_search_query_values_sql()}),
+    qterms AS (
+      SELECT query_id, unnest(regexp_split_to_array(qtext, '\\s+')) AS token
+      FROM queries
+    ),
+    tok AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+    ),
+    scored AS (
+      SELECT q.query_id, t.doc_id,
+        CAST(SUM(t.tf * {_TFIDF_SCALE} // d.df) AS BIGINT) AS score,
+        CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+      FROM qterms q
+      JOIN tok t ON t.token = q.token
+      JOIN df d ON d.token = q.token
+      GROUP BY q.query_id, t.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, doc_id, score, n_matched_terms, rank
+    FROM ranked WHERE rank <= {_SEARCH_TOP_K}
+    """,
+)
+def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse retrieval: score = Σ over matched query terms of
+    tf(term, doc) × SCALE // df(term) — the exact-integer TF-IDF surrogate
+    the TF-IDF profiler already uses, so ranking ties are engine-exact
+    (BM25's log() idf would drift across libms; the integer rational
+    preserves the idf ordering).
+
+    Scale shape: the postings build is the inverted-index shuffle the
+    engine already does; the QUERY side is a handful of rows that
+    broadcast into the postings join, so serving Q queries costs one
+    token-keyed probe of the postings — never a corpus scan per query.
+    WindowGroupLimit prunes to top-k per query before the final sort."""
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_SEARCH_QUERIES)], "query_id INT, qtext STRING"
+    )
+    qterms = queries.select(
+        "query_id", F.explode(F.expr("split(qtext, '\\\\s+')")).alias("token")
+    )
+    tok = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"))
+        .where("token <> ''")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        F.broadcast(qterms)
+        .join(tok, "token")
+        .join(F.broadcast(df.join(F.broadcast(qterms.select("token").distinct()), "token")), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.expr(f"tf * {_TFIDF_SCALE} DIV df")).alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SEARCH_TOP_K)
+    )

@@ -329,3 +329,35 @@ def test_perceptron_epochs_update_consistently(q, spark, sf_dir):
     # any update happened
     if rows[2].n_updates == 0:
         assert (rows[2].w_len, rows[2].w_bias) == (rows[1].w_len, rows[1].w_bias)
+
+
+# --- lexical_search_topk / event_transition_matrix --------------------------
+
+
+def test_lexical_search_ranks_are_dense_per_query(q):
+    rows = q("lexical_search_topk").collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for qid, rs in by_q.items():
+        ranks = sorted(r.rank for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        for r in rs:
+            assert 1 <= r.n_matched_terms <= 3
+            assert r.score > 0
+
+
+def test_transition_matrix_probabilities_normalize(q):
+    rows = q("event_transition_matrix").collect()
+    assert rows
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        total_n = sum(r.n for r in rs)
+        for r in rs:
+            assert r.prob_ppm == r.n * 1_000_000 // total_n
+        # integer-floor ppm sums to <= 1e6 and within |rs| of it
+        s = sum(r.prob_ppm for r in rs)
+        assert 1_000_000 - len(rs) < s <= 1_000_000
