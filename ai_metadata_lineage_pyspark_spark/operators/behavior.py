@@ -187,3 +187,62 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prob_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# customer_ltv_cohorts — acquisition-cohort lifetime value over orders:
+# customers grouped by first-order quarter, revenue accumulated by quarters
+# since acquisition. The revenue-side complement of the event-side
+# user_retention_cohorts.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "customer_ltv_cohorts",
+    oracle="""
+    WITH firsts AS (
+      SELECT o_custkey,
+        MIN(date_trunc('quarter', CAST(o_orderdate AS DATE))) AS cohort_q
+      FROM orders GROUP BY o_custkey
+    ),
+    placed AS (
+      SELECT f.cohort_q,
+        datediff('quarter', f.cohort_q,
+                 date_trunc('quarter', CAST(o.o_orderdate AS DATE))) AS q_since,
+        CAST(floor(o.o_totalprice) AS BIGINT) AS usd
+      FROM orders o JOIN firsts f ON f.o_custkey = o.o_custkey
+    )
+    SELECT CAST(cohort_q AS DATE) AS cohort_q, CAST(q_since AS BIGINT) AS q_since,
+      CAST(COUNT(*) AS BIGINT) AS n_orders,
+      CAST(SUM(usd) AS BIGINT) AS revenue_usd
+    FROM placed
+    GROUP BY cohort_q, q_since
+    """,
+)
+def customer_ltv_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV triangle: (acquisition quarter, quarters since
+    acquisition) -> order count + exact integer dollar revenue.
+
+    Scale shape: the first-order table is a customer-keyed partial-agg
+    rollup; joining it back to orders is the same customer-keyed
+    partitioning, so AQE plans one co-partitioned exchange pair; the final
+    rollup's cardinality is quarters² — constant. Dollar sums are
+    floor-to-BIGINT (order-independent); quarter arithmetic matches
+    DuckDB's date_trunc/datediff('quarter') exactly via month math."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("CAST(date_trunc('quarter', CAST(o_orderdate AS DATE)) AS DATE)").alias("oq"),
+        F.expr("CAST(floor(o_totalprice) AS BIGINT)").alias("usd"),
+    )
+    firsts = orders.groupBy("o_custkey").agg(F.min("oq").alias("cohort_q"))
+    placed = orders.join(firsts, "o_custkey").select(
+        "cohort_q",
+        F.expr(
+            "CAST((year(oq) - year(cohort_q)) * 4 + (quarter(oq) - quarter(cohort_q)) AS BIGINT)"
+        ).alias("q_since"),
+        "usd",
+    )
+    return placed.groupBy("cohort_q", "q_since").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("usd").alias("revenue_usd"),
+    )

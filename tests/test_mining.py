@@ -361,3 +361,21 @@ def test_transition_matrix_probabilities_normalize(q):
         # integer-floor ppm sums to <= 1e6 and within |rs| of it
         s = sum(r.prob_ppm for r in rs)
         assert 1_000_000 - len(rs) < s <= 1_000_000
+
+
+# --- customer_ltv_cohorts ---------------------------------------------------
+
+
+def test_ltv_cohort_triangle_shape(q, spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = q("customer_ltv_cohorts").collect()
+    n_orders = load(spark, sf_dir, "orders").count()
+    assert sum(r.n_orders for r in rows) == n_orders
+    for r in rows:
+        assert r.q_since >= 0
+        assert r.revenue_usd > 0
+    # every cohort has a q_since = 0 cell (the acquisition quarter itself)
+    cohorts = {r.cohort_q for r in rows}
+    zero_cells = {r.cohort_q for r in rows if r.q_since == 0}
+    assert zero_cells == cohorts

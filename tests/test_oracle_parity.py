@@ -27,6 +27,10 @@ FAST_SUBSET = [
     "streaming_click_attribution",  # stream-stream join
     "time_weighted_avg",      # time-series analytics
     "snapshot_diff_cdc",      # CDC reconciliation
+    "frequent_pair_mining",   # pattern mining (round 5)
+    "kmeans_iterate",         # iterative ML, integer-exact Lloyd round
+    "incremental_corpus_dedup",  # batch-vs-corpus dedup
+    "lexical_search_topk",    # sparse retrieval
 ]
 
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
