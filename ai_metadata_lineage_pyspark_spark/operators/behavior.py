@@ -134,9 +134,7 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "event_transition_matrix",
-    oracle="""
+_TRANSITION_ORACLE = """
     WITH ordered AS (
       SELECT user_id, event_type,
         LAG(event_type) OVER (PARTITION BY user_id
@@ -153,8 +151,10 @@ def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(n * 1000000 // SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)
         AS prob_ppm
     FROM trans
-    """,
-)
+"""
+
+
+@register("event_transition_matrix", oracle=_TRANSITION_ORACLE)
 def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(prev event → next event) counts and integer-ppm transition
     probabilities per source state, from each user's time-ordered stream

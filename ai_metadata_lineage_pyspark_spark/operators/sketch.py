@@ -167,3 +167,118 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("cell_cnt").alias("cms_estimate"))
         .withColumn("overestimate", F.col("cms_estimate") - F.col("exact_cnt"))
     )
+
+
+# ---------------------------------------------------------------------------
+# kmv_key_overlap — mergeable-sketch SET OPERATIONS: estimate the distinct-
+# key overlap between two tables' join keys from their KMV sketches alone
+# (the query-optimizer / data-discovery primitive: "how joinable are these
+# two datasets?" without running the join).
+# ---------------------------------------------------------------------------
+
+_KOV_H_SPARK = (
+    "cast(conv(substr(md5(cast(key as string)), 1, 8), 16, 10) as double)"
+    " / 4294967296.0"
+)
+_KOV_H_SQL = (
+    "CAST(('0x' || substr(md5(CAST(key AS VARCHAR)), 1, 8))::BIGINT AS DOUBLE)"
+    " / 4294967296.0"
+)
+
+
+@register(
+    "kmv_key_overlap",
+    oracle=f"""
+    WITH a AS (SELECT DISTINCT o_custkey AS key FROM orders),
+    b AS (SELECT DISTINCT c_custkey AS key FROM customer),
+    ha AS (SELECT {_KOV_H_SQL} AS h FROM a),
+    hb AS (SELECT {_KOV_H_SQL} AS h FROM b),
+    ra AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha),
+    rb AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb),
+    ru AS (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn
+           FROM (SELECT h FROM ha UNION SELECT h FROM hb)),
+    est AS (
+      SELECT
+        (SELECT CASE WHEN COUNT(*) <= {_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({_K} - 1) / MAX(CASE WHEN rn = {_K} THEN h END) END
+         FROM ra) AS d_a,
+        (SELECT CASE WHEN COUNT(*) <= {_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({_K} - 1) / MAX(CASE WHEN rn = {_K} THEN h END) END
+         FROM rb) AS d_b,
+        (SELECT CASE WHEN COUNT(*) <= {_K} THEN CAST(COUNT(*) AS DOUBLE)
+                ELSE ({_K} - 1) / MAX(CASE WHEN rn = {_K} THEN h END) END
+         FROM ru) AS d_u
+    )
+    SELECT
+      CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+      CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+      CAST((SELECT COUNT(*) FROM a JOIN b USING (key)) AS BIGINT)
+        AS exact_overlap,
+      d_a AS est_a, d_b AS est_b, d_u AS est_union,
+      d_a + d_b - d_u AS est_overlap
+    FROM est
+    """,
+)
+def kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only joinability estimate between orders.o_custkey and
+    customer.c_custkey: each side keeps its k=64 smallest key hashes; the
+    union sketch is the k smallest of the MERGED hash sets (KMV's closure
+    under union — the property that lets a catalog keep one tiny sketch
+    per column and answer overlap queries for ANY pair later);
+    inclusion-exclusion then estimates the key intersection. Exact counts
+    are computed alongside to expose the estimator error.
+
+    Scale shape: per side, dedup + a global k-smallest — the rank window
+    runs on the DEDUPED key set and keeps k rows; at 100 TB the same
+    sketch is built per-partition then merged (sort_array(slice(...)) of
+    the concatenated mins), never re-sorting the corpus. The estimate
+    arithmetic is identical double division in both engines (hashes are
+    exact dyadics), so the row hash-matches with no rounding."""
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("key")
+    ).distinct()
+    customer = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    ).distinct()
+
+    def kmv_est(df: DataFrame) -> DataFrame:
+        h = df.select(F.expr(_KOV_H_SPARK).alias("h"))
+        r = h.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+        return r.agg(
+            F.when(F.count(F.lit(1)) <= _K, F.count(F.lit(1)).cast("double"))
+            .otherwise((_K - 1) / F.max(F.when(F.col("rn") == _K, F.col("h"))))
+            .alias("d")
+        )
+
+    ha = orders.select(F.expr(_KOV_H_SPARK).alias("h"))
+    hb = customer.select(F.expr(_KOV_H_SPARK).alias("h"))
+    d_a = kmv_est(orders).withColumnRenamed("d", "est_a")
+    d_b = kmv_est(customer).withColumnRenamed("d", "est_b")
+    hu = ha.union(hb).distinct()
+    ru = hu.withColumn("rn", F.row_number().over(Window.orderBy("h")))
+    d_u = ru.agg(
+        F.when(F.count(F.lit(1)) <= _K, F.count(F.lit(1)).cast("double"))
+        .otherwise((_K - 1) / F.max(F.when(F.col("rn") == _K, F.col("h"))))
+        .alias("est_union")
+    )
+    exact = (
+        orders.agg(F.count(F.lit(1)).alias("exact_a"))
+        .crossJoin(customer.agg(F.count(F.lit(1)).alias("exact_b")))
+        .crossJoin(
+            orders.join(customer, "key").agg(F.count(F.lit(1)).alias("exact_overlap"))
+        )
+    )
+    return (
+        exact.crossJoin(d_a)
+        .crossJoin(d_b)
+        .crossJoin(d_u)
+        .select(
+            "exact_a",
+            "exact_b",
+            "exact_overlap",
+            "est_a",
+            "est_b",
+            "est_union",
+            F.expr("est_a + est_b - est_union").alias("est_overlap"),
+        )
+    )

@@ -39,6 +39,7 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.io import ensure_engine_confs, normalize_events_ts
+from ..operators.behavior import _TRANSITION_ORACLE
 from ..registry import register
 
 _SESSION_GAP_MIN = 30
@@ -346,4 +347,84 @@ def batch_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "first_ts_us",
         "last_ts_us",
         F.col("distinct_types").cast("long").alias("distinct_types"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Custom stateful operator #2: per-user event-transition tracking. The
+# streaming twin of operators/behavior.py::event_transition_matrix — state
+# carries each user's last (ts, event_id, type) across micro-batches so
+# transitions spanning a batch boundary are counted exactly once.
+# ---------------------------------------------------------------------------
+
+_TRANS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("prev_type", T.StringType()),
+        T.StructField("next_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+    ]
+)
+
+_TRANS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_ts_us", T.LongType()),
+        T.StructField("last_event_id", T.LongType()),
+        T.StructField("last_type", T.StringType()),
+    ]
+)
+
+
+def _transition_fn(key, pdf_iter, state: GroupState):
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    if rows.empty:
+        yield pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
+        return
+    rows = rows.sort_values(["ts_us", "event_id"])
+    prev = state.get[2] if state.exists else None
+    counts: dict[tuple[str, str], int] = {}
+    for t in rows["event_type"]:
+        if prev is not None:
+            counts[(prev, t)] = counts.get((prev, t), 0) + 1
+        prev = t
+    tail = rows.iloc[-1]
+    state.update((int(tail["ts_us"]), int(tail["event_id"]), str(tail["event_type"])))
+    yield pd.DataFrame(
+        {
+            "prev_type": [a for a, _ in counts],
+            "next_type": [b for _, b in counts],
+            "n": list(counts.values()),
+        }
+    )
+
+
+@register("streaming_transition_counts", oracle=_TRANSITION_ORACLE)
+def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming first-order Markov transition counting: GroupState holds
+    each user's last event across micro-batches, so a (prev -> next) pair
+    whose two events arrive in DIFFERENT batches is still counted exactly
+    once — the property a per-batch window/lag cannot provide. Per batch
+    each user emits its incremental pair counts (append mode, bounded by
+    |event_types|² rows per user per batch); the driver-side rollup and
+    ppm normalization then run over a constant-cardinality table, identical
+    to the batch operator's final stage — and the result hash-matches the
+    SAME oracle as `event_transition_matrix`."""
+    events = read_events_stream(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    trans = events.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = run_to_memory(trans, "append")
+    rolled = out.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
+    return rolled.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)"
+        ).alias("prob_ppm"),
     )

@@ -379,3 +379,67 @@ def test_ltv_cohort_triangle_shape(q, spark, sf_dir):
     cohorts = {r.cohort_q for r in rows}
     zero_cells = {r.cohort_q for r in rows if r.q_since == 0}
     assert zero_cells == cohorts
+
+
+# --- streaming_transition_counts --------------------------------------------
+
+
+def test_transition_state_spans_batch_boundaries():
+    # drive the stateful fn directly with two batches split mid-stream for
+    # one user: the (batch1-tail -> batch2-head) transition must be counted
+    # exactly once, via state, never dropped or double-counted
+    import pandas as pd
+
+    from ai_metadata_lineage_pyspark_spark.streaming.sessions import _transition_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+    b1 = pd.DataFrame(
+        {"ts_us": [1, 2], "event_id": [10, 11], "event_type": ["view", "click"]}
+    )
+    b2 = pd.DataFrame(
+        {"ts_us": [3], "event_id": [12], "event_type": ["purchase"]}
+    )
+    out1 = list(_transition_fn((7,), iter([b1]), state))[0]
+    out2 = list(_transition_fn((7,), iter([b2]), state))[0]
+    got = {}
+    for out in (out1, out2):
+        for r in out.itertuples():
+            got[(r.prev_type, r.next_type)] = got.get((r.prev_type, r.next_type), 0) + r.n
+    assert got == {("view", "click"): 1, ("click", "purchase"): 1}
+    assert state.get[2] == "purchase"
+
+
+def test_streaming_transitions_match_batch_twin(q):
+    batch = {(r.prev_type, r.next_type): (r.n, r.prob_ppm)
+             for r in q("event_transition_matrix").collect()}
+    stream = {(r.prev_type, r.next_type): (r.n, r.prob_ppm)
+              for r in q("streaming_transition_counts").collect()}
+    assert batch == stream
+
+
+# --- kmv_key_overlap --------------------------------------------------------
+
+
+def test_kmv_overlap_estimates_track_exact(q):
+    [r] = q("kmv_key_overlap").collect()
+    # every orders customer exists in customer: overlap == |A|
+    assert r.exact_overlap == r.exact_a
+    assert r.exact_a <= r.exact_b
+    # KMV with k=64 has relative error ~1/sqrt(k-1) ≈ 13%; allow 3 sigma
+    for est, exact in ((r.est_a, r.exact_a), (r.est_b, r.exact_b)):
+        assert abs(est - exact) <= max(8, 0.4 * exact)
+    # inclusion-exclusion overlap estimate stays in a sane band
+    assert r.est_overlap <= r.est_union + 1
