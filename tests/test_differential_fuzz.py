@@ -377,8 +377,16 @@ def _sql_for_case(seed: int) -> str:
         key = rng.choice(_GROUP_KEYS)
         rollup = rng.random() < 0.25 and "," not in key
         grp = f"ROLLUP({key})" if rollup else key
+        # ROLLUP always carries HAVING COUNT(*) > 0: a WHERE that filters
+        # ALL rows exposes a REAL divergence this fuzzer found (sweep seed
+        # 7876) — on empty input the SQL-standard () grouping set yields one
+        # grand-total row (DuckDB/Postgres) but Spark yields zero rows.
+        # Pinned in test_known_divergence_empty_rollup_grand_total; the
+        # guard keeps every non-empty rollup behavior fuzzed.
         having = (
-            " HAVING COUNT(*) >= 2" if (not rollup and rng.random() < 0.3) else ""
+            " HAVING COUNT(*) > 0"
+            if rollup
+            else (" HAVING COUNT(*) >= 2" if rng.random() < 0.3 else "")
         )
         where = f" WHERE {_pred(rng)}" if rng.random() < 0.6 else ""
         return (
@@ -493,3 +501,30 @@ def test_known_divergence_floor_sign_types(engines):
         "SELECT pk, CAST(floor(d1 % 100.0) AS BIGINT) AS e1,"
         " CAST(sign(i1) AS INT) AS e2 FROM fz_t1",
     )
+
+
+def test_known_divergence_empty_rollup_grand_total(engines):
+    """Regression pin for a REAL divergence this fuzzer found (extended
+    sweep, seed 7876): GROUP BY ROLLUP/CUBE/GROUPING SETS over an EMPTY
+    input yields the () grouping set's grand-total row (count 0, NULL
+    aggregates) in DuckDB/Postgres per the SQL standard — an aggregate
+    query with an empty grouping set behaves like a no-GROUP-BY aggregate
+    — but ZERO rows in Spark (grouping sets expand through Expand + a
+    keyed hash aggregate, so no input means no groups). Identical SQL is
+    therefore NOT portable when the WHERE can eliminate every row.
+
+    Engine-surface audit: orders_rollup_subtotals / orders_cube /
+    event_type_pivot run over never-empty fixture tables with no
+    row-eliminating WHERE, so no registry oracle depends on the divergent
+    row; any future rollup oracle whose input can be empty must add
+    HAVING COUNT(*) > 0 on BOTH sides (the reconciliation below)."""
+    spark, con = engines
+    sql = (
+        "SELECT i1 % 3 AS k0, COUNT(*) AS n FROM fz_t1"
+        " WHERE i1 IS NULL AND i1 > 0 GROUP BY ROLLUP(i1 % 3)"
+    )
+    srows = spark.sql(sql).collect()
+    drows = con.execute(sql).fetchall()
+    assert srows == [] and drows == [(None, 0)]  # the divergence, pinned
+    # the documented guard reconciles the two engines
+    _run_both(spark, con, sql + " HAVING COUNT(*) > 0")

@@ -443,3 +443,32 @@ def test_kmv_overlap_estimates_track_exact(q):
         assert abs(est - exact) <= max(8, 0.4 * exact)
     # inclusion-exclusion overlap estimate stays in a sane band
     assert r.est_overlap <= r.est_union + 1
+
+
+# --- plan shapes for the retrieval / cohort additions ------------------------
+
+
+def test_lexical_search_query_side_broadcasts(q):
+    df = q("lexical_search_topk")
+    plan = I.physical_plan(df)
+    # query terms must broadcast into the postings probe; the per-query
+    # top-k must pre-prune via WindowGroupLimit
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan
+    assert I.cartesian_product_count(df) == 0
+
+
+def test_ltv_cohort_join_is_copartitioned(q):
+    # the orders ⋈ first-order join keys on o_custkey on both sides: the
+    # plan must be a keyed join (sort-merge or shuffled-hash), never a
+    # nested loop, and both aggregations must partial-combine
+    df = q("customer_ltv_cohorts")
+    plan = I.physical_plan(df)
+    assert "NestedLoop" not in plan
+    assert I.partial_aggregate_count(df) >= 2
+
+
+def test_incremental_dedup_never_cartesian(q):
+    df = q("incremental_corpus_dedup")
+    assert I.cartesian_product_count(df) == 0
+    assert "NestedLoop" not in I.physical_plan(df)
