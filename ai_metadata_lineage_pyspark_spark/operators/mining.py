@@ -279,3 +279,169 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("bbox_area"),
     )
+
+
+# ---------------------------------------------------------------------------
+# graph_triangle_count — triangle census of the part co-occurrence graph
+# (parts linked when bought together in >= _MIN_SUPPORT orders): the
+# classic graph-cohesion statistic behind clustering-coefficient and
+# community-quality metrics.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM edges e1
+      JOIN edges e2 ON e2.u = e1.v
+      JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+      CAST((SELECT COUNT(*) FROM edges) AS BIGINT) AS n_edges,
+      CAST((SELECT COUNT(DISTINCT u) + COUNT(DISTINCT v)
+            FROM edges) AS BIGINT) AS n_endpoint_slots,
+      MIN(a) AS min_vertex
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the support-thresholded co-purchase graph:
+    edges are canonically oriented (u < v), so each triangle a<b<c is
+    enumerated exactly once as (a-b) ⋈ (b-c) ⋈ (a-c) — the standard
+    distributed triangle-join with no post-hoc dedup.
+
+    Scale shape: the edge list (support >= {2} pairs) is orders of
+    magnitude smaller than the fact table; both triangle joins key on a
+    vertex, so they shuffle edge-sized data twice. At web scale the same
+    plan adds the degree-ordering trick (orient edges low-degree ->
+    high-degree) to bound the skew of hub vertices; the fixture graph's
+    degrees are support-thresholded small."""
+    items = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = items.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    pair_expr = (
+        "flatten(transform(parts, (x, i) ->"
+        " transform(slice(parts, i + 2, size(parts)), y ->"
+        " struct(x AS u, y AS v))))"
+    )
+    edges = (
+        baskets.select(F.explode(F.expr(pair_expr)).alias("p"))
+        .select("p.u", "p.v")
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= _MIN_SUPPORT)
+        .select("u", "v")
+    )
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    counts = tri.agg(
+        F.count(F.lit(1)).alias("n_triangles"), F.min("a").alias("min_vertex")
+    )
+    edge_stats = edges.agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        (F.countDistinct("u") + F.countDistinct("v")).alias("n_endpoint_slots"),
+    )
+    return counts.crossJoin(edge_stats).select(
+        "n_triangles", "n_edges", "n_endpoint_slots", "min_vertex"
+    )
+
+
+# ---------------------------------------------------------------------------
+# revenue_trend_fit — exact-integer ordinary-least-squares fit of the
+# daily revenue series: distributed regression where every sufficient
+# statistic is a BIGINT sum, so the fitted line is engine-exact.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "revenue_trend_fit",
+    oracle=f"""
+    WITH daily AS (
+      SELECT datediff('day', DATE '{_Z_EPOCH}', CAST(o_orderdate AS DATE)) AS x,
+             CAST(SUM({_DOLLARS}) AS BIGINT) AS y
+      FROM orders GROUP BY 1
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        CAST(SUM(x) AS BIGINT) AS sx,
+        CAST(SUM(y) AS BIGINT) AS sy,
+        CAST(SUM(x * x) AS BIGINT) AS sxx,
+        CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM daily
+    )
+    SELECT n, sx, sy, sxx, sxy,
+      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+        AS slope_usd_per_day,
+      round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+             * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept_usd
+    FROM s
+    """,
+)
+def revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS over the daily revenue series: slope and intercept
+    from the five sufficient statistics (n, Σx, Σy, Σx², Σxy), every one
+    an exact BIGINT sum — so unlike iterative float regression, the
+    distributed fit is bit-identical across engines AND partitionings. The
+    final slope/intercept are single deterministic double expressions over
+    those integers, rounded once at the boundary.
+
+    Scale shape: the fact table collapses to calendar cardinality first
+    (one partial-agg shuffle); the sufficient statistics reduce those
+    day-rows to ONE row with map-side combine. This is the model for any
+    closed-form distributed fit (OLS, means/covariances, Naive Bayes
+    counts): ship integer sums, never rows."""
+    daily = (
+        load(spark, sf_dir, "orders")
+        .groupBy(
+            F.expr(
+                f"datediff(CAST(o_orderdate AS DATE), DATE '{_Z_EPOCH}')"
+            ).alias("x")
+        )
+        .agg(F.sum(F.expr(_DOLLARS)).alias("y"))
+    )
+    s = daily.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    )
+    slope = (
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+        " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
+        " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return s.select(
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.expr(f"round({slope}, 6)").alias("slope_usd_per_day"),
+        F.expr(
+            f"round((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"
+            " / CAST(n AS DOUBLE), 6)"
+        ).alias("intercept_usd"),
+    )

