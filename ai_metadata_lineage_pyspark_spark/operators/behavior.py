@@ -178,7 +178,6 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    wp = W.partitionBy("prev_type")
     return trans.select(
         "prev_type",
         "next_type",

@@ -105,9 +105,15 @@ def frequent_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # exact whole-dollar units: floor of the same double is identical in both
 # engines, and BIGINT sums are order-independent (see tpch.py _REV_SQL for
-# the cent-precision variant; dollars here keep the sum-of-squares in the
-# trailing window inside BIGINT range at any realistic daily volume).
+# the cent-precision variant). Squared terms (ss, sxy) are accumulated in
+# DECIMAL(38,0): daily revenue ~9e9 at sf100 makes rev^2 ~8e19 > INT64 max,
+# so a BIGINT sum-of-squares would silently wrap under Spark's non-ANSI
+# arithmetic while DuckDB errors. DECIMAL(19,0)*DECIMAL(19,0) widens to
+# DECIMAL(38,0) in BOTH engines (DuckDB caps multiply at p1+p2<=38), and
+# the z/OLS formulas only ever read the statistic through CAST(.. AS
+# DOUBLE), which both engines round-to-nearest identically.
 _DOLLARS = "CAST(floor(o_totalprice) AS BIGINT)"
+_DEC = "DECIMAL(19,0)"  # per-term cast so the product lands in DECIMAL(38,0)
 _ANOM_WINDOW = 7  # trailing days incl. current
 _Z_SPIKE = 2.0
 
@@ -138,7 +144,7 @@ def _z_formula(rev: str, s: str, ss: str, n: str) -> str:
     winstats AS (
       SELECT day, revenue_usd,
         CAST(SUM(revenue_usd) OVER w AS BIGINT) AS s,
-        CAST(SUM(revenue_usd * revenue_usd) OVER w AS BIGINT) AS ss,
+        SUM(CAST(revenue_usd AS {_DEC}) * CAST(revenue_usd AS {_DEC})) OVER w AS ss,
         COUNT(*) OVER w AS n
       FROM daily
       WINDOW w AS (ORDER BY day ROWS BETWEEN {_ANOM_WINDOW - 1} PRECEDING AND CURRENT ROW)
@@ -157,7 +163,9 @@ def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (the groupBy shuffle is the only data-sized stage); the ordered
     window then runs over a calendar-bounded series. Integer dollar sums
     make mean/std exact-input arithmetic, so the z-scores hash-match the
-    oracle bit-for-bit after one final rounded double expression.
+    oracle bit-for-bit after one final rounded double expression. The
+    sum-of-squares runs in DECIMAL(38,0) (see _DEC above) so the trailing
+    window never wraps BIGINT even at sf100+ daily volumes.
     """
     daily = (
         load(spark, sf_dir, "orders")
@@ -168,7 +176,12 @@ def daily_revenue_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = _z_formula("revenue_usd", "s", "ss", "n")
     return (
         daily.withColumn("s", F.sum("revenue_usd").over(w))
-        .withColumn("ss", F.sum(F.expr("revenue_usd * revenue_usd")).over(w))
+        .withColumn(
+            "ss",
+            F.sum(
+                F.expr(f"CAST(revenue_usd AS {_DEC}) * CAST(revenue_usd AS {_DEC})")
+            ).over(w),
+        )
         .withColumn("n", F.count(F.lit(1)).over(w))
         .where(F.col("n") == _ANOM_WINDOW)
         .select(
@@ -246,8 +259,9 @@ _ZO_DIMS_DUCK = (
 )
 def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) layout keys over (o_custkey, order-day) plus the
-    per-bucket bounding box each of the 64 layout buckets would carry as
-    parquet min/max stats.
+    per-bucket bounding box each fixed-width layout bucket (2^18 Z-cells,
+    i.e. a 512×512 dim-unit tile; bucket count grows with the populated
+    key domain — ~150 at sf0.1) would carry as parquet min/max stats.
 
     A linear sort clusters one dimension and scatters the other; the
     interleaved Z-value keeps both bounding-box edges ~√bucket-sized, which
@@ -381,16 +395,16 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         CAST(SUM(x) AS BIGINT) AS sx,
         CAST(SUM(y) AS BIGINT) AS sy,
         CAST(SUM(x * x) AS BIGINT) AS sxx,
-        CAST(SUM(x * y) AS BIGINT) AS sxy
+        SUM(CAST(x AS {_DEC}) * CAST(y AS {_DEC})) AS sxy_dec
       FROM daily
     )
-    SELECT n, sx, sy, sxx, sxy,
-      round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+    SELECT n, sx, sy, sxx, CAST(sxy_dec AS BIGINT) AS sxy,
+      round((CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
         AS slope_usd_per_day,
-      round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)
              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
@@ -401,7 +415,10 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Closed-form OLS over the daily revenue series: slope and intercept
     from the five sufficient statistics (n, Σx, Σy, Σx², Σxy), every one
-    an exact BIGINT sum — so unlike iterative float regression, the
+    an exact integer sum (Σxy in DECIMAL(38,0) — x·y clears INT64 around
+    sf10⁵, see _DEC; the output column is the BIGINT projection, which goes
+    loudly NULL rather than silently wrapping if that bound is ever passed)
+    — so unlike iterative float regression, the
     distributed fit is bit-identical across engines AND partitionings. The
     final slope/intercept are single deterministic double expressions over
     those integers, rounded once at the boundary.
@@ -425,10 +442,10 @@ def revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("x").alias("sx"),
         F.sum("y").alias("sy"),
         F.sum(F.expr("x * x")).alias("sxx"),
-        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr(f"CAST(x AS {_DEC}) * CAST(y AS {_DEC})")).alias("sxy_dec"),
     )
     slope = (
-        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)"
+        "(CAST(n AS DOUBLE) * CAST(sxy_dec AS DOUBLE)"
         " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
         " / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)"
         " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
@@ -438,7 +455,7 @@ def revenue_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sx",
         "sy",
         "sxx",
-        "sxy",
+        F.expr("CAST(sxy_dec AS BIGINT)").alias("sxy"),
         F.expr(f"round({slope}, 6)").alias("slope_usd_per_day"),
         F.expr(
             f"round((CAST(sy AS DOUBLE) - ({slope}) * CAST(sx AS DOUBLE))"

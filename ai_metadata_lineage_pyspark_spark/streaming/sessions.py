@@ -379,8 +379,26 @@ def _transition_fn(key, pdf_iter, state: GroupState):
     if rows.empty:
         yield pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
         return
+    if state.exists:
+        # Merge the stored tail into the batch BEFORE sorting: an event that
+        # arrives out-of-order (earlier than the saved (last_ts_us,
+        # last_event_id)) is then counted in true (ts_us, event_id) order —
+        # it precedes the tail instead of being miscounted as following it —
+        # and the new tail is the global max, not blindly the batch's max.
+        # In-order delivery (the replay-stream/oracle path) is unchanged:
+        # the tail sorts first and seeds `prev` exactly as before.
+        t_ts, t_id, t_type = state.get
+        rows = pd.concat(
+            [
+                pd.DataFrame(
+                    {"ts_us": [t_ts], "event_id": [t_id], "event_type": [t_type]}
+                ),
+                rows[["ts_us", "event_id", "event_type"]],
+            ],
+            ignore_index=True,
+        )
     rows = rows.sort_values(["ts_us", "event_id"])
-    prev = state.get[2] if state.exists else None
+    prev = None
     counts: dict[tuple[str, str], int] = {}
     for t in rows["event_type"]:
         if prev is not None:

@@ -422,6 +422,46 @@ def test_transition_state_spans_batch_boundaries():
     assert state.get[2] == "purchase"
 
 
+def test_transition_state_out_of_order_batch():
+    # a batch whose events are EARLIER than the stored tail must be counted
+    # in true (ts_us, event_id) order: the late event precedes the tail (so
+    # we count late->tail), and the tail survives as the global max instead
+    # of being overwritten by the batch's max
+    import pandas as pd
+
+    from ai_metadata_lineage_pyspark_spark.streaming.sessions import _transition_fn
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    state = FakeState()
+    b1 = pd.DataFrame(
+        {"ts_us": [1, 5], "event_id": [10, 11], "event_type": ["view", "purchase"]}
+    )
+    # late arrival: ts 3 sits BETWEEN the two already-processed events
+    b2 = pd.DataFrame({"ts_us": [3], "event_id": [12], "event_type": ["click"]})
+    out1 = list(_transition_fn((7,), iter([b1]), state))[0]
+    out2 = list(_transition_fn((7,), iter([b2]), state))[0]
+    got = {}
+    for out in (out1, out2):
+        for r in out.itertuples():
+            got[(r.prev_type, r.next_type)] = got.get((r.prev_type, r.next_type), 0) + r.n
+    # batch 2 contributes click->purchase (true order), NOT purchase->click
+    assert got == {("view", "purchase"): 1, ("click", "purchase"): 1}
+    # tail stays the global max (ts 5), not the late batch's max (ts 3)
+    assert state.get == (5, 11, "purchase")
+
+
 def test_streaming_transitions_match_batch_twin(q):
     batch = {(r.prev_type, r.next_type): (r.n, r.prob_ppm)
              for r in q("event_transition_matrix").collect()}
