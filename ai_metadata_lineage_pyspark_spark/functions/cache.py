@@ -23,6 +23,18 @@ from pyspark.sql import DataFrame
 
 _PERSISTED: list[DataFrame] = []
 
+# Cross-query memo for expensive shared subgraphs (e.g. the near-dup
+# component table consumed by BOTH `neardup_components` and
+# `neardup_canonical_pick`): keyed by (name, applicationId, sf_dir) so a
+# suite run that executes both registry entries back-to-back computes the
+# MinHash -> bands -> label-prop pipeline once, not twice. Same lifetime
+# contract as scoped_persist — `release_persisted()` clears it — so bench
+# steady-state runs and tests still re-execute the full pipeline, and a
+# memo can never serve stale results across a fixture swap (sf_dir is in
+# the key; a rewritten-in-place sf_dir mid-session is out of contract,
+# exactly as it already was for scoped_persist).
+_MEMO: dict[tuple, DataFrame] = {}
+
 
 def scoped_persist(df: DataFrame) -> DataFrame:
     """persist() with registration so a later caller can release it."""
@@ -30,7 +42,20 @@ def scoped_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+def memo_get(key: tuple) -> DataFrame | None:
+    """Fetch a memoized shared subgraph, or None if not built this scope."""
+    return _MEMO.get(key)
+
+
+def memo_put(key: tuple, df: DataFrame) -> DataFrame:
+    """Register a shared subgraph result until the next release_persisted()."""
+    _MEMO[key] = df
+    return df
+
+
 def release_persisted() -> None:
-    """Unpersist every DataFrame registered via scoped_persist."""
+    """Unpersist every DataFrame registered via scoped_persist and drop
+    cross-query memos."""
+    _MEMO.clear()
     while _PERSISTED:
         _PERSISTED.pop().unpersist()

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.cache import release_persisted, scoped_persist
+from ..functions.cache import memo_get, memo_put, release_persisted, scoped_persist
 from ..functions.io import fan_out, load
 from ..functions.vectors import cosine_from_norms_expr, norm_expr
 from ..registry import register
@@ -607,9 +607,22 @@ _MAX_CC_ITERS = 20
     """,
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cluster near-dup pairs into components; canonical = min doc_id."""
-    pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
-    return _min_label_components(pairs)
+    """Cluster near-dup pairs into components; canonical = min doc_id.
+
+    The component table is memoized per (applicationId, sf_dir) for the
+    lifetime of the current scoped-persist scope: `neardup_canonical_pick`
+    consumes the same subgraph, and without the memo a suite run executes
+    the whole MinHash -> bands -> verify -> label-prop pipeline twice
+    (round-5 verdict: the duplicated `_shingle_buckets` was the entire
+    cost of the slowest mining-suite entry). `release_persisted()` drops
+    the memo, so steady-state bench runs still price the full pipeline.
+    """
+    key = ("neardup_components", spark.sparkContext.applicationId, sf_dir)
+    cached = memo_get(key)
+    if cached is None:
+        pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+        cached = memo_put(key, _min_label_components(pairs))
+    return cached
 
 
 def _capped_components_oracle(cap: int) -> str:
@@ -714,9 +727,19 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         .toDF("src", "dst")
         .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    ).localCheckpoint()
+    # hop 0 folds the identity labeling in: with symmetric edges every node
+    # appears as dst, so "adopt min(own id, neighbors' ids)" is ONE
+    # aggregation — no distinct-nodes shuffle, no labels join, one fewer
+    # checkpoint barrier than seeding labels=identity and looping
+    labels = (
+        edges.groupBy(F.col("dst").alias("doc_id"))
+        .agg(F.min("src").alias("nbr_label"))
+        .select(
+            "doc_id",
+            F.least(F.col("doc_id"), F.col("nbr_label")).alias("label"),
+        )
+        .localCheckpoint()
+    )
     for _ in range(_MAX_CC_ITERS):
         # each node adopts the min of its own label and its neighbors' labels
         neighbor_min = (
@@ -724,23 +747,26 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
+        # the convergence flag rides ALONG with the label update (lowered =
+        # a neighbor strictly improved this node), so detecting a fixed
+        # point is a narrow count over the just-checkpointed hop output —
+        # the previous join-the-old-labels formulation paid a second
+        # shuffle join per hop just to answer "did anything move?"
+        flagged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.coalesce(
+                    F.col("nbr_label") < F.col("label"), F.lit(False)
+                ).alias("lowered"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.where("lowered").count()
+        labels = flagged.select("doc_id", "label")
         if changed == 0:
             break
     comp_size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))

@@ -127,46 +127,52 @@ def main() -> None:
         _warm_batches, schema="n long"
     ).count()
 
+    def timed_pair(fn, label: str) -> tuple[float, float]:
+        """(first_run, steady) wall-clock for one query.
+
+        First run includes this plan's one-time codegen/Janino/JIT compile,
+        which is a per-HOST constant (it varies ~2x between sandbox hosts
+        and is irrelevant at cluster scale, where compile happens once per
+        executor lifetime). The second execution is steady-state plan
+        throughput. Recording both lets a round-over-round comparison
+        distinguish a genuine plan regression (steady moves) from host JIT
+        variance (only first-run moves). Persisted intermediates are
+        released between runs (scoped release, not clearCache: clearCache
+        silently clears persist flags on live DFs) so successive queries
+        don't compete for executor storage memory — and so the steady run
+        re-executes the full pipeline rather than reading a cache.
+        """
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        first = round(time.time() - t0, 3)
+        release_persisted()
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        steady_t = round(time.time() - t0, 3)
+        release_persisted()
+        print(f"# {label}: {n} rows in {first}s (steady {steady_t}s)", file=sys.stderr)
+        return first, steady_t
+
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name, q in queries.items():
-        t0 = time.time()
-        df = q.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.time() - t0, 3)
-        # drop this query's persisted intermediates so successive queries
-        # don't compete for executor storage memory (scoped release, not
-        # clearCache: clearCache silently clears persist flags on live DFs)
-        release_persisted()
-        # second execution of the same query: steady-state plan throughput.
-        # The first-run number above includes this plan's one-time codegen/
-        # Janino/JIT compile, which is a per-HOST constant (it varies ~2x
-        # between sandbox hosts and is irrelevant at cluster scale, where
-        # compile happens once per executor lifetime). Recording both lets a
-        # round-over-round comparison distinguish a genuine plan regression
-        # (steady moves) from host JIT variance (only first-run moves).
-        t0 = time.time()
-        q.fn(spark, sf_dir).count()
-        steady[name] = round(time.time() - t0, 3)
-        print(
-            f"# {name}: {n} rows in {timings[name]}s (steady {steady[name]}s)",
-            file=sys.stderr,
-        )
-        release_persisted()
+        timings[name], steady[name] = timed_pair(q.fn, name)
 
     # TPC-H power run: all 22 suite queries sequentially (single stream),
     # the classic power-test shape. A second self-relative metric so a
     # regression anywhere in the join/agg surface shows up even if the
-    # headline set stays fast.
+    # headline set stays fast. First/steady split applies here too —
+    # round 5's 22.8s-vs-12.3s "regression" was entirely the host's JIT
+    # compile constant on first-run-only numbers.
     registry = all_queries()
     tpch_timings: dict[str, float] = {}
+    tpch_steady: dict[str, float] = {}
     for qnum, name in _TPCH_SUITE:
-        t0 = time.time()
-        n = registry[name].fn(spark, sf_dir).count()
-        tpch_timings[f"q{qnum:02d}_{name}"] = round(time.time() - t0, 3)
-        print(f"# tpch q{qnum} {name}: {n} rows in {tpch_timings[f'q{qnum:02d}_{name}']}s", file=sys.stderr)
-        release_persisted()
+        key = f"q{qnum:02d}_{name}"
+        tpch_timings[key], tpch_steady[key] = timed_pair(
+            registry[name].fn, f"tpch {key}"
+        )
 
     # Mining/curation suite (round-5 additions): timed as a SEPARATE metric
     # so the headline total stays comparable round-over-round against the
@@ -182,12 +188,11 @@ def main() -> None:
         "neardup_canonical_pick",
     ]
     mining_timings: dict[str, float] = {}
+    mining_steady: dict[str, float] = {}
     for name in mining_suite:
-        t0 = time.time()
-        n = registry[name].fn(spark, sf_dir).count()
-        mining_timings[name] = round(time.time() - t0, 3)
-        print(f"# mining {name}: {n} rows in {mining_timings[name]}s", file=sys.stderr)
-        release_persisted()
+        mining_timings[name], mining_steady[name] = timed_pair(
+            registry[name].fn, f"mining {name}"
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -205,13 +210,19 @@ def main() -> None:
                     "value": round(sum(mining_timings.values()), 3),
                     "unit": "sec",
                     "queries": mining_timings,
+                    "queries_steady": mining_steady,
+                    "steady_total": round(sum(mining_steady.values()), 3),
                 },
+                "mining_suite_steady": round(sum(mining_steady.values()), 3),
                 "tpch_power_run": {
                     "metric": "tpch_22q_single_stream_total",
                     "value": round(sum(tpch_timings.values()), 3),
                     "unit": "sec",
                     "queries": tpch_timings,
+                    "queries_steady": tpch_steady,
+                    "steady_total": round(sum(tpch_steady.values()), 3),
                 },
+                "tpch_power_steady": round(sum(tpch_steady.values()), 3),
             }
         )
     )

@@ -42,3 +42,27 @@ def test_release_is_idempotent(spark):
     release_persisted()
     release_persisted()
     assert _n_cached(spark) <= before
+
+
+def test_components_memo_shared_within_scope(spark, sf_dir):
+    # neardup_components memoizes its result per (applicationId, sf_dir) so
+    # neardup_canonical_pick reuses the SAME subgraph instead of re-running
+    # the MinHash pipeline (round-5 verdict item); release_persisted() must
+    # invalidate the memo so bench steady runs re-price the full pipeline
+    from ai_metadata_lineage_pyspark_spark.functions.cache import memo_get
+    from ai_metadata_lineage_pyspark_spark.operators import dedup
+
+    release_persisted()
+    key = ("neardup_components", spark.sparkContext.applicationId, sf_dir)
+    assert memo_get(key) is None
+    first = dedup.neardup_components(spark, sf_dir)
+    assert memo_get(key) is first
+    # same object back on a second call in the same scope — no rebuild
+    assert dedup.neardup_components(spark, sf_dir) is first
+    # canonical_pick consumes the memoized frame and agrees with it
+    comps = {(r.doc_id, r.component_id) for r in first.collect()}
+    picks = dedup.neardup_canonical_pick(spark, sf_dir).collect()
+    comp_ids = {c for _, c in comps}
+    assert {p.component_id for p in picks} == comp_ids
+    release_persisted()
+    assert memo_get(key) is None
