@@ -53,23 +53,43 @@ def bfs_closure(
     frontier = seeds.select(
         F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth")
     ).localCheckpoint(eager=True)
+    # the checkpointed frontier's exact row count is a one-scan probe (it
+    # doubles as the emptiness check), so the hop join can be given an
+    # explicit size-based broadcast hint instead of hoping AQE's runtime
+    # rewrite catches it: lineage/event frontiers are seeds-scale (thousands
+    # of rows) while the edge list is corpus-scale, and broadcasting the
+    # frontier leaves the edge partitions exactly where the up-front
+    # checkpoint put them — zero edge shuffle per hop. Frontiers above the
+    # threshold (~tens of MB of (seed,node) longs) fall back to the shuffle
+    # join, which is the right plan when the closure genuinely explodes.
+    broadcast_rows = 1_000_000
     reached = frontier
+    n_frontier = frontier.count()
     for depth in range(1, max_depth + 1):
-        f, e = frontier.alias("f"), edges.alias("e")
+        f = frontier.alias("f")
+        if n_frontier <= broadcast_rows:
+            f = F.broadcast(f)
         nxt = (
-            f.join(e, F.col("f.node") == F.col("e.__bfs_src"))
+            f.join(edges.alias("e"), F.col("f.node") == F.col("e.__bfs_src"))
             .select(
                 F.col("f.seed").alias("seed"),
                 F.col("e.__bfs_dst").alias("node"),
-                F.lit(depth).alias("depth"),
             )
+            # dedup keyed on (seed, node) — the SAME keys the anti-join
+            # below needs, so the exchange introduced here satisfies the
+            # anti-join's distribution requirement and is reused instead of
+            # a second full shuffle; depth is a per-hop constant and rides
+            # in afterwards
             .distinct()
         )
         # keep only newly discovered (seed, node) pairs -> min-depth semantics
-        nxt = nxt.join(
-            reached.select("seed", "node"), ["seed", "node"], "left_anti"
-        ).localCheckpoint(eager=True)
-        if nxt.isEmpty():
+        nxt = (
+            nxt.join(reached.select("seed", "node"), ["seed", "node"], "left_anti")
+            .select("seed", "node", F.lit(depth).alias("depth"))
+            .localCheckpoint(eager=True)
+        )
+        n_frontier = nxt.count()
+        if n_frontier == 0:
             break
         reached = reached.unionByName(nxt)
         frontier = nxt
