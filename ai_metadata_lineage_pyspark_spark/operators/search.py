@@ -305,12 +305,23 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bigram table, one token-keyed join scores every doc.
 
     Integer throughout (counts, integer-div average) — no log()/float
-    perplexity, so the score is engine-exact. Plan: adjacent bigrams are
-    row-local array work (corpus-linear), the count table aggregates with
-    map-side combine, and the score join is the same bigram-keyed shuffle
-    shape as TF-IDF — at 100 TB both sides partition by the join key and
-    stop-bigram skew is AQE-handled (bounded by the same vocabulary skew
-    the inverted index documents)."""
+    perplexity, so the score is engine-exact.
+
+    Plan (reworked after the round-5 scaling probe flagged 7x warm time at
+    10x data): the exploded bigram stream is collapsed ONCE to per-doc
+    bigram counts (doc_id, bigram, k) and scoped-persisted — previously the
+    full explode ran twice (once under the corpus groupBy, once as the
+    score join's probe side) and the join shuffled the raw occurrence
+    stream. Now the corpus table is a re-aggregation of the persisted
+    per-doc counts (map-side combine over an already-reduced table), and
+    the score join carries one row per (doc, distinct bigram) weighted by
+    k instead of one row per occurrence: Σk·n_bi / Σk ≡ the per-occurrence
+    average. At 100 TB both join sides partition by bigram and stop-bigram
+    skew is AQE-handled (bounded by the same vocabulary skew the inverted
+    index documents)."""
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
+    release_persisted()  # drop any prior invocation's cached intermediates
     toks = load(spark, sf_dir, "documents").select(
         "doc_id", F.expr("split(lower(text), '\\\\s+')").alias("t")
     )
@@ -323,12 +334,15 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bigram"),
         )
     )
-    counts = doc_bi.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_bi"))
-    scored = doc_bi.join(counts, "bigram")
+    per_doc = scoped_persist(
+        doc_bi.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("k"))
+    )
+    counts = per_doc.groupBy("bigram").agg(F.sum("k").alias("n_bi"))
+    scored = per_doc.join(counts, "bigram")
     return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bigrams"),
-        F.expr("SUM(n_bi) DIV COUNT(1)").alias("avg_bigram_count"),
-        F.expr(f"(SUM(n_bi) DIV COUNT(1)) < {_LM_UNUSUAL_THRESHOLD}").alias("is_unusual"),
+        F.sum("k").alias("n_bigrams"),
+        F.expr("SUM(k * n_bi) DIV SUM(k)").alias("avg_bigram_count"),
+        F.expr(f"(SUM(k * n_bi) DIV SUM(k)) < {_LM_UNUSUAL_THRESHOLD}").alias("is_unusual"),
     )
 
 
