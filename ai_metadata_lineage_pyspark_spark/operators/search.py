@@ -513,3 +513,166 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= _SEARCH_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_search_rrf — reciprocal-rank fusion of the sparse (TF-IDF
+# more-like-this) and dense (exact cosine) rankers over the SAME
+# query-by-document set. The standard hybrid-retrieval combiner
+# (RRF, Cormack et al.): score(d) = Σ_rankers 1/(k + rank_r(d)).
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+_HY_DEPTH = 10  # per-ranker candidate depth == similarity._TOP_K
+_HY_FINAL = 10
+
+# identical expression text in both engines; explicit DOUBLE casts because
+# a bare 1.0 literal parses as DECIMAL in BOTH SQL dialects and decimal
+# division semantics differ
+_RRF_EXPR = (
+    f"coalesce(CAST(1 AS DOUBLE) / CAST({_RRF_K} + lex_rank AS DOUBLE),"
+    " CAST(0 AS DOUBLE))"
+    f" + coalesce(CAST(1 AS DOUBLE) / CAST({_RRF_K} + dense_rank AS DOUBLE),"
+    " CAST(0 AS DOUBLE))"
+)
+
+
+def _hybrid_oracle() -> str:
+    from .similarity import _EXACT_TOPK_CTES, _QUERY_MOD
+
+    return f"""
+    WITH {_EXACT_TOPK_CTES},
+    qdocs AS (
+      SELECT doc_id AS query_id, lower(text) AS qtext FROM documents
+      WHERE doc_id % {_QUERY_MOD} = 0
+    ),
+    qterms AS (
+      SELECT DISTINCT query_id, token FROM (
+        SELECT query_id, unnest(regexp_split_to_array(qtext, '\\s+')) AS token
+        FROM qdocs
+      ) WHERE token <> ''
+    ),
+    tok AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+      )
+      WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+    ),
+    lex_scored AS (
+      SELECT q.query_id, t.doc_id,
+        CAST(SUM(t.tf * {_TFIDF_SCALE} // d.df) AS BIGINT) AS lex_score
+      FROM qterms q
+      JOIN tok t ON t.token = q.token
+      JOIN df d ON d.token = q.token
+      WHERE t.doc_id <> q.query_id
+      GROUP BY q.query_id, t.doc_id
+    ),
+    lex_top AS (
+      SELECT query_id, doc_id, lex_rank FROM (
+        SELECT query_id, doc_id,
+          ROW_NUMBER() OVER (PARTITION BY query_id
+                             ORDER BY lex_score DESC, doc_id ASC) AS lex_rank
+        FROM lex_scored
+      ) WHERE lex_rank <= {_HY_DEPTH}
+    ),
+    dense_top AS (
+      SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
+      FROM exact_topk WHERE rank <= {_HY_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, d.query_id) AS query_id,
+             COALESCE(l.doc_id, d.doc_id) AS doc_id,
+             l.lex_rank, d.dense_rank,
+             {_RRF_EXPR} AS rrf_score
+      FROM lex_top l FULL OUTER JOIN dense_top d
+        ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, dense_rank, rrf_score, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_score DESC, doc_id ASC) AS rank
+      FROM fused
+    ) WHERE rank <= {_HY_FINAL}
+    """
+
+
+@register("hybrid_search_rrf", oracle=_hybrid_oracle())
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: fuse the sparse more-like-this TF-IDF ranking and
+    the dense exact-cosine ranking of the SAME query documents (vec_id ≡
+    doc_id in the fixture, a 1:1 embedding per document) with reciprocal-
+    rank fusion — the combiner production search stacks use because it
+    needs no score calibration between rankers, only ranks.
+
+    Engine-exactness: both input rankings are already hash-checked
+    operators (integer TF-IDF scores; bit-exact cosine fold), and the RRF
+    score is a fixed-shape IEEE expression over small-integer ranks with
+    explicit DOUBLE casts (a bare 1.0 literal is DECIMAL in both dialects,
+    with differing division semantics), so fusion scores and the fused
+    ranking are bit-identical across engines.
+
+    Scale shape: the lexical side is one broadcast-probe of the existing
+    postings shuffle (query terms are |Q|·tokens rows); the dense side is
+    the registered exact-KNN (the IVF/LSH paths swap in transparently at
+    scale since only (query_id, doc_id, rank) crosses the fusion join);
+    the fusion itself is a full outer join of two top-k lists — |Q|·k
+    rows, trivially broadcastable."""
+    from .similarity import _QUERY_MOD, cosine_topk
+
+    docs = load(spark, sf_dir, "documents")
+    qterms = (
+        docs.filter(F.col("doc_id") % _QUERY_MOD == 0)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"),
+        )
+        .where("token <> ''")
+        .distinct()
+    )
+    tok = (
+        docs.select(
+            "doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token")
+        )
+        .where("token <> ''")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    lex_scored = (
+        F.broadcast(qterms)
+        .join(tok, "token")
+        .join(
+            F.broadcast(df.join(F.broadcast(qterms.select("token").distinct()), "token")),
+            "token",
+        )
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.expr(f"CAST(SUM(tf * {_TFIDF_SCALE} DIV df) AS BIGINT)").alias("lex_score"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(
+        F.col("lex_score").desc(), F.col("doc_id").asc()
+    )
+    lex_top = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(wl))
+        .filter(F.col("lex_rank") <= _HY_DEPTH)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    dense_top = (
+        cosine_topk(spark, sf_dir)
+        .filter(F.col("rank") <= _HY_DEPTH)
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
+    )
+    fused = lex_top.join(dense_top, ["query_id", "doc_id"], "full").select(
+        "query_id", "doc_id", "lex_rank", "dense_rank", F.expr(_RRF_EXPR).alias("rrf_score")
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id").asc()
+    )
+    return fused.withColumn("rank", F.row_number().over(wf)).filter(
+        F.col("rank") <= _HY_FINAL
+    )

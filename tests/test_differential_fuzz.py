@@ -240,6 +240,62 @@ _FAMILIES = [
     "scan", "scan", "agg", "agg", "win", "win", "join", "setop", "misc",
     "aggjoin", "subq", "gsets", "aggfilter", "insubq", "datefn",
     "strfn", "numfn",
+    # wave-5 grammar extensions (VERDICT r05 next-step #8): explicit window
+    # frames and the higher-order-array idiom now load-bearing in
+    # frequent_pair_mining / minhash_lsh_pairs; doubled weight because the
+    # base families already dominate the pool
+    "winframe", "winframe", "arrayfn", "arrayfn",
+]
+
+# Window expressions with EXPLICIT frames: FOLLOWING rows-frames, RANGE
+# frames with value offsets (incl. over NULLS FIRST orderings), frame-
+# sensitive value functions (LAST_VALUE/NTH_VALUE), offset defaults, and
+# the distribution functions. Every ordering includes pk where ties could
+# otherwise make the result nondeterministic; RANGE frames aggregate over
+# value-peers so ties are deterministic by construction.
+_FRAME_EXPRS = [
+    "CAST(SUM(i2) OVER (ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS BIGINT)",
+    "CAST(SUM(i2) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS BIGINT)",
+    "CAST(COUNT(*) OVER (ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)",
+    "LAST_VALUE(i1) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)",
+    "NTH_VALUE(i1, 2) OVER (ORDER BY pk ASC NULLS FIRST"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "LAG(i1, 2, -1) OVER (PARTITION BY g ORDER BY pk ASC NULLS FIRST)",
+    "LEAD(i2, 3, 0) OVER (ORDER BY pk ASC NULLS FIRST)",
+    "CUME_DIST() OVER (ORDER BY i1 ASC NULLS FIRST, pk)",
+    "PERCENT_RANK() OVER (PARTITION BY b1 ORDER BY i2 ASC NULLS FIRST, pk)",
+    "CAST(SUM(i1) OVER (PARTITION BY g ORDER BY i1 ASC NULLS FIRST"
+    " RANGE BETWEEN 5 PRECEDING AND CURRENT ROW) AS BIGINT)",
+    "CAST(MAX(i1) OVER (PARTITION BY g ORDER BY i1 ASC NULLS FIRST"
+    " RANGE BETWEEN CURRENT ROW AND 100000 FOLLOWING) AS BIGINT)",
+    "CAST(COUNT(*) OVER (ORDER BY i2 ASC NULLS FIRST"
+    " RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS BIGINT)",
+    "CAST(MIN(i2) OVER (ORDER BY i1 ASC NULLS FIRST"
+    " RANGE BETWEEN 100000 PRECEDING AND 100000 FOLLOWING) AS BIGINT)",
+]
+
+# Higher-order / array functions on the NAME-portable Spark∩DuckDB surface
+# (probed r06: filter-with-lambda, array_contains/sort/position/append are
+# identical SQL in both engines; array_distinct/array_intersect agree only
+# as SETS, so they are always wrapped in array_sort; bare [] indexing,
+# size/len, transform, and slice are NOT portable and excluded). Length is
+# expressed via the sentinel-append + array_position idiom.
+_ARR_EXPRS = [
+    "array_sort(split(s1, ' '))",
+    "array_sort(filter(split(s1, ' '), x -> length(x) > 2))",
+    "filter(split(s1, ' '), x -> x LIKE '%a%')",
+    "array_contains(split(lower(s1), ' '), 'hello')",
+    "array_position(split(s1, ' '), 'world')",
+    "array_position(array_append(split(s1, ' '), '~~'), '~~') - 1",
+    "array_sort(array_distinct(split(lower(s1), 'a')))",
+    "array_sort(array_intersect(split(s1, ' '), split(lower(s1), ' ')))",
+    "array_append(array_sort(split(s1, ' ')), upper(s1))",
+    "array_contains(filter(split(s1, ' '), x -> length(x) > 1), lower(s1))",
+    "array_sort(filter(split(s1, 'a'), x -> x <> ''))",
 ]
 
 _STR_EXPRS = [
@@ -290,6 +346,15 @@ def _sql_for_case(seed: int) -> str:
     t = f"fz_t{rng.randrange(N_TABLES)}"
     u = f"fz_u{rng.randrange(N_TABLES)}"
     fam = rng.choice(_FAMILIES)
+    if fam == "winframe":
+        w1, w2 = rng.sample(_FRAME_EXPRS, 2)
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
+        return f"SELECT pk, {w1} AS w1, {w2} AS w2 FROM {t}{where}"
+    if fam == "arrayfn":
+        e1, e2 = rng.sample(_ARR_EXPRS, 2)
+        return (
+            f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t} WHERE s1 IS NOT NULL"
+        )
     if fam == "strfn":
         e1, e2 = rng.sample(_STR_EXPRS, 2)
         return (
