@@ -54,6 +54,10 @@ QUERIES = [
     "neardup_canonical_pick",
     "kmeans_assign",
     "embedding_quantize_int8",
+    # round-6 addition: the two-ranker fusion (postings probe + KNN +
+    # full-outer top-k join) — its query set grows with the corpus, so the
+    # scaling of |Q|·k intermediates is worth watching
+    "hybrid_search_rrf",
 ]
 
 _TABLES = (
