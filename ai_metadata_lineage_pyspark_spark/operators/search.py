@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..functions.io import load
+from ..functions.io import fan_out, load
 from ..registry import register
 
 # minimum document frequency for a token to enter the index (drops hapax
@@ -59,7 +59,7 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: explode(split) -> distinct (map-side partial) -> groupBy(token)
     with collect_list; ONE token-keyed shuffle. sort_array makes the
     postings deterministic regardless of shuffle arrival order."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tok = (
         docs.select(
             "doc_id",
@@ -117,7 +117,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scan); df is vocabulary-sized and BROADCASTS back onto tf; the
     top-k window partitions by doc_id, which is the same key tf is already
     hashed on."""
-    docs = load(spark, sf_dir, "documents")
+    docs = fan_out(load(spark, sf_dir, "documents"))
     tf = (
         docs.select(
             "doc_id",
@@ -206,7 +206,7 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence), unigram counts broadcast back into the bigram table,
     total via 1-row broadcast; one explode-shuffle each for the two count
     aggregates."""
-    toks = load(spark, sf_dir, "documents").select(
+    toks = fan_out(load(spark, sf_dir, "documents")).select(
         F.expr("split(lower(text), '\\\\s+')").alias("t")
     )
     uni = (
@@ -322,7 +322,7 @@ def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
 
     release_persisted()  # drop any prior invocation's cached intermediates
-    toks = load(spark, sf_dir, "documents").select(
+    toks = fan_out(load(spark, sf_dir, "documents")).select(
         "doc_id", F.expr("split(lower(text), '\\\\s+')").alias("t")
     )
     doc_bi = (
@@ -396,7 +396,7 @@ def bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     token/pair-keyed shuffles with map-side combine; deterministic
     integer-weighted top-k."""
     words = (
-        load(spark, sf_dir, "documents")
+        fan_out(load(spark, sf_dir, "documents"))
         .select(F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"))
         .where("word <> '' AND length(word) >= 2")
         .groupBy("word")
@@ -491,7 +491,7 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", F.explode(F.expr("split(qtext, '\\\\s+')")).alias("token")
     )
     tok = (
-        load(spark, sf_dir, "documents")
+        fan_out(load(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"))
         .where("token <> ''")
         .groupBy("doc_id", "token")
@@ -525,6 +525,16 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RRF_K = 60
 _HY_DEPTH = 10  # per-ranker candidate depth == similarity._TOP_K
 _HY_FINAL = 10
+# more-like-this term budget: each query doc probes the postings with only
+# its _MLT_TERMS rarest features (Lucene MoreLikeThis' max_query_terms /
+# prefer-rare-terms rule). Features are adjacent BIGRAMS, not unigrams:
+# the fixture's 31-token unigram vocabulary makes every unigram a
+# stop-token (df ~80% of the corpus — the unguarded r6 probe measured
+# 222 MB of hash-agg spill from that fan-out), while the ~930-bigram
+# space is Zipf-shaped (median df ~6%), so a rare-K probe is both
+# selective here and the correct bounded-cost shape on real corpora:
+# per-query candidate cost is K postings lists, never corpus-sized.
+_MLT_TERMS = 12
 
 # identical expression text in both engines; explicit DOUBLE casts because
 # a bare 1.0 literal parses as DECIMAL in BOTH SQL dialects and decimal
@@ -542,34 +552,37 @@ def _hybrid_oracle() -> str:
 
     return f"""
     WITH {_EXACT_TOPK_CTES},
-    qdocs AS (
-      SELECT doc_id AS query_id, lower(text) AS qtext FROM documents
-      WHERE doc_id % {_QUERY_MOD} = 0
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
     ),
-    qterms AS (
-      SELECT DISTINCT query_id, token FROM (
-        SELECT query_id, unnest(regexp_split_to_array(qtext, '\\s+')) AS token
-        FROM qdocs
-      ) WHERE token <> ''
-    ),
-    tok AS (
-      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+    bif AS (
+      SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS tf
       FROM (
-        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
-        FROM documents
+        SELECT doc_id,
+          unnest(list_transform(generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1])) AS bigram
+        FROM toks WHERE len(t) >= 2
       )
-      WHERE token <> ''
-      GROUP BY doc_id, token
+      GROUP BY doc_id, bigram
     ),
     df AS (
-      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS df FROM bif GROUP BY bigram
+    ),
+    qsel AS (
+      SELECT query_id, bigram, df FROM (
+        SELECT b.doc_id AS query_id, b.bigram, d.df,
+          ROW_NUMBER() OVER (PARTITION BY b.doc_id
+                             ORDER BY d.df ASC, b.bigram ASC) AS trn
+        FROM bif b JOIN df d ON d.bigram = b.bigram
+        WHERE b.doc_id % {_QUERY_MOD} = 0
+      ) WHERE trn <= {_MLT_TERMS}
     ),
     lex_scored AS (
       SELECT q.query_id, t.doc_id,
-        CAST(SUM(t.tf * {_TFIDF_SCALE} // d.df) AS BIGINT) AS lex_score
-      FROM qterms q
-      JOIN tok t ON t.token = q.token
-      JOIN df d ON d.token = q.token
+        CAST(SUM(t.tf * {_TFIDF_SCALE} // q.df) AS BIGINT) AS lex_score
+      FROM qsel q
+      JOIN bif t ON t.bigram = q.bigram
       WHERE t.doc_id <> q.query_id
       GROUP BY q.query_id, t.doc_id
     ),
@@ -616,40 +629,54 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with differing division semantics), so fusion scores and the fused
     ranking are bit-identical across engines.
 
-    Scale shape: the lexical side is one broadcast-probe of the existing
-    postings shuffle (query terms are |Q|·tokens rows); the dense side is
+    Scale shape: the lexical side probes the bigram postings with each
+    query's {12} RAREST features only (see _MLT_TERMS — the Lucene
+    MoreLikeThis rule), so per-query candidate cost is K bounded postings
+    lists, never a corpus-sized stop-token fan-out; the dense side is
     the registered exact-KNN (the IVF/LSH paths swap in transparently at
     scale since only (query_id, doc_id, rank) crosses the fusion join);
     the fusion itself is a full outer join of two top-k lists — |Q|·k
     rows, trivially broadcastable."""
     from .similarity import _QUERY_MOD, cosine_topk
 
-    docs = load(spark, sf_dir, "documents")
-    qterms = (
-        docs.filter(F.col("doc_id") % _QUERY_MOD == 0)
-        .select(
-            F.col("doc_id").alias("query_id"),
-            F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"),
-        )
-        .where("token <> ''")
-        .distinct()
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.select(
+        "doc_id", F.expr("split(lower(text), '\\\\s+')").alias("t")
     )
-    tok = (
-        docs.select(
-            "doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token")
+    bif = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(t) - 1),"
+                    " i -> concat(t[i-1], ' ', t[i]))"
+                )
+            ).alias("bigram"),
         )
-        .where("token <> ''")
-        .groupBy("doc_id", "token")
+        .groupBy("doc_id", "bigram")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    df = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    lex_scored = (
-        F.broadcast(qterms)
-        .join(tok, "token")
-        .join(
-            F.broadcast(df.join(F.broadcast(qterms.select("token").distinct()), "token")),
-            "token",
+    df = bif.groupBy("bigram").agg(F.count(F.lit(1)).alias("df"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("df").asc(), F.col("bigram").asc()
+    )
+    # broadcast the QUERY side into the vocabulary-sized df table (df can
+    # be huge on real text; the query-feature list is |Q|·features rows)
+    qsel = (
+        F.broadcast(
+            bif.filter(F.col("doc_id") % _QUERY_MOD == 0).select(
+                F.col("doc_id").alias("query_id"), "bigram"
+            )
         )
+        .join(df, "bigram")
+        .withColumn("trn", F.row_number().over(wq))
+        .filter(F.col("trn") <= _MLT_TERMS)
+        .select("query_id", "bigram", "df")
+    )
+    lex_scored = (
+        F.broadcast(qsel)
+        .join(bif, "bigram")
         .where(F.col("doc_id") != F.col("query_id"))
         .groupBy("query_id", "doc_id")
         .agg(F.expr(f"CAST(SUM(tf * {_TFIDF_SCALE} DIV df) AS BIGINT)").alias("lex_score"))

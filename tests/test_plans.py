@@ -332,3 +332,29 @@ def test_table_profile_approx_keeps_partial_aggregation(q):
     assert I.partial_aggregate_count(df) >= 1
     assert not I.has_operator(df, "Window")
     assert I.cartesian_product_count(df) == 0
+
+
+def test_hybrid_rrf_broadcasts_query_sides(q):
+    # the lexical side must probe the postings via broadcasts (query terms
+    # and the query-pruned df table are |Q|-scale), and the fusion of two
+    # top-k lists must never be a cartesian product
+    df = q("hybrid_search_rrf")
+    assert I.broadcast_join_count(df) >= 3
+    assert I.cartesian_product_count(df) == 0
+
+
+def test_bfs_closure_depth_semantics_after_broadcast_rewrite(spark, sf_dir):
+    # the r6 rewrite (size-aware frontier broadcast + (seed,node)-keyed
+    # dedup) must keep min-depth semantics exactly; the per-hop plans are
+    # checkpoint-materialized so the broadcast itself is asserted via the
+    # steady-state timing artifact, not explain()
+    from ai_metadata_lineage_pyspark_spark.operators.graph import bfs_closure
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(100)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(0,), (50,)], "seed long")
+    out = bfs_closure(edges, seeds, max_depth=2)
+    # depth semantics unchanged: 0->1,2 and 50->51,52
+    rows = {(r.seed, r.node, r.depth) for r in out.collect()}
+    assert rows == {(0, 1, 1), (0, 2, 2), (50, 51, 1), (50, 52, 2)}
