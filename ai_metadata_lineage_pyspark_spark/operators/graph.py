@@ -157,6 +157,15 @@ def event_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PR_SCALE = 1_000_000_000
 _PR_ITERS = 3
+# Edge weights are quantized to ~ppm of their source's out-weight before
+# the iterations: rank (<= ~25e9 fixed-point mass) times a RAW lineitem
+# count (~1e9 per nation-pair at sf1e5) would clear INT64 around sf4e4 and
+# silently wrap under Spark's non-ANSI arithmetic (same overflow class the
+# r5 advice flagged in daily_revenue_anomaly). With w capped at ~1e6+slack
+# per source, rank*w stays < 1e17 at ANY scale factor. Below w_out=1e6 the
+# divisor is 1, so test-SF results (and their oracle hashes) are unchanged;
+# above it, both engines quantize identically so the oracle stays lockstep.
+_PR_W_CAP = 1_000_000
 
 
 def _pr_iter_sql(prev: str, cur: str) -> str:
@@ -188,7 +197,12 @@ def _pr_iter_sql(prev: str, cur: str) -> str:
       JOIN supplier s ON s.s_suppkey  = l.l_suppkey
       GROUP BY c.c_nationkey, s.s_nationkey
     ),
-    e AS (SELECT src, dst, CAST(w AS BIGINT) AS w FROM eraw),
+    o0 AS (SELECT src AS src0, CAST(SUM(w) AS BIGINT) AS w_out0 FROM eraw GROUP BY src),
+    e AS (
+      SELECT src, dst,
+        CAST(w // GREATEST(1, w_out0 // {_PR_W_CAP}) AS BIGINT) AS w
+      FROM eraw JOIN o0 ON o0.src0 = eraw.src
+    ),
     o AS (SELECT src, CAST(SUM(w) AS BIGINT) AS w_out FROM e GROUP BY src),
     nodes AS (SELECT n_nationkey AS node FROM nation),
     r0 AS (SELECT node, CAST({_PR_SCALE} AS BIGINT) AS rank FROM nodes),
@@ -207,7 +221,7 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     customer = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     supplier = load(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
-    edges = (
+    eraw = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .join(supplier, li.l_suppkey == supplier.s_suppkey)
@@ -215,6 +229,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_nationkey").alias("src"), F.col("s_nationkey").alias("dst")
         )
         .agg(F.count(F.lit(1)).alias("w"))
+    )
+    out0 = eraw.groupBy("src").agg(F.sum("w").alias("w_out0"))
+    edges = eraw.join(out0, "src").select(
+        "src",
+        "dst",
+        F.expr(f"CAST(w div greatest(1, w_out0 div {_PR_W_CAP}) AS BIGINT)").alias("w"),
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     # edge list with out-weights: built once, consumed every iteration
