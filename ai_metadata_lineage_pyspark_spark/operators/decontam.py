@@ -98,3 +98,145 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shared_fraction"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_decontam — the SAME contamination test routed through a Bloom
+# filter: the broadcast side becomes a fixed m-bit position set instead of
+# the raw eval shingle set, so its size is bounded by m (2^20 here) no
+# matter how many eval benchmarks are loaded. k=3 md5-derived hash
+# functions, identical literal expressions in both engines, so the filter
+# (and its false positives) are bit-deterministic and oracle-checkable.
+# ---------------------------------------------------------------------------
+
+_BLOOM_M = 1 << 20
+_BLOOM_K = 3
+
+
+def _bloom_pos_spark(i: int) -> str:
+    return (
+        f"pmod(cast(conv(substr(md5(concat('b{i}:', shingle)), 1, 8), 16, 10)"
+        f" as bigint), {_BLOOM_M})"
+    )
+
+
+def _bloom_pos_duck(i: int) -> str:
+    return f"(('0x' || substr(md5('b{i}:' || shingle), 1, 8))::BIGINT % {_BLOOM_M})"
+
+
+@register(
+    "bloom_decontam",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    eval_x AS (
+      SELECT DISTINCT shingle FROM x WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    eval_pos AS (
+      SELECT DISTINCT p FROM (
+        SELECT unnest([{_bloom_pos_duck(0)}, {_bloom_pos_duck(1)},
+                       {_bloom_pos_duck(2)}]) AS p
+        FROM eval_x
+      )
+    ),
+    tr_pos AS (
+      SELECT doc_id, shingle,
+        unnest([{_bloom_pos_duck(0)}, {_bloom_pos_duck(1)},
+                {_bloom_pos_duck(2)}]) AS p
+      FROM x WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    matched AS (
+      SELECT t.doc_id, t.shingle, COUNT(*) AS k_hit
+      FROM tr_pos t JOIN eval_pos e ON e.p = t.p
+      GROUP BY t.doc_id, t.shingle
+    ),
+    per_sh AS (
+      SELECT m.doc_id,
+        CASE WHEN m.k_hit = {_BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit,
+        CASE WHEN ex.shingle IS NOT NULL THEN 1 ELSE 0 END AS exact_hit
+      FROM matched m LEFT JOIN eval_x ex ON ex.shingle = m.shingle
+    ),
+    tot AS (
+      SELECT doc_id, len(shingles) AS n_shingles FROM sh
+      WHERE doc_id % {_EVAL_MOD} <> 0
+    )
+    SELECT p.doc_id, CAST(t.n_shingles AS BIGINT) AS n_shingles,
+      CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits,
+      CAST(SUM(exact_hit) AS BIGINT) AS n_exact_hits,
+      CAST(SUM(bloom_hit) - SUM(exact_hit) AS BIGINT) AS n_false_positives
+    FROM per_sh p JOIN tot t ON t.doc_id = p.doc_id
+    GROUP BY p.doc_id, t.n_shingles
+    HAVING SUM(bloom_hit) > 0
+    """,
+)
+def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter benchmark decontamination with a built-in
+    false-positive census.
+
+    Why this exists next to `benchmark_decontam`: the exact test
+    broadcasts the eval SHINGLE SET, which grows with the number of
+    benchmarks; the Bloom route broadcasts at most m={2**20} distinct bit
+    positions regardless of eval volume — the shape that still broadcasts
+    when dozens of eval suites are loaded. A training shingle is flagged
+    iff all k={3} of its md5-derived positions are set. Every hash is an
+    identical literal expression in both engines (the repo's established
+    `md5 -> first-8-hex-digits -> int` idiom from operators/sampling.py),
+    so the filter's exact false-positive behavior is hash-checked, not
+    just its happy path.
+
+    The n_exact_hits / n_false_positives columns are the measurement
+    harness (they re-use the exact broadcast): at 100 TB you would ship
+    only the Bloom probe and sample the FP census offline. Output is
+    bounded to flagged docs; exact hits are a subset of Bloom hits by
+    construction, so the census join only touches matched shingles."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    sh = (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
+    )
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
+    eval_x = exploded.filter(is_eval).select("shingle").distinct()
+    pos_arr = (
+        "array(" + ", ".join(_bloom_pos_spark(i) for i in range(_BLOOM_K)) + ")"
+    )
+    eval_pos = eval_x.select(F.explode(F.expr(pos_arr)).alias("p")).distinct()
+    tr_pos = exploded.filter(~is_eval).select(
+        "doc_id", "shingle", F.explode(F.expr(pos_arr)).alias("p")
+    )
+    matched = (
+        tr_pos.join(F.broadcast(eval_pos), "p")
+        .groupBy("doc_id", "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    per_sh = matched.join(
+        F.broadcast(eval_x.withColumn("exact", F.lit(1))), "shingle", "left"
+    ).select(
+        "doc_id",
+        F.when(F.col("k_hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit"),
+        F.coalesce(F.col("exact"), F.lit(0)).alias("exact_hit"),
+    )
+    tot = sh.filter(~is_eval).select(
+        "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
+    )
+    return (
+        per_sh.groupBy("doc_id")
+        .agg(
+            F.sum("bloom_hit").alias("n_bloom_hits"),
+            F.sum("exact_hit").alias("n_exact_hits"),
+        )
+        .filter(F.col("n_bloom_hits") > 0)
+        .join(tot, "doc_id")
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_bloom_hits",
+            "n_exact_hits",
+            (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_positives"),
+        )
+    )
