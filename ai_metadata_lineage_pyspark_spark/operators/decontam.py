@@ -110,23 +110,28 @@ def benchmark_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _BLOOM_M = 1 << 20
+# Deliberately tiny second filter: at m=2^20 the fixture's eval set fills
+# ~0.3% of the bit space and produces ZERO false positives, so the FP
+# census would never execute its interesting branch. m=2048 pushes the
+# fill ratio to ~50%+, so the registered small-m variant keeps the
+# false-positive arithmetic itself under the driver's hash check.
+_BLOOM_M_SMALL = 2048
 _BLOOM_K = 3
 
 
-def _bloom_pos_spark(i: int) -> str:
+def _bloom_pos_spark(i: int, m: int) -> str:
     return (
         f"pmod(cast(conv(substr(md5(concat('b{i}:', shingle)), 1, 8), 16, 10)"
-        f" as bigint), {_BLOOM_M})"
+        f" as bigint), {m})"
     )
 
 
-def _bloom_pos_duck(i: int) -> str:
-    return f"(('0x' || substr(md5('b{i}:' || shingle), 1, 8))::BIGINT % {_BLOOM_M})"
+def _bloom_pos_duck(i: int, m: int) -> str:
+    return f"(('0x' || substr(md5('b{i}:' || shingle), 1, 8))::BIGINT % {m})"
 
 
-@register(
-    "bloom_decontam",
-    oracle=f"""
+def _bloom_oracle(m: int) -> str:
+    return f"""
     WITH sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM documents
@@ -138,15 +143,15 @@ def _bloom_pos_duck(i: int) -> str:
     ),
     eval_pos AS (
       SELECT DISTINCT p FROM (
-        SELECT unnest([{_bloom_pos_duck(0)}, {_bloom_pos_duck(1)},
-                       {_bloom_pos_duck(2)}]) AS p
+        SELECT unnest([{_bloom_pos_duck(0, m)}, {_bloom_pos_duck(1, m)},
+                       {_bloom_pos_duck(2, m)}]) AS p
         FROM eval_x
       )
     ),
     tr_pos AS (
       SELECT doc_id, shingle,
-        unnest([{_bloom_pos_duck(0)}, {_bloom_pos_duck(1)},
-                {_bloom_pos_duck(2)}]) AS p
+        unnest([{_bloom_pos_duck(0, m)}, {_bloom_pos_duck(1, m)},
+                {_bloom_pos_duck(2, m)}]) AS p
       FROM x WHERE doc_id % {_EVAL_MOD} <> 0
     ),
     matched AS (
@@ -171,8 +176,10 @@ def _bloom_pos_duck(i: int) -> str:
     FROM per_sh p JOIN tot t ON t.doc_id = p.doc_id
     GROUP BY p.doc_id, t.n_shingles
     HAVING SUM(bloom_hit) > 0
-    """,
-)
+    """
+
+
+@register("bloom_decontam", oracle=_bloom_oracle(_BLOOM_M))
 def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter benchmark decontamination with a built-in
     false-positive census.
@@ -193,6 +200,20 @@ def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the Bloom probe and sample the FP census offline. Output is
     bounded to flagged docs; exact hits are a subset of Bloom hits by
     construction, so the census join only touches matched shingles."""
+    return _bloom_decontam(spark, sf_dir, _BLOOM_M)
+
+
+@register("bloom_decontam_smallm", oracle=_bloom_oracle(_BLOOM_M_SMALL))
+def bloom_decontam_smallm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same Bloom probe with a deliberately saturated m={2048}-bit
+    space: the fixture then actually produces false positives, so the FP
+    census arithmetic (bloom-hit minus exact-hit per doc) is exercised
+    and hash-checked by the driver — not just the zero-FP happy path the
+    realistic m never leaves."""
+    return _bloom_decontam(spark, sf_dir, _BLOOM_M_SMALL)
+
+
+def _bloom_decontam(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     sh = (
         docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
@@ -203,7 +224,7 @@ def bloom_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded = sh.select("doc_id", F.explode("shingles").alias("shingle"))
     eval_x = exploded.filter(is_eval).select("shingle").distinct()
     pos_arr = (
-        "array(" + ", ".join(_bloom_pos_spark(i) for i in range(_BLOOM_K)) + ")"
+        "array(" + ", ".join(_bloom_pos_spark(i, m) for i in range(_BLOOM_K)) + ")"
     )
     eval_pos = eval_x.select(F.explode(F.expr(pos_arr)).alias("p")).distinct()
     tr_pos = exploded.filter(~is_eval).select(
