@@ -61,6 +61,10 @@ METAMORPHIC_QUERIES = [
     "weighted_doc_sample",
     "doc_mixture_schedule",
     "neardup_canonical_pick",
+    # r6 additions: the fused ranker and the Bloom probe both consume the
+    # documents table and must be invariant to its physical layout
+    "hybrid_search_rrf",
+    "bloom_decontam_smallm",
 ]
 
 
