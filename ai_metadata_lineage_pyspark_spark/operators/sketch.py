@@ -282,3 +282,111 @@ def kmv_key_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("est_a + est_b - est_union").alias("est_overlap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quantile_bottomk_sketch — deterministic quantile estimation from a
+# bottom-k-by-hash sample. approx_percentile's KLL/GK sketch is
+# engine-specific and can never be oracle-checked value-for-value; a
+# bottom-k sample keyed on a content-independent md5 of the row key is a
+# uniform sample with the same one-pass / bounded-memory / mergeable
+# properties (union = keep the k smallest hashes of either side) and a
+# fully deterministic definition, so the ESTIMATES themselves hash-match
+# across engines.
+# ---------------------------------------------------------------------------
+
+_QSK_K = 256
+_QSK_QUANTILES = (50, 90, 99)
+
+# order totals in exact cents; sample membership keyed on md5(o_orderkey)
+_QSK_V = "CAST(floor(o_totalprice * 100) AS BIGINT)"
+_QSK_H_SPARK = (
+    "cast(conv(substr(md5(cast(o_orderkey as string)), 1, 8), 16, 10) as bigint)"
+)
+_QSK_H_SQL = "(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT)"
+
+
+@register(
+    "quantile_bottomk_sketch",
+    oracle=f"""
+    WITH src AS (
+      SELECT o_orderkey AS k, {_QSK_V} AS v, {_QSK_H_SQL} AS hv FROM orders
+    ),
+    n_all AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM src),
+    samp AS (
+      SELECT k, v FROM (
+        SELECT k, v, ROW_NUMBER() OVER (ORDER BY hv ASC, k ASC) AS rn FROM src
+      ) WHERE rn <= {_QSK_K}
+    ),
+    n_s AS (SELECT CAST(COUNT(*) AS BIGINT) AS ns FROM samp),
+    samp_ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, k ASC) AS rn FROM samp
+    ),
+    exact_ranked AS (
+      SELECT v, ROW_NUMBER() OVER (ORDER BY v ASC, k ASC) AS rn FROM src
+    ),
+    q(q) AS (VALUES {", ".join(f"({q})" for q in _QSK_QUANTILES)}),
+    est AS (
+      SELECT q.q, s.v AS est_cents
+      FROM q JOIN n_s ON TRUE
+      JOIN samp_ranked s ON s.rn = (q.q * n_s.ns + 99) // 100
+    ),
+    ex AS (
+      SELECT q.q, e.v AS exact_cents
+      FROM q JOIN n_all ON TRUE
+      JOIN exact_ranked e ON e.rn = (q.q * n_all.n + 99) // 100
+    )
+    SELECT CAST(est.q AS BIGINT) AS quantile_pct, est.est_cents, ex.exact_cents,
+      CAST(est.est_cents - ex.exact_cents AS BIGINT) AS err_cents
+    FROM est JOIN ex ON ex.q = est.q
+    """,
+)
+def quantile_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99 of order totals (exact cents) estimated from a
+    deterministic {256}-row bottom-k-by-hash sample, with the exact
+    quantiles and signed error carried alongside as the measurement
+    harness.
+
+    Scale shape: the sample selection is `ORDER BY hash LIMIT k` — Spark
+    plans it as TakeOrderedAndProject (distributed per-partition top-k,
+    merged at the driver; NO global sort of the fact table), which is the
+    one-pass bounded-memory pass a 100 TB profiler needs; the sketch is
+    mergeable across shards by keeping the k smallest hashes of any
+    union. The EXACT side necessarily ranks the full table (one global
+    window) — at scale you ship only the sketch and audit the error on
+    samples, exactly like bloom_decontam's FP census. Quantile ranks use
+    ceil(q*n/100) in shared integer arithmetic; everything is BIGINT, so
+    both the estimates and their errors hash-match the oracle."""
+    src = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.expr(_QSK_V).alias("v"),
+        F.expr(_QSK_H_SPARK).alias("hv"),
+    )
+    samp = src.orderBy(F.col("hv").asc(), F.col("k").asc()).limit(_QSK_K)
+    n_all = src.agg(F.count(F.lit(1)).alias("n"))
+    n_s = samp.agg(F.count(F.lit(1)).alias("ns"))
+    ws = Window.orderBy(F.col("v").asc(), F.col("k").asc())
+    samp_ranked = samp.select("v", F.row_number().over(ws).alias("rn"))
+    exact_ranked = src.select("v", "k").withColumn("rn", F.row_number().over(ws))
+    q = spark.createDataFrame([(q,) for q in _QSK_QUANTILES], "q long")
+    est = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(n_s))
+        .join(samp_ranked, F.expr("rn = (q * ns + 99) DIV 100"))
+        .select("q", F.col("v").alias("est_cents"))
+    )
+    ex = (
+        F.broadcast(q)
+        .crossJoin(F.broadcast(n_all))
+        .join(exact_ranked, F.expr("rn = (q * n + 99) DIV 100"))
+        .select(F.col("q").alias("qx"), F.col("v").alias("exact_cents"))
+    )
+    return (
+        est.join(ex, F.col("q") == F.col("qx"))
+        .select(
+            F.col("q").alias("quantile_pct"),
+            "est_cents",
+            "exact_cents",
+            (F.col("est_cents") - F.col("exact_cents")).alias("err_cents"),
+        )
+    )

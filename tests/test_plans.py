@@ -361,3 +361,12 @@ def test_bfs_closure_depth_semantics_after_broadcast_rewrite(spark, sf_dir):
     # depth semantics unchanged: 0->1,2 and 50->51,52
     rows = {(r.seed, r.node, r.depth) for r in out.collect()}
     assert rows == {(0, 1, 1), (0, 2, 2), (50, 51, 1), (50, 52, 2)}
+
+
+def test_quantile_sketch_sample_is_takeordered_not_global_sort(q):
+    # the bottom-k-by-hash sample must plan as TakeOrderedAndProject
+    # (per-partition top-k merged at the driver), never a full global sort
+    # of the fact table; the crossJoins are 1-row count broadcasts
+    df = q("quantile_bottomk_sketch")
+    assert I.has_operator(df, "TakeOrderedAndProject")
+    assert I.cartesian_product_count(df) == 0
