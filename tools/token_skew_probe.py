@@ -32,7 +32,15 @@ from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/token_skew_probe"
 
-QUERIES = ["lm_bigram_doc_score", "lexical_search_topk"]
+QUERIES = [
+    "lm_bigram_doc_score",
+    "lexical_search_topk",
+    # r6: the fused ranker's lexical side selects each query's K RAREST
+    # bigrams, so an adversarial near-100%-df stop-bigram should be
+    # excluded from every query's probe set entirely — the strongest
+    # possible skew story (the hot key never enters the join)
+    "hybrid_search_rrf",
+]
 _TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
