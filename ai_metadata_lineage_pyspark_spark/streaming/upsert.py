@@ -113,3 +113,100 @@ def streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_us").alias("latest_ts_us"),
         "n_events",
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_kmv_sketch — mergeable-sketch maintenance across micro-batches:
+# the streaming twin of operators/sketch.py::kmv_distinct_sketch. State per
+# event_type is the k smallest DISTINCT md5 hashes seen so far; each batch
+# merges by union + re-truncate (associative + commutative + idempotent, so
+# batch-split choices and replays cannot change the result — the same
+# merge discipline as streaming_foreach_upsert, applied to sketch state
+# instead of latest-row state).
+# ---------------------------------------------------------------------------
+
+_SKW_K = 64
+
+
+def _reduce_kmv(df: DataFrame) -> DataFrame:
+    """Truncate (event_type, h) rows to the k smallest distinct hashes per
+    type. reduce(reduce(a) U reduce(b)) == reduce(a U b)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy("h")
+    return (
+        df.distinct()
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= _SKW_K)
+        .drop("__rn")
+    )
+
+
+@register(
+    "streaming_kmv_sketch",
+    oracle=f"""
+    WITH d AS (
+      SELECT DISTINCT event_type,
+        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+             AS DOUBLE) / 4294967296.0 AS h
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, h,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d
+    )
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_in_sketch,
+      MAX(CASE WHEN rn = {_SKW_K} THEN h END) AS kth_min_hash,
+      CASE WHEN COUNT(*) < {_SKW_K} THEN CAST(COUNT(*) AS DOUBLE)
+           ELSE ({_SKW_K} - 1) / MAX(CASE WHEN rn = {_SKW_K} THEN h END)
+      END AS kmv_estimate
+    FROM r WHERE rn <= {_SKW_K}
+    GROUP BY event_type
+    """,
+)
+def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct-user KMV estimate maintained incrementally
+    over the event stream: every micro-batch hashes its (type, user)
+    pairs and merges into O(k)-per-type sketch state by union + keep-k-
+    smallest-distinct. Because the merge is a bounded idempotent
+    semilattice join, the final sketch equals the batch sketch over the
+    same events regardless of how the file source split the batches — and
+    the DuckDB oracle asserts exactly that equality, estimate included.
+
+    This is the shape a 100 TB ingest pipeline uses for continuous
+    cardinality monitoring: state is k hashes per group (not a distinct
+    set), each batch touches only its own keys, and sketches from
+    different shards/streams union losslessly. (KMV here operates on the
+    distinct HASH set — the textbook definition — so an 8-hex-digit
+    collision of two user_ids is absorbed identically in both engines.)"""
+    events = read_events_stream(spark, sf_dir)
+    h = events.selectExpr(
+        "event_type",
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as double)"
+        " / 4294967296.0 AS h",
+    )
+    state: dict[str, DataFrame | None] = {"sketch": None}
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch_sketch = _reduce_kmv(batch_df)
+        if state["sketch"] is None:
+            merged = batch_sketch
+        else:
+            merged = _reduce_kmv(state["sketch"].unionByName(batch_sketch))
+        state["sketch"] = merged.localCheckpoint(eager=True)
+
+    q = h.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
+    q.awaitTermination()
+    sketch = state["sketch"]
+    assert sketch is not None, "stream produced no micro-batches"
+    return sketch.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_in_sketch"),
+        F.when(F.count(F.lit(1)) == _SKW_K, F.max("h")).alias("kth_min_hash"),
+        F.when(
+            F.count(F.lit(1)) < _SKW_K, F.count(F.lit(1)).cast("double")
+        )
+        .otherwise((_SKW_K - 1) / F.max("h"))
+        .alias("kmv_estimate"),
+    )

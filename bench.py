@@ -194,6 +194,24 @@ def main() -> None:
             registry[name].fn, f"mining {name}"
         )
 
+    # Retrieval/profiling suite (round-6 additions): again a separate
+    # metric so the headline and mining totals stay comparable to their
+    # earlier-round anchors.
+    retrieval_suite = [
+        "hybrid_search_rrf",
+        "bloom_decontam",
+        "bloom_decontam_smallm",
+        "quantile_bottomk_sketch",
+        "lexical_search_topk",
+        "lm_bigram_doc_score",
+    ]
+    retr_timings: dict[str, float] = {}
+    retr_steady: dict[str, float] = {}
+    for name in retrieval_suite:
+        retr_timings[name], retr_steady[name] = timed_pair(
+            registry[name].fn, f"retrieval {name}"
+        )
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -223,6 +241,15 @@ def main() -> None:
                     "steady_total": round(sum(tpch_steady.values()), 3),
                 },
                 "tpch_power_steady": round(sum(tpch_steady.values()), 3),
+                "retrieval_suite": {
+                    "metric": "retrieval_profiling_suite_total",
+                    "value": round(sum(retr_timings.values()), 3),
+                    "unit": "sec",
+                    "queries": retr_timings,
+                    "queries_steady": retr_steady,
+                    "steady_total": round(sum(retr_steady.values()), 3),
+                },
+                "retrieval_suite_steady": round(sum(retr_steady.values()), 3),
             }
         )
     )

@@ -203,3 +203,76 @@ def test_session_window_multi_batch_state_evolution(spark, tmp_path):
     ]
     for (bid, got), want in zip(snapshots, expected_by_batch):
         assert got == want, f"batch {bid}: {got} != {want}"
+
+
+def test_streaming_kmv_merge_across_real_micro_batches(spark):
+    """streaming_kmv_sketch's merge (union + keep-k-smallest-distinct)
+    driven through REAL incremental micro-batches via the replay source:
+    the final sketch must equal the batch sketch over all events — the
+    semilattice-merge property that makes the sketch batch-split-proof.
+    (The registry entry reads the parquet file source, which may deliver
+    a single availableNow batch; this test forces >=3.)"""
+    import time as _t
+
+    import pyarrow.parquet as pq
+
+    from ai_metadata_lineage_pyspark_spark.sources.pydatasource import (
+        EventsReplayDataSource,
+    )
+    from ai_metadata_lineage_pyspark_spark.streaming.upsert import (
+        _SKW_K,
+        _reduce_kmv,
+    )
+
+    path = "/root/testdata/sf0.001/events.parquet"
+    total = pq.ParquetFile(path).metadata.num_rows
+    max_rows = (total + 4) // 5  # ~5 micro-batches
+
+    spark.dataSource.register(EventsReplayDataSource)
+    stream = (
+        spark.readStream.format("events_replay")
+        .option("path", path)
+        .option("maxRowsPerBatch", str(max_rows))
+        .load()
+    )
+    h_expr = (
+        "cast(conv(substr(md5(cast(user_id as string)), 1, 8), 16, 10) as double)"
+        " / 4294967296.0 AS h"
+    )
+    hashed = stream.selectExpr("event_type", h_expr)
+
+    state = {"sketch": None, "rows": 0, "batches": 0}
+
+    def merge(bdf, bid: int) -> None:
+        state["rows"] += bdf.count()
+        state["batches"] += 1
+        bs = _reduce_kmv(bdf)
+        merged = bs if state["sketch"] is None else _reduce_kmv(
+            state["sketch"].unionByName(bs)
+        )
+        state["sketch"] = merged.localCheckpoint(eager=True)
+
+    q = (
+        hashed.writeStream.foreachBatch(merge)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _t.time() + 120
+    while _t.time() < deadline and state["rows"] < total:
+        _t.sleep(0.2)
+    q.stop()
+    q.awaitTermination()
+
+    assert state["batches"] >= 3, f"expected >=3 micro-batches, got {state['batches']}"
+    assert state["rows"] == total
+    # batch shadow: same k-min-distinct sketch over the whole table at once
+    batch = spark.read.parquet(path).selectExpr("event_type", h_expr)
+    expected = {
+        (r.event_type, r.h) for r in _reduce_kmv(batch).collect()
+    }
+    got = {(r.event_type, r.h) for r in state["sketch"].collect()}
+    assert got == expected
+    assert all(
+        n <= _SKW_K
+        for n in state["sketch"].groupBy("event_type").count().rdd.map(lambda r: r[1]).collect()
+    )
