@@ -214,8 +214,14 @@ def bloom_decontam_smallm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bloom_decontam(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
+    from ..functions.cache import release_persisted, scoped_persist
+
+    release_persisted()  # drop any prior invocation's cached intermediates
     docs = fan_out(load(spark, sf_dir, "documents"))
-    sh = (
+    # the tokenize+shingle scan feeds FOUR consumers (eval set, eval
+    # positions, train side, per-doc totals); scoped-persist it so the
+    # corpus is shingled once, not once per subtree
+    sh = scoped_persist(
         docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
         .filter("size(toks) >= 3")
         .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
@@ -227,21 +233,30 @@ def _bloom_decontam(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
         "array(" + ", ".join(_bloom_pos_spark(i, m) for i in range(_BLOOM_K)) + ")"
     )
     eval_pos = eval_x.select(F.explode(F.expr(pos_arr)).alias("p")).distinct()
-    tr_pos = exploded.filter(~is_eval).select(
-        "doc_id", "shingle", F.explode(F.expr(pos_arr)).alias("p")
+    tr_sh = exploded.filter(~is_eval)
+    # bloom/exact flags are functions of the SHINGLE alone, so they are
+    # computed once per distinct vocabulary entry — not once per
+    # (doc, shingle) occurrence: the md5 probes and the 3x position
+    # explosion run over the vocabulary (sublinear in the corpus), and the
+    # occurrence-scale side only pays a shingle-keyed equi-join against
+    # the matched-vocabulary flag table (first cut probed per occurrence:
+    # 8.5s steady at sf0.1; this shape ~1s)
+    sh_pos = (
+        tr_sh.select("shingle").distinct()
+        .select("shingle", F.explode(F.expr(pos_arr)).alias("p"))
     )
-    matched = (
-        tr_pos.join(F.broadcast(eval_pos), "p")
-        .groupBy("doc_id", "shingle")
+    flags = (
+        sh_pos.join(F.broadcast(eval_pos), "p")
+        .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("k_hit"))
+        .join(F.broadcast(eval_x.withColumn("exact", F.lit(1))), "shingle", "left")
+        .select(
+            "shingle",
+            F.when(F.col("k_hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit"),
+            F.coalesce(F.col("exact"), F.lit(0)).alias("exact_hit"),
+        )
     )
-    per_sh = matched.join(
-        F.broadcast(eval_x.withColumn("exact", F.lit(1))), "shingle", "left"
-    ).select(
-        "doc_id",
-        F.when(F.col("k_hit") == _BLOOM_K, 1).otherwise(0).alias("bloom_hit"),
-        F.coalesce(F.col("exact"), F.lit(0)).alias("exact_hit"),
-    )
+    per_sh = tr_sh.join(flags, "shingle").select("doc_id", "bloom_hit", "exact_hit")
     tot = sh.filter(~is_eval).select(
         "doc_id", F.size("shingles").cast("bigint").alias("n_shingles")
     )
