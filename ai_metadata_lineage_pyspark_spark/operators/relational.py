@@ -455,3 +455,62 @@ def safe_expression_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_floor_price"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# variant_props_extract — the Spark 4 VARIANT path over the same JSON props
+# column json_props_parse reads with from_json: parse once into the binary
+# VARIANT encoding, extract typed fields with variant_get. At 100 TB this is
+# the semi-structured design of record — VARIANT keeps shredded binary
+# (no per-row re-parse per extracted field, unlike repeated
+# get_json_object calls) while staying schema-on-read for evolving props.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_props_extract",
+    oracle="""
+    SELECT event_type,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT)
+        AS sum_k,
+      MIN(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS min_k,
+      MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS max_k,
+      CAST(COUNT(*) FILTER (
+        WHERE json_extract_string(props, '$.missing') IS NULL) AS BIGINT)
+        AS n_missing_path
+    FROM events
+    WHERE props IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed field extraction through the VARIANT type (Spark 4):
+    `parse_json` shreds the props JSON into the binary variant encoding
+    once, `variant_get` pulls `$.k` as INT and probes a missing path
+    (NULL, not an error — the schema-on-read contract). The DuckDB oracle
+    expresses the identical semantics through its JSON type, so the
+    VARIANT path's values — including missing-path NULL behavior — are
+    hash-checked, not just type-checked.
+
+    Plan note: parse_json is evaluated once per row in the projection and
+    both variant_get extractions read the same shredded value; the rollup
+    is an ordinary partial-agg groupBy. The json_props_parse twin keeps
+    the from_json(struct) form for comparison — VARIANT wins when props
+    schemas drift faster than pipelines redeploy."""
+    events = load(spark, sf_dir, "events")
+    parsed = events.filter(F.col("props").isNotNull()).select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    shaped = parsed.select(
+        "event_type",
+        F.variant_get("v", "$.k", "int").alias("k"),
+        F.variant_get("v", "$.missing", "string").alias("missing"),
+    )
+    return shaped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing_path"),
+    )

@@ -85,6 +85,7 @@ def _ensure_loaded() -> None:
         text,
         tpch,
         tpch_suite,
+        udtfs,
         windows,
     )
     from .lineage import queries as lineage_queries  # noqa: F401
