@@ -58,6 +58,10 @@ QUERIES = [
     # full-outer top-k join) — its query set grows with the corpus, so the
     # scaling of |Q|·k intermediates is worth watching
     "hybrid_search_rrf",
+    # round-6 addition: the Bloom probe's m-bounded broadcast claim — the
+    # eval side must stay a <=2^20-position broadcast while the train side
+    # scales
+    "bloom_decontam",
 ]
 
 _TABLES = (
