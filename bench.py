@@ -1,8 +1,17 @@
 """Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
-  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+The LAST stdout line is ONE compact JSON line (kept under ~1.5 kB so the
+driver's tail capture can parse it — BENCH_r05/r06 went `parsed: null`
+because the full-detail line outgrew the 2000-char tail):
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "steady_total": ..., "tpch_steady_total": ..., "mining_steady_total": ...,
+   "retrieval_steady_total": ..., "detail": "<path>"}
+`queries` holds per-query STEADY seconds for the headline suite; the other
+suites' per-query steady values ride in `tpch_q`/`mining_q`/`retr_q` with
+shortened keys. The FULL record (first-run + steady for every suite) is
+written to ARTIFACTS/r{N}_bench_local.json (N inferred from existing
+BENCH_r*.json files) and referenced by `detail`.
 
 Each query is executed to completion with a cheap count-style sink (collect
 for small results) after a warmup of the Spark session + parquet footer
@@ -213,46 +222,85 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_clock_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_steady": steady,
-                "steady_total": round(sum(steady.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "mining_suite": {
-                    "metric": "mining_curation_suite_total",
-                    "value": round(sum(mining_timings.values()), 3),
-                    "unit": "sec",
-                    "queries": mining_timings,
-                    "queries_steady": mining_steady,
-                    "steady_total": round(sum(mining_steady.values()), 3),
-                },
-                "mining_suite_steady": round(sum(mining_steady.values()), 3),
-                "tpch_power_run": {
-                    "metric": "tpch_22q_single_stream_total",
-                    "value": round(sum(tpch_timings.values()), 3),
-                    "unit": "sec",
-                    "queries": tpch_timings,
-                    "queries_steady": tpch_steady,
-                    "steady_total": round(sum(tpch_steady.values()), 3),
-                },
-                "tpch_power_steady": round(sum(tpch_steady.values()), 3),
-                "retrieval_suite": {
-                    "metric": "retrieval_profiling_suite_total",
-                    "value": round(sum(retr_timings.values()), 3),
-                    "unit": "sec",
-                    "queries": retr_timings,
-                    "queries_steady": retr_steady,
-                    "steady_total": round(sum(retr_steady.values()), 3),
-                },
-                "retrieval_suite_steady": round(sum(retr_steady.values()), 3),
-            }
-        )
+    full_record = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_steady": steady,
+        "steady_total": round(sum(steady.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "mining_suite": {
+            "metric": "mining_curation_suite_total",
+            "value": round(sum(mining_timings.values()), 3),
+            "unit": "sec",
+            "queries": mining_timings,
+            "queries_steady": mining_steady,
+            "steady_total": round(sum(mining_steady.values()), 3),
+        },
+        "mining_suite_steady": round(sum(mining_steady.values()), 3),
+        "tpch_power_run": {
+            "metric": "tpch_22q_single_stream_total",
+            "value": round(sum(tpch_timings.values()), 3),
+            "unit": "sec",
+            "queries": tpch_timings,
+            "queries_steady": tpch_steady,
+            "steady_total": round(sum(tpch_steady.values()), 3),
+        },
+        "tpch_power_steady": round(sum(tpch_steady.values()), 3),
+        "retrieval_suite": {
+            "metric": "retrieval_profiling_suite_total",
+            "value": round(sum(retr_timings.values()), 3),
+            "unit": "sec",
+            "queries": retr_timings,
+            "queries_steady": retr_steady,
+            "steady_total": round(sum(retr_steady.values()), 3),
+        },
+        "retrieval_suite_steady": round(sum(retr_steady.values()), 3),
+    }
+
+    # full detail to ARTIFACTS/r{N}_bench_local.json; N = (max existing
+    # BENCH_r*.json round) + 1, i.e. the round currently being recorded
+    repo = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        int(f[7:9])
+        for f in os.listdir(repo)
+        if f.startswith("BENCH_r") and f.endswith(".json") and f[7:9].isdigit()
+    ]
+    detail_path = os.path.join(
+        "ARTIFACTS", f"r{(max(rounds) + 1) if rounds else 0:02d}_bench_local.json"
     )
+    try:
+        with open(os.path.join(repo, detail_path), "w") as fh:
+            json.dump(full_record, fh, indent=1)
+    except OSError as exc:  # keep benching even if ARTIFACTS is unwritable
+        print(f"# detail write failed: {exc}", file=sys.stderr)
+        detail_path = None
+
+    # Compact LAST line for the driver: four suite steady totals always;
+    # per-query steady maps included largest-suite-last and dropped (tpch
+    # first) if the line would exceed the driver's tail-capture budget.
+    compact = {
+        "metric": "headline_query_wall_clock_total",
+        "value": total,
+        "unit": "sec",
+        "sf": full_record["sf"],
+        "steady_total": full_record["steady_total"],
+        "tpch_steady_total": full_record["tpch_power_steady"],
+        "mining_steady_total": full_record["mining_suite_steady"],
+        "retrieval_steady_total": full_record["retrieval_suite_steady"],
+        "detail": detail_path,
+        "queries": steady,
+        "mining_q": mining_steady,
+        "retr_q": retr_steady,
+        # q01..q22 short keys: full names are in the detail artifact
+        "tpch_q": {k.split("_", 1)[0]: v for k, v in tpch_steady.items()},
+    }
+    for droppable in ("tpch_q", "retr_q", "mining_q", "queries"):
+        if len(json.dumps(compact, separators=(",", ":"))) <= 1400:
+            break
+        del compact[droppable]
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -370,3 +370,25 @@ def test_quantile_sketch_sample_is_takeordered_not_global_sort(q):
     df = q("quantile_bottomk_sketch")
     assert I.has_operator(df, "TakeOrderedAndProject")
     assert I.cartesian_product_count(df) == 0
+    # r7 rewrite (r6 verdict): the exact audit is a broadcast
+    # count-below-candidate aggregation, NOT a global rank of the fact
+    # table. Every unpartitioned Window (and its required Sort) must sit
+    # directly over the bounded 256-row TakeOrderedAndProject sample, and
+    # the only SinglePartition exchange allowed is a final count(*) merge
+    # of per-partition partial counts (its subtree may not contain a scan
+    # wider than an aggregate's output).
+    plan = I.physical_plan(df)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window " not in line and not line.lstrip(" :+-").startswith("Window"):
+            continue
+        below = "\n".join(lines[i : i + 4])
+        assert "TakeOrderedAndProject" in below, (
+            f"Window not fed by bounded top-k sample:\n{below}"
+        )
+    sp = [i for i, line in enumerate(lines) if "Exchange SinglePartition" in line]
+    for i in sp:
+        # the subtree under a SinglePartition exchange must start with an
+        # aggregate (count merge), never a sort/window over fact rows
+        nxt = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "HashAggregate" in nxt, f"SinglePartition over non-agg:\n{lines[i]}\n{nxt}"
