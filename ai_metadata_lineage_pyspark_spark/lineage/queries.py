@@ -459,3 +459,115 @@ def lineage_column_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     return column_closure(graph, _CLOSURE_SEED).withColumn(
         "depth", F.col("depth").cast("int")
     )
+
+
+# --- plan-based lineage (SURVEY.md §4 Spark-native path, added r7) ----------
+
+_PLAN_EDGES_GOLDEN = [
+    ('p01_ingest_readings', 's3a://fleet-lake/bronze/readings', 'device_id', 's3a://fleet-lake/raw/readings', 'device_id'),
+    ('p01_ingest_readings', 's3a://fleet-lake/bronze/readings', 'is_anomaly', 's3a://fleet-lake/raw/readings', 'temp_c'),
+    ('p01_ingest_readings', 's3a://fleet-lake/bronze/readings', 'reading_date', 's3a://fleet-lake/raw/readings', 'reading_ts'),
+    ('p01_ingest_readings', 's3a://fleet-lake/bronze/readings', 'reading_ts', 's3a://fleet-lake/raw/readings', 'reading_ts'),
+    ('p01_ingest_readings', 's3a://fleet-lake/bronze/readings', 'site', 's3a://fleet-lake/raw/readings', 'site'),
+    ('p01_ingest_readings', 's3a://fleet-lake/bronze/readings', 'temp_c', 's3a://fleet-lake/raw/readings', 'temp_c'),
+    ('p02_device_latest', 's3a://fleet-lake/silver/device_dim', 'contract_value', 's3a://fleet-lake/raw/device_registry', 'contract_value'),
+    ('p02_device_latest', 's3a://fleet-lake/silver/device_dim', 'device_id', 's3a://fleet-lake/raw/device_registry', 'device_id'),
+    ('p02_device_latest', 's3a://fleet-lake/silver/device_dim', 'site_code', 's3a://fleet-lake/raw/device_registry', 'site_uri'),
+    ('p02_device_latest', 's3a://fleet-lake/silver/device_dim', 'site_uri', 's3a://fleet-lake/raw/device_registry', 'site_uri'),
+    ('p02_device_latest', 's3a://fleet-lake/silver/device_dim', 'support_tier', 's3a://fleet-lake/raw/device_registry', 'contract_value'),
+    ('p02_device_latest', 's3a://fleet-lake/silver/device_dim', 'updated_at', 's3a://fleet-lake/raw/device_registry', 'updated_at'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', '__join__', 's3a://fleet-lake/bronze/readings', 'device_id'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', '__join__', 's3a://fleet-lake/silver/device_dim', 'device_id'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'contract_value', 's3a://fleet-lake/silver/device_dim', 'contract_value'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'device_id', 's3a://fleet-lake/bronze/readings', 'device_id'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'is_anomaly', 's3a://fleet-lake/bronze/readings', 'is_anomaly'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'prev_temp', 's3a://fleet-lake/bronze/readings', 'device_id'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'prev_temp', 's3a://fleet-lake/bronze/readings', 'reading_ts'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'prev_temp', 's3a://fleet-lake/bronze/readings', 'temp_c'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'reading_date', 's3a://fleet-lake/bronze/readings', 'reading_date'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'reading_ts', 's3a://fleet-lake/bronze/readings', 'reading_ts'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'rolling_24_avg', 's3a://fleet-lake/bronze/readings', 'device_id'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'rolling_24_avg', 's3a://fleet-lake/bronze/readings', 'reading_ts'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'rolling_24_avg', 's3a://fleet-lake/bronze/readings', 'temp_c'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'site', 's3a://fleet-lake/bronze/readings', 'site'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'site_code', 's3a://fleet-lake/silver/device_dim', 'site_code'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'site_uri', 's3a://fleet-lake/silver/device_dim', 'site_uri'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'support_tier', 's3a://fleet-lake/silver/device_dim', 'support_tier'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'temp_c', 's3a://fleet-lake/bronze/readings', 'temp_c'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'temp_delta', 's3a://fleet-lake/bronze/readings', 'device_id'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'temp_delta', 's3a://fleet-lake/bronze/readings', 'reading_ts'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'temp_delta', 's3a://fleet-lake/bronze/readings', 'temp_c'),
+    ('p03_readings_enriched', 's3a://fleet-lake/gold/readings_enriched', 'updated_at', 's3a://fleet-lake/silver/device_dim', 'updated_at'),
+    ('p04_health_sql', 's3a://fleet-lake/gold/device_health', 'avg_temp', 's3a://fleet-lake/gold/readings_enriched', 'temp_c'),
+    ('p04_health_sql', 's3a://fleet-lake/gold/device_health', 'device_id', 's3a://fleet-lake/gold/readings_enriched', 'device_id'),
+    ('p04_health_sql', 's3a://fleet-lake/gold/device_health', 'health_state', 's3a://fleet-lake/gold/readings_enriched', 'is_anomaly'),
+    ('p04_health_sql', 's3a://fleet-lake/gold/device_health', 'total_anomalies', 's3a://fleet-lake/gold/readings_enriched', 'is_anomaly'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', '__join__', 's3a://fleet-lake/gold/device_health', 'device_id'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', '__join__', 's3a://fleet-lake/gold/readings_enriched', 'device_id'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'alert_flag', 's3a://fleet-lake/gold/device_health', 'health_state'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'alert_flag', 's3a://fleet-lake/gold/readings_enriched', 'support_tier'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'alert_flag', 's3a://fleet-lake/gold/readings_enriched', 'temp_delta'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'alert_score', 's3a://fleet-lake/gold/device_health', 'health_state'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'alert_score', 's3a://fleet-lake/gold/readings_enriched', 'support_tier'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'alert_score', 's3a://fleet-lake/gold/readings_enriched', 'temp_delta'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'avg_temp', 's3a://fleet-lake/gold/device_health', 'avg_temp'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'contract_value', 's3a://fleet-lake/gold/readings_enriched', 'contract_value'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'device_id', 's3a://fleet-lake/gold/readings_enriched', 'device_id'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'health_state', 's3a://fleet-lake/gold/device_health', 'health_state'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'is_anomaly', 's3a://fleet-lake/gold/readings_enriched', 'is_anomaly'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'prev_temp', 's3a://fleet-lake/gold/readings_enriched', 'prev_temp'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'reading_date', 's3a://fleet-lake/gold/readings_enriched', 'reading_date'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'reading_ts', 's3a://fleet-lake/gold/readings_enriched', 'reading_ts'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'rolling_24_avg', 's3a://fleet-lake/gold/readings_enriched', 'rolling_24_avg'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'site', 's3a://fleet-lake/gold/readings_enriched', 'site'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'site_code', 's3a://fleet-lake/gold/readings_enriched', 'site_code'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'site_uri', 's3a://fleet-lake/gold/readings_enriched', 'site_uri'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'support_tier', 's3a://fleet-lake/gold/readings_enriched', 'support_tier'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'temp_c', 's3a://fleet-lake/gold/readings_enriched', 'temp_c'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'temp_delta', 's3a://fleet-lake/gold/readings_enriched', 'temp_delta'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'total_anomalies', 's3a://fleet-lake/gold/device_health', 'total_anomalies'),
+    ('p05_alerts', 's3a://fleet-lake/gold/alerts', 'updated_at', 's3a://fleet-lake/gold/readings_enriched', 'updated_at'),
+    ('p06_fleet_agg', 's3a://fleet-lake/gold/fleet_rollup', 'n_readings', 's3a://fleet-lake/gold/alerts', 'device_id'),
+    ('p06_fleet_agg', 's3a://fleet-lake/gold/fleet_rollup', 'reading_date', 's3a://fleet-lake/gold/alerts', 'reading_date'),
+    ('p06_fleet_agg', 's3a://fleet-lake/gold/fleet_rollup', 'score_per_reading', 's3a://fleet-lake/gold/alerts', 'alert_score'),
+    ('p06_fleet_agg', 's3a://fleet-lake/gold/fleet_rollup', 'score_per_reading', 's3a://fleet-lake/gold/alerts', 'device_id'),
+    ('p06_fleet_agg', 's3a://fleet-lake/gold/fleet_rollup', 'site', 's3a://fleet-lake/gold/alerts', 'site'),
+    ('p06_fleet_agg', 's3a://fleet-lake/gold/fleet_rollup', 'site_alert_score', 's3a://fleet-lake/gold/alerts', 'alert_score'),
+]
+
+
+@register(
+    "plan_lineage_edges",
+    oracle=_values_sql(
+        _PLAN_EDGES_GOLDEN, ["script_name", "sink", "out_col", "src", "src_col"]
+    ),
+)
+def plan_lineage_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-based column lineage (SURVEY.md §4): execute the six fixture
+    pipelines against schema-only stand-ins under the read/write-capturing
+    shim and read source-grounded column lineage off each sink's ANALYZED
+    logical plan (lineage/planlineage.py). This is the deterministic
+    resolution of everything the static AST pass (lineage/extract.py)
+    cannot see — SQL/CTE blocks (p04's health rollup appears here with
+    avg_temp <- temp_c and health_state <- is_anomaly, invisible to the
+    Python AST), window partition/order dependencies, drops and
+    star-expansion — and of the expression-join / positional-`how` cases
+    the reference recovers only via its LLM layer (reference
+    static_extract.py:231-248, quirk A11): join keys surface as `__join__`
+    pseudo-rows regardless of how the join was spelled. Golden rows
+    hand-verified against tests/fixtures/pipelines/*.py; superset parity
+    vs the AST path is asserted in tests/test_plan_lineage.py. Driver-side
+    by design: inputs are empty stand-ins, so each script costs Catalyst
+    analysis only (metadata, no data pass); a large repo parallelizes
+    across scripts exactly like the AST extractor."""
+    import glob as _glob
+
+    from .planlineage import FIXTURE_SEEDS, run_pipelines
+
+    scripts = sorted(_glob.glob(os.path.join(FIXTURE_DIR, "p0*.py")))
+    edges, skipped = run_pipelines(spark, scripts, FIXTURE_SEEDS)
+    if skipped:
+        raise RuntimeError(f"fixture pipelines failed under plan capture: {skipped}")
+    return spark.createDataFrame(
+        edges, "script_name string, sink string, out_col string, src string, src_col string"
+    )
