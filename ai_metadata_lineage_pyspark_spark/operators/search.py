@@ -703,3 +703,163 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(wf)).filter(
         F.col("rank") <= _HY_FINAL
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — the FULL iterative BPE trainer loop (r7, per the r6
+# verdict): bpe_merge_candidates computes one merge statistic; a tokenizer
+# pipeline needs the sequential fit — pick best pair, apply the merge to
+# every vocabulary word, re-count, repeat.
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_train_oracle(rounds: int) -> str:
+    """Unrolled recursive-step oracle (the pagerank/kmeans_iterate model):
+    one CTE block per merge round. Token sequences are encoded as
+    '##'-joined strings ('##a##b##' for 'ab'): every token is bounded by
+    '#' on each side, so replacing '#L##R#' with '#LR#' merges exactly the
+    adjacent full-token pairs (never intra-token substrings), and because
+    SQL replace() is leftmost non-overlapping, 'aaaa' under merge (a,a)
+    becomes [aa][aa] — the standard greedy-left BPE application. Words are
+    restricted to ^[a-z]+$ so '#' can never occur in a token."""
+    parts = [
+        r"""
+    WITH w AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        FROM documents
+      )
+      WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+      GROUP BY word
+    ),
+    v0 AS (
+      SELECT '##' || regexp_replace(word, '(.)', '\1##', 'g') AS seq, n_word
+      FROM w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT t.toks[u.i] AS left_tok, t.toks[u.i + 1] AS right_tok,
+             CAST(SUM(t.n_word) AS BIGINT) AS n_occurrences
+      FROM (
+        SELECT list_filter(string_split(seq, '##'), x -> x <> '') AS toks,
+               n_word
+        FROM v{r - 1}
+      ) t
+      CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) u
+      GROUP BY left_tok, right_tok
+    ),
+    b{r} AS (
+      SELECT CAST({r} AS BIGINT) AS round, left_tok, right_tok, n_occurrences
+      FROM p{r}
+      ORDER BY n_occurrences DESC, left_tok ASC, right_tok ASC
+      LIMIT 1
+    ),
+    v{r} AS (
+      SELECT replace(v.seq, '#' || b.left_tok || '##' || b.right_tok || '#',
+                     '#' || b.left_tok || b.right_tok || '#') AS seq,
+             v.n_word
+      FROM v{r - 1} v CROSS JOIN b{r} b
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT round, left_tok, right_tok, left_tok || right_tok AS merged,"
+        f" n_occurrences FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\n    {union}\n    "
+
+
+@register("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_ROUNDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative BPE tokenizer training: {_BPE_ROUNDS} sequential merge
+    rounds over the corpus vocabulary. Each round counts adjacent
+    token-pair frequencies (weighted by word frequency), picks the most
+    frequent pair (ties broken (count DESC, left ASC, right ASC) — fully
+    deterministic), applies the merge greedily left-to-right to every
+    vocabulary word, and repeats on the merged sequences; the output is
+    the ordered merge table a tokenizer ships.
+
+    Scale shape: all state is VOCABULARY-sized (distinct ^[a-z]+$ words —
+    sublinear in corpus size by Heaps' law; the corpus is scanned exactly
+    once for the word count). Token sequences live as '##'-joined strings,
+    so a merge round is (a) one pair-keyed shuffle with map-side combine
+    over the vocabulary, (b) a 1-row TakeOrderedAndProject for the best
+    pair, broadcast, and (c) a codegen `replace()` over the encoded
+    strings — '#L##R#' -> '#LR#' merges exactly the adjacent full-token
+    occurrences, leftmost-non-overlapping (greedy BPE), verified to agree
+    byte-for-byte between Spark and DuckDB. No driver-side collect: the
+    chosen pair flows into the next round as a broadcast 1-row join, and
+    each round's vocabulary is scoped-persisted so the R-round union is
+    R stages, not O(R^2) recomputation. The DuckDB oracle unrolls the
+    same recursion CTE-per-round (the kmeans_iterate/pagerank model)."""
+    from ..functions.cache import scoped_persist
+
+    words = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select(F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"))
+        .where("word rlike '^[a-z]+$' AND length(word) >= 2")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    vocab = scoped_persist(
+        words.select(
+            F.expr("'##' || regexp_replace(word, '(.)', '$1##')").alias("seq"),
+            "n_word",
+        )
+    )
+    merges: list[DataFrame] = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            vocab.withColumn(
+                "toks", F.expr("filter(split(seq, '##'), x -> x <> '')")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(toks, 1, size(toks) - 1),"
+                        " slice(toks, 2, size(toks) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok))"
+                    )
+                ).alias("pair"),
+                "n_word",
+            )
+            .select("pair.left_tok", "pair.right_tok", "n_word")
+        )
+        best = (
+            pairs.groupBy("left_tok", "right_tok")
+            .agg(F.sum("n_word").alias("n_occurrences"))
+            .orderBy(
+                F.col("n_occurrences").desc(),
+                F.col("left_tok").asc(),
+                F.col("right_tok").asc(),
+            )
+            .limit(1)
+            .select(F.lit(r).cast("long").alias("round"), "left_tok", "right_tok", "n_occurrences")
+        )
+        merges.append(best)
+        vocab = scoped_persist(
+            vocab.crossJoin(F.broadcast(best))
+            .select(
+                F.expr(
+                    "replace(seq, '#' || left_tok || '##' || right_tok || '#',"
+                    " '#' || left_tok || right_tok || '#')"
+                ).alias("seq"),
+                "n_word",
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "round",
+        "left_tok",
+        "right_tok",
+        F.expr("left_tok || right_tok").alias("merged"),
+        "n_occurrences",
+    )

@@ -374,20 +374,23 @@ _TRANS_STATE_SCHEMA = T.StructType(
 )
 
 
-def _transition_fn(key, pdf_iter, state: GroupState):
-    rows = pd.concat(list(pdf_iter), ignore_index=True)
-    if rows.empty:
-        yield pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
-        return
-    if state.exists:
-        # Merge the stored tail into the batch BEFORE sorting: an event that
-        # arrives out-of-order (earlier than the saved (last_ts_us,
-        # last_event_id)) is then counted in true (ts_us, event_id) order —
-        # it precedes the tail instead of being miscounted as following it —
-        # and the new tail is the global max, not blindly the batch's max.
-        # In-order delivery (the replay-stream/oracle path) is unchanged:
-        # the tail sorts first and seeds `prev` exactly as before.
-        t_ts, t_id, t_type = state.get
+def _count_batch_transitions(
+    rows: pd.DataFrame, tail: tuple[int, int, str] | None
+) -> tuple[pd.DataFrame, tuple[int, int, str]]:
+    """Shared core of both stateful-API transition operators: merge the
+    stored tail into the batch BEFORE sorting — an event that arrives
+    out-of-order (earlier than the saved (last_ts_us, last_event_id)) is
+    then counted in true (ts_us, event_id) order, preceding the tail
+    instead of being miscounted as following it, and the new tail is the
+    global max, not blindly the batch's max. In-order delivery (the
+    replay-stream/oracle path) is unchanged: the tail sorts first and
+    seeds `prev` exactly as before. NOTE the guarantee is batch-local
+    ordering plus a monotone tail, NOT cross-batch true-order counts: a
+    late event whose true predecessor was already emitted as someone
+    else's successor in a PRIOR batch cannot retract that pair in append
+    mode (tests/test_mining.py encodes the exact divergence)."""
+    if tail is not None:
+        t_ts, t_id, t_type = tail
         rows = pd.concat(
             [
                 pd.DataFrame(
@@ -404,15 +407,28 @@ def _transition_fn(key, pdf_iter, state: GroupState):
         if prev is not None:
             counts[(prev, t)] = counts.get((prev, t), 0) + 1
         prev = t
-    tail = rows.iloc[-1]
-    state.update((int(tail["ts_us"]), int(tail["event_id"]), str(tail["event_type"])))
-    yield pd.DataFrame(
+    last = rows.iloc[-1]
+    new_tail = (int(last["ts_us"]), int(last["event_id"]), str(last["event_type"]))
+    out = pd.DataFrame(
         {
             "prev_type": [a for a, _ in counts],
             "next_type": [b for _, b in counts],
             "n": list(counts.values()),
         }
     )
+    return out, new_tail
+
+
+def _transition_fn(key, pdf_iter, state: GroupState):
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    if rows.empty:
+        yield pd.DataFrame({"prev_type": [], "next_type": [], "n": []})
+        return
+    out, new_tail = _count_batch_transitions(
+        rows, state.get if state.exists else None
+    )
+    state.update(new_tail)
+    yield out
 
 
 @register("streaming_transition_counts", oracle=_TRANSITION_ORACLE)
@@ -437,6 +453,99 @@ def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     out = run_to_memory(trans, "append")
+    rolled = out.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
+    return rolled.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)"
+        ).alias("prob_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas twin (Spark 4's successor API to
+# applyInPandasWithState: StatefulProcessor lifecycle + typed state handles
+# instead of a GroupState blob). ENVIRONMENT-GATED: the
+# TransformWithStateInPySpark driver worker hard-imports google.protobuf
+# for its state-server protocol, which is not installed in this sandbox and
+# installs are out of contract — the attempt and exact failure are recorded
+# in ARTIFACTS/r07_tws_attempt.md (the Delta posture). The operator is
+# therefore NOT in the registry (a registered query must run under the
+# driver's correctness gate); tests/test_tws_parity.py auto-unskips and
+# asserts hash-parity with streaming_transition_counts' oracle in any
+# protobuf-enabled environment.
+# ---------------------------------------------------------------------------
+
+_TWS_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _make_transition_processor():
+    """Build the StatefulProcessor class lazily: importing
+    pyspark.sql.streaming.stateful_processor is cheap and always works, but
+    construction is deferred so module import never depends on the API."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class TransitionProcessor(StatefulProcessor):
+        """Same semantics as _transition_fn, expressed in the Spark-4 API:
+        the (last_ts_us, last_event_id, last_type) tail lives in a typed
+        ValueState handle instead of a GroupState tuple; counting is the
+        shared _count_batch_transitions core, so the two APIs cannot
+        drift."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._tail = handle.getValueState(
+                "tail", "last_ts_us long, last_event_id long, last_type string"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            pdf = pd.concat(list(rows), ignore_index=True)
+            if pdf.empty:
+                return
+            tail = self._tail.get()
+            out, new_tail = _count_batch_transitions(
+                pdf, tuple(tail) if tail is not None else None
+            )
+            self._tail.update(new_tail)
+            yield out
+
+        def close(self) -> None:
+            pass
+
+    return TransitionProcessor()
+
+
+def streaming_transition_counts_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """streaming_transition_counts re-expressed with Spark 4's
+    `transformWithStateInPandas` (requires the RocksDB state store
+    provider, set for the duration of the run and restored after). Output
+    contract and oracle are identical to the applyInPandasWithState
+    operator — see the gate note above for why this is test-only in this
+    sandbox."""
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass", _TWS_PROVIDER)
+    try:
+        events = read_events_stream(spark, sf_dir).select(
+            "user_id", "ts_us", "event_id", "event_type"
+        )
+        trans = events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_make_transition_processor(),
+            outputStructType=_TRANS_OUT_SCHEMA,
+            outputMode="append",
+            timeMode="none",
+        )
+        out = run_to_memory(trans, "append")
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     rolled = out.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
     return rolled.select(
         "prev_type",
