@@ -59,15 +59,26 @@ def bfs_closure(
     # rewrite catches it: lineage/event frontiers are seeds-scale (thousands
     # of rows) while the edge list is corpus-scale, and broadcasting the
     # frontier leaves the edge partitions exactly where the up-front
-    # checkpoint put them — zero edge shuffle per hop. Frontiers above the
-    # threshold (~tens of MB of (seed,node) longs) fall back to the shuffle
-    # join, which is the right plan when the closure genuinely explodes.
-    broadcast_rows = 1_000_000
+    # checkpoint put them — zero edge shuffle per hop. The gate is BYTES,
+    # not rows (r6 advice): bfs_closure is generic over node id types, and
+    # a million wide string ids (lineage asset paths) is a very different
+    # broadcast than a million longs — rows * (avg node width, measured
+    # once on the seed frontier, + per-row overhead) must stay under the
+    # cap or the hop falls back to the shuffle join, which is the right
+    # plan when the closure genuinely explodes.
+    broadcast_bytes = 64 << 20
+    row_overhead = 28  # seed long + tuple/offset overhead in the hash relation
+    avg_node_width = (
+        frontier.agg(
+            F.avg(F.length(F.col("node").cast("string"))).alias("w")
+        ).collect()[0]["w"]
+        or 8.0
+    )
     reached = frontier
     n_frontier = frontier.count()
     for depth in range(1, max_depth + 1):
         f = frontier.alias("f")
-        if n_frontier <= broadcast_rows:
+        if n_frontier * (avg_node_width + row_overhead) <= broadcast_bytes:
             f = F.broadcast(f)
         nxt = (
             f.join(edges.alias("e"), F.col("f.node") == F.col("e.__bfs_src"))
