@@ -752,6 +752,10 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # point is a narrow count over the just-checkpointed hop output —
         # the previous join-the-old-labels formulation paid a second
         # shuffle join per hop just to answer "did anything move?"
+        # (A pointer-jumping two-hop variant was measured in r7 and
+        # REJECTED: LSH near-dup components are clique-shaped, so hop-0
+        # already converges and the loop runs exactly one verification
+        # round — the jump join was pure overhead on every SF probed.)
         flagged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -852,24 +856,35 @@ def neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     canonical rule, rather than `neardup_components`' positional min-id
     canonical.
 
-    Spark shape: the component table (pairs-scale, tiny vs the corpus)
-    joins `documents` on its partitioned key to pull the quality column,
-    one row_number window per component picks the winner, and the rollup
-    is component-keyed with map-side combine. At 100 TB the join is the
-    only corpus-touching stage and it is a semi-join-shaped probe of the
-    doc table by component membership — the corpus never reshuffles."""
+    Spark shape (fused r7 per the r6 verdict — this was the slowest mining
+    entry): the component table (pairs-scale, tiny vs the corpus) is
+    BROADCAST into the documents scan, so pulling the quality column is a
+    map-side probe of the corpus with zero doc-table shuffle, and the
+    winner selection is folded into the single component-keyed rollup via
+    a lexicographic struct MAX — max(struct(n_chars, -doc_id)) IS
+    "longest, ties to smallest doc_id" — instead of the previous
+    row_number window pass (one whole extra sort+shuffle stage). At 100 TB
+    the broadcast probe is the only corpus-touching stage and the
+    aggregate is map-side-combinable with constant per-component state."""
     comps = neardup_components(spark, sf_dir).select("doc_id", "component_id")
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    members = comps.join(docs, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("n_chars").desc(), F.col("doc_id").asc()
-    )
-    ranked = members.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("component_id").agg(
-        F.count(F.lit(1)).alias("component_size"),
-        F.sum("n_chars").alias("total_chars"),
-        F.max(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("canonical_doc"),
-        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("canonical_chars"),
+    members = docs.join(F.broadcast(comps), "doc_id")
+    return (
+        members.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("component_size"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("neg_doc"))
+            ).alias("best"),
+        )
+        .select(
+            "component_id",
+            "component_size",
+            "total_chars",
+            (-F.col("best.neg_doc")).alias("canonical_doc"),
+            F.col("best.n_chars").alias("canonical_chars"),
+        )
     )
 
 
