@@ -245,6 +245,13 @@ _FAMILIES = [
     # frequent_pair_mining / minhash_lsh_pairs; doubled weight because the
     # base families already dominate the pool
     "winframe", "winframe", "arrayfn", "arrayfn",
+    # wave-9 grammar extensions (VERDICT r06 next-step #8): DECIMAL(38,0)
+    # accumulation (load-bearing in daily_revenue_anomaly /
+    # revenue_trend_fit / pagerank since r5-r6) and explicit NULLS
+    # FIRST/LAST orderings over NULLABLE sort keys (the repo's window
+    # oracles always spell these out because the engines' DEFAULTS differ:
+    # Spark ASC=NULLS FIRST, DuckDB ASC=NULLS LAST)
+    "decimalfn", "decimalfn", "nullord", "nullord",
 ]
 
 # Window expressions with EXPLICIT frames: FOLLOWING rows-frames, RANGE
@@ -341,11 +348,81 @@ _NUM_EXPRS = [
 ]
 
 
+# DECIMAL arithmetic on the portable surface, following the repo's own
+# oracle discipline: per-term DECIMAL(19,0) casts so products widen to
+# DECIMAL(38,0) in BOTH engines (DuckDB caps multiply at p1+p2<=38), and
+# every final value leaves through CAST(... AS BIGINT/DOUBLE) because the
+# driver's hasher (and canon here) is type-sensitive and DuckDB's decimal
+# widening differs from Spark's. Magnitudes are bounded by the pools
+# (|i1|<=1e6, |i2|<=9, <=60 rows) so BIGINT casts cannot overflow and
+# DOUBLE casts stay far below the 2^63 limb bound documented in
+# operators/mining.py. NOT in this pool: decimal DIVISION (result-scale
+# rules genuinely differ between the engines) and casting the unbounded
+# d1 pool to DECIMAL (1e300 overflows: Spark yields NULL, DuckDB raises).
+_DECIMAL_EXPRS = [
+    "CAST(SUM(CAST(i2 AS DECIMAL(19,0)) * CAST(i2 AS DECIMAL(19,0))) AS BIGINT)",
+    "CAST(SUM(CAST(i1 AS DECIMAL(19,0)) * CAST(i2 AS DECIMAL(19,0))) AS BIGINT)",
+    "CAST(SUM(CAST(i1 AS DECIMAL(19,0)) * CAST(i1 AS DECIMAL(19,0))) AS BIGINT)",
+    "CAST(SUM(CAST(i1 AS DECIMAL(19,0)) * CAST(i1 AS DECIMAL(19,0))) AS DOUBLE)",
+    "CAST(SUM(CAST(coalesce(i1, 0) AS DECIMAL(19,0))) AS BIGINT)",
+    "CAST(MAX(CAST(i1 AS DECIMAL(19,0)) * CAST(i2 AS DECIMAL(19,0))) AS BIGINT)",
+    "CAST(MIN(CAST(i1 AS DECIMAL(19,0)) * CAST(i1 AS DECIMAL(19,0))) AS DOUBLE)",
+    "CAST(COUNT(DISTINCT CAST(i2 AS DECIMAL(5,0))) AS BIGINT)",
+]
+
+_DECIMAL_ROW_EXPRS = [
+    "CAST(CAST(i1 AS DECIMAL(19,0)) * CAST(i2 AS DECIMAL(19,0)) AS BIGINT)",
+    "CAST(CAST(i1 AS DECIMAL(10,2)) + CAST(i2 AS DECIMAL(10,2)) AS DOUBLE)",
+    "CAST(coalesce(i1, 0) * 1.5 AS DOUBLE)",
+    "CAST(CAST(i2 AS DECIMAL(4,1)) - 0.5 AS DOUBLE)",
+    "CAST(abs(CAST(i1 AS DECIMAL(19,0))) AS BIGINT)",
+    "CAST(CAST(d1 % 1000.0 AS DECIMAL(18,3)) AS DOUBLE)",
+]
+
+# Window orderings over NULLABLE sort keys with EXPLICIT NULLS FIRST/LAST
+# in both directions (ties always broken by pk so values are
+# deterministic). This is the family that would catch an operator relying
+# on a DEFAULT null ordering: identical SQL without the explicit marker
+# silently diverges between the engines.
+_NULLORD_EXPRS = [
+    "RANK() OVER (ORDER BY i1 DESC NULLS FIRST, pk)",
+    "RANK() OVER (ORDER BY i1 DESC NULLS LAST, pk)",
+    "ROW_NUMBER() OVER (PARTITION BY g ORDER BY i2 DESC NULLS LAST, pk)",
+    "ROW_NUMBER() OVER (PARTITION BY g ORDER BY i2 ASC NULLS LAST, pk)",
+    "DENSE_RANK() OVER (ORDER BY b1 ASC NULLS FIRST, i2 DESC NULLS LAST, pk)",
+    "NTILE(4) OVER (ORDER BY i2 DESC NULLS FIRST, pk)",
+    "LAG(i1, 1) OVER (ORDER BY i1 ASC NULLS LAST, pk)",
+    "LEAD(s1, 1) OVER (ORDER BY i2 DESC NULLS FIRST, pk)",
+    "FIRST_VALUE(s1) OVER (ORDER BY i1 DESC NULLS LAST, pk"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)",
+    "CAST(SUM(i2) OVER (ORDER BY i1 ASC NULLS LAST, pk"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+    "CAST(COUNT(i1) OVER (PARTITION BY b1 ORDER BY i1 DESC NULLS FIRST, pk"
+    " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)",
+    "PERCENT_RANK() OVER (ORDER BY i1 ASC NULLS LAST, pk)",
+]
+
+
 def _sql_for_case(seed: int) -> str:
     rng = random.Random(seed)
     t = f"fz_t{rng.randrange(N_TABLES)}"
     u = f"fz_u{rng.randrange(N_TABLES)}"
     fam = rng.choice(_FAMILIES)
+    if fam == "decimalfn":
+        if rng.random() < 0.5:
+            aggs = rng.sample(_DECIMAL_EXPRS, 2)
+            key = rng.choice(["g", "b1", "i1 % 3"])
+            where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
+            return (
+                f"SELECT {key} AS k0, {aggs[0]} AS a0, {aggs[1]} AS a1"
+                f" FROM {t}{where} GROUP BY {key}"
+            )
+        e1, e2 = rng.sample(_DECIMAL_ROW_EXPRS, 2)
+        return f"SELECT pk, {e1} AS e1, {e2} AS e2 FROM {t}"
+    if fam == "nullord":
+        w1, w2 = rng.sample(_NULLORD_EXPRS, 2)
+        where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
+        return f"SELECT pk, {w1} AS w1, {w2} AS w2 FROM {t}{where}"
     if fam == "winframe":
         w1, w2 = rng.sample(_FRAME_EXPRS, 2)
         where = f" WHERE {_pred(rng)}" if rng.random() < 0.4 else ""
