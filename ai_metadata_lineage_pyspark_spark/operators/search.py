@@ -715,15 +715,16 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_ROUNDS = 6
 
 
-def _bpe_train_oracle(rounds: int) -> str:
-    """Unrolled recursive-step oracle (the pagerank/kmeans_iterate model):
-    one CTE block per merge round. Token sequences are encoded as
-    '##'-joined strings ('##a##b##' for 'ab'): every token is bounded by
-    '#' on each side, so replacing '#L##R#' with '#LR#' merges exactly the
-    adjacent full-token pairs (never intra-token substrings), and because
-    SQL replace() is leftmost non-overlapping, 'aaaa' under merge (a,a)
-    becomes [aa][aa] — the standard greedy-left BPE application. Words are
-    restricted to ^[a-z]+$ so '#' can never occur in a token."""
+def _bpe_train_ctes(rounds: int) -> str:
+    """Unrolled recursive-step CTE chain (the pagerank/kmeans_iterate
+    model): one block per merge round, shared by the train and apply
+    oracles. Token sequences are encoded as '##'-joined strings
+    ('##a##b##' for 'ab'): every token is bounded by '#' on each side, so
+    replacing '#L##R#' with '#LR#' merges exactly the adjacent full-token
+    pairs (never intra-token substrings), and because SQL replace() is
+    leftmost non-overlapping, 'aaaa' under merge (a,a) becomes [aa][aa] —
+    the standard greedy-left BPE application. Words are restricted to
+    ^[a-z]+$ so '#' can never occur in a token."""
     parts = [
         r"""
     WITH w AS (
@@ -767,12 +768,16 @@ def _bpe_train_oracle(rounds: int) -> str:
       FROM v{r - 1} v CROSS JOIN b{r} b
     )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(rounds: int) -> str:
     union = "\n    UNION ALL\n    ".join(
         f"SELECT round, left_tok, right_tok, left_tok || right_tok AS merged,"
         f" n_occurrences FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + f"\n    {union}\n    "
+    return _bpe_train_ctes(rounds) + f"\n    {union}\n    "
 
 
 @register("bpe_train_merges", oracle=_bpe_train_oracle(_BPE_ROUNDS))
@@ -862,4 +867,116 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "right_tok",
         F.expr("left_tok || right_tok").alias("merged"),
         "n_occurrences",
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_apply_encode — the other half of the tokenizer loop (r7): apply the
+# trained merge table to the corpus and report per-language encoding
+# statistics. Train + apply together are what a tokenizer-fitting job
+# ships: the merge list, and evidence of the compression it buys.
+# ---------------------------------------------------------------------------
+
+
+def _bpe_apply_oracle(rounds: int) -> str:
+    enc = r"'##' || regexp_replace(word, '(.)', '\1##', 'g')"
+    for k in range(1, rounds + 1):
+        pat = (
+            f"'#' || (SELECT left_tok FROM b{k}) || '##' ||"
+            f" (SELECT right_tok FROM b{k}) || '#'"
+        )
+        rep = (
+            f"'#' || (SELECT left_tok FROM b{k}) ||"
+            f" (SELECT right_tok FROM b{k}) || '#'"
+        )
+        enc = f"replace({enc}, {pat}, {rep})"
+    return (
+        _bpe_train_ctes(rounds)
+        + f""",
+    wl AS (
+      SELECT lang, word, CAST(COUNT(*) AS BIGINT) AS n_w
+      FROM (
+        SELECT lang,
+          unnest(regexp_split_to_array(lower(text), '\\s+')) AS word
+        FROM documents
+      )
+      WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+      GROUP BY lang, word
+    ),
+    enc AS (
+      SELECT lang, word, n_w, {enc} AS seq FROM wl
+    )
+    SELECT lang,
+      CAST(COUNT(*) AS BIGINT) AS n_words,
+      CAST(SUM(n_w) AS BIGINT) AS n_occurrences,
+      CAST(SUM(n_w * len(word)) AS BIGINT) AS chars_total,
+      CAST(SUM(n_w * len(list_filter(string_split(seq, '##'), x -> x <> '')))
+           AS BIGINT) AS tokens_total,
+      CAST(SUM(n_w * len(list_filter(string_split(seq, '##'), x -> x <> '')))
+           * 1000000 // SUM(n_w * len(word)) AS BIGINT) AS tokens_per_mchar
+    FROM enc GROUP BY lang
+    """
+    )
+
+
+@register("bpe_apply_encode", oracle=_bpe_apply_oracle(_BPE_ROUNDS))
+def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode the corpus with the merge table `bpe_train_merges` fits and
+    report per-language tokenizer statistics (word/occurrence counts,
+    character volume, post-merge token volume, and integer tokens-per-
+    million-chars — the compression a trained tokenizer buys per domain).
+
+    Scale shape: the trained merge table is PIVOTED into a single 6-column
+    row and broadcast, so applying R merges is a chain of R codegen
+    `replace()` calls over the (lang, word) vocabulary — one corpus scan
+    for the weighted vocabulary, vocabulary-sized everything after,
+    map-side-combinable final rollup. Encoding semantics are identical to
+    training (greedy leftmost-non-overlapping application in merge order
+    — the '#' string encoding proved engine-identical for the trainer),
+    so re-encoding the training corpus with its own merges is exactly the
+    consistency check a tokenizer pipeline runs before shipping."""
+    merges = bpe_train_merges(spark, sf_dir)
+    mrow = merges.agg(
+        *[
+            f
+            for r in range(1, _BPE_ROUNDS + 1)
+            for f in (
+                F.max(F.when(F.col("round") == r, F.col("left_tok"))).alias(f"l{r}"),
+                F.max(F.when(F.col("round") == r, F.col("right_tok"))).alias(f"r{r}"),
+            )
+        ]
+    )
+    wl = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select(
+            "lang",
+            F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"),
+        )
+        .where("word rlike '^[a-z]+$' AND length(word) >= 2")
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("n_w"))
+    )
+    enc_expr = "'##' || regexp_replace(word, '(.)', '$1##')"
+    for k in range(1, _BPE_ROUNDS + 1):
+        enc_expr = (
+            f"replace({enc_expr}, '#' || l{k} || '##' || r{k} || '#',"
+            f" '#' || l{k} || r{k} || '#')"
+        )
+    enc = wl.crossJoin(F.broadcast(mrow)).select(
+        "lang",
+        "word",
+        "n_w",
+        F.expr(
+            f"size(filter(split({enc_expr}, '##'), x -> x <> ''))"
+        ).alias("n_tok_after"),
+    )
+    return enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_words"),
+        F.sum("n_w").alias("n_occurrences"),
+        F.expr("CAST(SUM(n_w * length(word)) AS BIGINT)").alias("chars_total"),
+        F.expr("CAST(SUM(n_w * n_tok_after) AS BIGINT)").alias("tokens_total"),
+        F.expr(
+            "CAST(SUM(n_w * n_tok_after) * 1000000"
+            " DIV SUM(n_w * length(word)) AS BIGINT)"
+        ).alias("tokens_per_mchar"),
     )
