@@ -87,3 +87,86 @@ def user_stats_table_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT user_id, n_events, n_purchases, first_ts_us, last_ts_us"
         " FROM user_stats_udtf(TABLE(udtf_events_in) PARTITION BY user_id)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-aggregate pandas UDF (r7): the third and last custom-aggregation
+# API shape — mapInPandas (stream), applyInPandas (group -> relation) and
+# the SQL UDTF are covered elsewhere; this is the Arrow-vectorized UDAF
+# path (`@pandas_udf` + GroupedData.agg), where the UDF sees each group's
+# column as ONE pandas Series and returns a scalar, composable with
+# built-in aggregates in the same agg() call.
+# ---------------------------------------------------------------------------
+
+
+def _cents_udaf():
+    """Built lazily so module import never constructs a pandas UDF. The
+    GROUPED_AGG eval type is passed explicitly because this module uses
+    `from __future__ import annotations` (signature inference would see
+    string annotations)."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
+
+    def sum_floor_cents(v) -> int:
+        # integer fold => partition/arrival order cannot change the result
+        # (a float mean here would hash-diverge run to run); floor before
+        # summing matches the oracle's per-row CAST(floor(value*100))
+        import numpy as np  # noqa: PLC0415
+
+        return int(np.floor(v.to_numpy() * 100.0).astype("int64").sum())
+
+    def count_rows(v) -> int:
+        return int(len(v))
+
+    return (
+        pandas_udf(sum_floor_cents, "long", PandasUDFType.GROUPED_AGG),
+        pandas_udf(count_rows, "long", PandasUDFType.GROUPED_AGG),
+    )
+
+
+@register(
+    "grouped_agg_pandas_udf",
+    oracle="""
+    SELECT event_type,
+      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+      CAST(COUNT(*) AS BIGINT) AS n_events,
+      CAST(SUM(CAST(floor(value * 100) AS BIGINT)) // COUNT(*) AS BIGINT)
+        AS cents_per_event
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized grouped-aggregate pandas UDF: exact-cents revenue
+    per event type where the cents fold runs as a `pandas_udf(...,
+    GROUPED_AGG)` UDAF over each group's value Series — the API a
+    platform exposes for custom aggregation logic that numpy expresses
+    better than SQL. Spark refuses to mix grouped-agg pandas UDFs with
+    built-in aggregates in one agg() (INVALID_PANDAS_UDF_PLACEMENT,
+    learned here the hard way), so the row count is a second UDAF in the
+    same Arrow pass rather than a built-in COUNT.
+
+    Scale shape: Spark's grouped-agg pandas UDF path shuffles on the
+    group key and streams each group through Arrow ONCE with no
+    intermediate relation; the fold is integer (floor to cents, int64
+    sum), so partition count and arrival order cannot perturb the result
+    — the same determinism rule every money aggregate in this repo
+    follows. The per-group derived ratio reuses the UDAF columns, showing
+    they compose like any aggregate output. Caveat honestly stated:
+    unlike built-in SUM, a pandas UDAF has no map-side partial
+    aggregation — each group's full value vector crosses the shuffle —
+    so the built-in-expression twin (identical SQL in the oracle) remains
+    the hot path for plain folds; this entry covers the API shape."""
+    from pyspark.sql import functions as F  # noqa: PLC0415
+
+    events = load_events(spark, sf_dir)
+    cents, nrows = _cents_udaf()
+    out = events.groupBy("event_type").agg(
+        cents(F.col("value")).alias("cents_total"),
+        nrows(F.col("value")).alias("n_events"),
+    )
+    return out.select(
+        "event_type",
+        "cents_total",
+        "n_events",
+        F.expr("cents_total DIV n_events").alias("cents_per_event"),
+    )
