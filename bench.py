@@ -221,6 +221,23 @@ def main() -> None:
             registry[name].fn, f"retrieval {name}"
         )
 
+    # Round-7 additions, recorded in the FULL artifact only (the compact
+    # driver line keeps its fixed four-suite shape for round-over-round
+    # comparability).
+    extras_suite = [
+        "plan_lineage_edges",
+        "bpe_train_merges",
+        "bpe_apply_encode",
+        "token_budget_waterfill",
+        "grouped_agg_pandas_udf",
+    ]
+    extras_timings: dict[str, float] = {}
+    extras_steady: dict[str, float] = {}
+    for name in extras_suite:
+        extras_timings[name], extras_steady[name] = timed_pair(
+            registry[name].fn, f"extras {name}"
+        )
+
     total = round(sum(timings.values()), 3)
     full_record = {
         "metric": "headline_query_wall_clock_total",
@@ -257,6 +274,14 @@ def main() -> None:
             "steady_total": round(sum(retr_steady.values()), 3),
         },
         "retrieval_suite_steady": round(sum(retr_steady.values()), 3),
+        "extras_suite": {
+            "metric": "round7_additions_total",
+            "value": round(sum(extras_timings.values()), 3),
+            "unit": "sec",
+            "queries": extras_timings,
+            "queries_steady": extras_steady,
+            "steady_total": round(sum(extras_steady.values()), 3),
+        },
     }
 
     # full detail to ARTIFACTS/r{N}_bench_local.json; N = (max existing
