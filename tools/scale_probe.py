@@ -64,6 +64,12 @@ QUERIES = [
     "bloom_decontam",
 ]
 
+# supplemental runs (e.g. probing just the current round's additions
+# against an already-built replica) can override the list without
+# re-measuring everything: SPARK_GRAFT_PROBE_QUERIES=a,b,c
+if os.environ.get("SPARK_GRAFT_PROBE_QUERIES"):
+    QUERIES = os.environ["SPARK_GRAFT_PROBE_QUERIES"].split(",")
+
 _TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -103,13 +109,18 @@ def build(dst: str) -> None:
     pq.write_table(pa.concat_tables(reps), os.path.join(dst, "documents.parquet"))
 
     ev = pq.read_table(os.path.join(SF, "events.parquet"))
+    # stride only the id keys; every other column (event_type, ts, value,
+    # props, ...) replicates unchanged so value-dependent operators (e.g.
+    # grouped_agg_pandas_udf's cents fold) see the full production schema
     reps = [
         pa.table(
             {
-                "event_id": pc.add(ev.column("event_id"), r * STRIDE),
-                "user_id": pc.add(ev.column("user_id"), r * STRIDE),
-                "event_type": ev.column("event_type"),
-                "ts": ev.column("ts"),
+                c: (
+                    pc.add(ev.column(c), r * STRIDE)
+                    if c in ("event_id", "user_id")
+                    else ev.column(c)
+                )
+                for c in ev.column_names
             }
         )
         for r in range(REPLICAS)
