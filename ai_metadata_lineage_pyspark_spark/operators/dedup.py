@@ -1002,3 +1002,96 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# duplicate_substring_spans — cross-document repeated-substring detection:
+# the exact-SUBSTRING dedup family (Lee et al., "Deduplicating Training Data
+# Makes Language Models Better", ACL'22 — suffix-array substring dedup),
+# approximated the way a distributed engine has to: fixed-width character
+# windows sampled on a stride, grouped corpus-wide. A window of W chars at
+# stride S catches every repeated run of length >= W + S - 1 (some window is
+# then fully inside the run in both copies), so the pass finds boilerplate /
+# licence blocks / template headers shared across documents without ever
+# building a global suffix array.
+#
+# 100 TB design: per-doc window count is len/S (a constant factor of corpus
+# bytes, tunable by S); the only shuffle is the groupBy on the window text —
+# hash-partitioned, map-side partial on (n_occ). At real scale the group key
+# would be an 8-byte rolling hash instead of the W-char string (8/W of the
+# shuffle bytes, collisions re-verified bucket-locally); the md5 fingerprint
+# column in the output documents that seam.
+# ---------------------------------------------------------------------------
+
+_SPAN_W = 32  # window width (chars)
+_SPAN_S = 8  # stride: detects any repeated run >= W + S - 1 = 39 chars
+
+
+@register(
+    "duplicate_substring_spans",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+        unnest(generate_series(1, length(text) - {_SPAN_W - 1}, {_SPAN_S})) AS s,
+        text
+      FROM documents WHERE length(text) >= {_SPAN_W}
+    ), win AS (
+      SELECT doc_id, substring(text, s, {_SPAN_W}) AS window_text FROM w
+    )
+    SELECT md5(window_text) AS fingerprint,
+      window_text,
+      COUNT(DISTINCT doc_id) AS n_docs,
+      COUNT(*) AS n_occ,
+      MIN(doc_id) AS min_doc_id,
+      MAX(doc_id) AS max_doc_id
+    FROM win
+    GROUP BY window_text
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide repeated W-char windows (module note above): explode each
+    doc into stride-S character windows, group by window text, keep windows
+    seen in >= 2 distinct docs.
+
+    Plan: ONE corpus scan; sequence+explode and substring are codegen'd
+    JVM expressions (no Python); ONE hash shuffle keyed by window text with
+    map-side partial aggregation of the occurrence count. Docs shorter than
+    W are filtered before the explode (Spark's `sequence` raises on an
+    empty descending range; DuckDB's generate_series returns empty — the
+    filter makes both engines skip them identically)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    win = (
+        docs.select("doc_id", "text")
+        .filter(F.length("text") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - F.lit(_SPAN_W - 1),
+                    F.lit(_SPAN_S),
+                )
+            ).alias("s"),
+            "text",
+        )
+        .select("doc_id", F.expr(f"substring(text, s, {_SPAN_W})").alias("window_text"))
+    )
+    return (
+        win.groupBy("window_text")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            F.md5("window_text").alias("fingerprint"),
+            "window_text",
+            "n_docs",
+            "n_occ",
+            "min_doc_id",
+            "max_doc_id",
+        )
+    )

@@ -514,3 +514,85 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.count(F.when(F.col("missing").isNull(), 1)).alias("n_missing_path"),
     )
+
+
+# ---------------------------------------------------------------------------
+# observed_ingest_metrics — the Spark Observation API (pyspark.sql
+# .Observation, Spark 3.3+/4): named aggregate metrics attached to a scan
+# and harvested from the SAME job that runs the real query — the built-in
+# mechanism for data-quality counters that otherwise cost a second full
+# pass (or a rain of accumulators). At 100 TB an ingest audit that re-scans
+# the table doubles the bill; .observe() rides the existing shuffle's map
+# side for free.
+#
+# The registered row runs the downstream rollup (events per type + cents)
+# as the observed action, then emits rollup x audit — both products of ONE
+# scan. The per-type rows are collected on the driver to splice the
+# observation in; the rollup is event_type-cardinality (single digits), the
+# same bounded-collect class as the lineage evidence caps (README.md).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "observed_ingest_metrics",
+    oracle="""
+    WITH roll AS (
+      SELECT event_type,
+        COUNT(*) AS n_events,
+        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS type_cents
+      FROM events GROUP BY event_type
+    ), aud AS (
+      SELECT COUNT(*) AS n_rows,
+        CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT) AS cents_total,
+        COUNT(*) FILTER (WHERE value IS NULL) AS n_null_value
+      FROM events
+    )
+    SELECT roll.event_type, roll.n_events, roll.type_cents,
+      aud.n_rows, aud.cents_total, aud.n_null_value
+    FROM roll CROSS JOIN aud
+    """,
+)
+def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass ingest audit via Observation (module note above): attach
+    {n_rows, cents_total, n_null_value} to the events scan, run the
+    per-type rollup as the observed action, and return rollup rows with the
+    audit columns spliced in. The audit aggregates ride the rollup job —
+    no second scan of events happens at any point."""
+    from pyspark.sql import Observation, Row
+
+    events = load(spark, sf_dir, "events")
+    obs = Observation("ingest_audit")
+    observed = events.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.expr("CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)").alias(
+            "cents_total"
+        ),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("n_null_value"),
+    )
+    rollup_rows = (
+        observed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.expr("CAST(SUM(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)").alias(
+                "type_cents"
+            ),
+        )
+        .collect()  # the one action: populates obs.get AND yields the rollup
+    )
+    audit = obs.get
+    return spark.createDataFrame(
+        [
+            Row(
+                event_type=r["event_type"],
+                n_events=r["n_events"],
+                type_cents=r["type_cents"],
+                n_rows=audit["n_rows"],
+                cents_total=audit["cents_total"],
+                n_null_value=audit["n_null_value"],
+            )
+            for r in rollup_rows
+        ],
+        schema="event_type string, n_events bigint, type_cents bigint, "
+        "n_rows bigint, cents_total bigint, n_null_value bigint",
+    )

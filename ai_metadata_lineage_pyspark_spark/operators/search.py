@@ -980,3 +980,148 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV SUM(n_w * length(word)) AS BIGINT)"
         ).alias("tokens_per_mchar"),
     )
+
+
+# ---------------------------------------------------------------------------
+# sparse_cosine_doc_pairs — all-pairs sparse (TF-IDF) cosine similarity via
+# a posting-list self-join with signature pruning: the lexical twin of the
+# dense near-dup path (embedding_cosine_neardup / ann_lsh_topk), and the
+# candidate-generation shape of Bayardo et al., "Scaling Up All Pairs
+# Similarity Search" (WWW'07) — pair candidates come only from shared
+# signature terms, never from a doc x doc cross join.
+#
+# Determinism: weights are integer fixed-point (tf * SCALE div df), so dots
+# and norms are BIGINT-exact and summation-order-independent; only the final
+# cosine touches doubles, and it is rounded to 6 before the threshold test
+# on BOTH engines.
+#
+# 100 TB design: two caps bound the quadratic.
+#   * per-doc signature: each doc contributes only its top-R terms by
+#     weight (prefix filtering) — candidate volume per doc is <= R postings;
+#   * per-term posting cap: a signature term held by > _SPARSE_DF_CAP docs
+#     is dropped entirely (the stopword tier), so one term's pair fan-out is
+#     <= cap^2 and total candidates grow with vocabulary (corpus-linear),
+#     not corpus^2. An ABSOLUTE cap, deliberately not a fraction of the
+#     corpus: a relative cap re-admits the quadratic as the corpus grows.
+# The cosine is computed over the pruned signature vectors (the documented
+# approximation every prefix-filter system makes on the candidate side).
+# ---------------------------------------------------------------------------
+
+_SPARSE_SCALE = 10_000  # fixed-point weight scale; w <= tf*SCALE/2 ~ 3e5
+_SPARSE_R = 16  # signature size: top-R terms per doc by (weight, token)
+_SPARSE_DF_CAP = 256  # stopword tier: drop signature terms in > cap docs
+_SPARSE_T = 0.8  # emit pairs with rounded cosine >= T
+
+
+@register(
+    "sparse_cosine_doc_pairs",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf
+      FROM tok WHERE token <> '' GROUP BY doc_id, token
+    ), df AS (
+      SELECT token, COUNT(*) AS df FROM tf GROUP BY token
+    ), wt0 AS (
+      SELECT tf.doc_id, tf.token,
+        CAST(tf.tf * {_SPARSE_SCALE} AS BIGINT) // df.df AS w
+      FROM tf JOIN df ON tf.token = df.token
+      WHERE df.df >= 2
+    ), wt AS (
+      SELECT doc_id, token, w FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY doc_id ORDER BY w DESC, token) AS rn
+        FROM wt0
+      ) WHERE rn <= {_SPARSE_R}
+    ), sdf AS (
+      SELECT token, COUNT(*) AS sdf FROM wt GROUP BY token
+    ), wtc AS (
+      SELECT wt.* FROM wt JOIN sdf ON wt.token = sdf.token
+      WHERE sdf.sdf <= {_SPARSE_DF_CAP}
+    ), nrm AS (
+      SELECT doc_id, SUM(w * w) AS n2 FROM wtc GROUP BY doc_id
+    ), dot AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        COUNT(*) AS n_shared, SUM(a.w * b.w) AS dot_fp
+      FROM wtc a JOIN wtc b ON a.token = b.token AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, n_shared, dot_fp,
+      round(CAST(dot_fp AS DOUBLE)
+            / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+            6) AS cosine
+    FROM dot
+    JOIN nrm na ON dot.doc_a = na.doc_id
+    JOIN nrm nb ON dot.doc_b = nb.doc_id
+    WHERE round(CAST(dot_fp AS DOUBLE)
+                / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))),
+                6) >= {_SPARSE_T}
+    """,
+)
+def sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs sparse cosine over TF-IDF signature vectors (module note
+    above): tokenize -> integer tf-idf weights -> top-R signature per doc ->
+    posting-cap stopword tier -> token-keyed self-join -> pair dot/norm ->
+    rounded cosine >= T.
+
+    Plan: tf is ONE corpus scan grouped by (doc, token); df derives from tf
+    and BROADCASTS back (vocabulary-sized); the signature window partitions
+    by doc_id (tf's existing hash key); candidate generation is an equi-join
+    keyed by token whose per-key fan-out is bounded by the posting cap; the
+    pair aggregation and the two norm joins are keyed by doc ids. No stage
+    touches doc x doc."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    tf = (
+        docs.select(
+            "doc_id",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    wt0 = (
+        tf.join(F.broadcast(df.filter(F.col("df") >= 2)), "token")
+        .withColumn("w", F.expr(f"CAST(tf * {_SPARSE_SCALE} AS BIGINT) div df"))
+        .select("doc_id", "token", "w")
+    )
+    sig_w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("token"))
+    wt = (
+        wt0.withColumn("rn", F.row_number().over(sig_w))
+        .filter(F.col("rn") <= _SPARSE_R)
+        .drop("rn")
+    )
+    sdf = wt.groupBy("token").agg(F.count(F.lit(1)).alias("sdf"))
+    wtc = wt.join(
+        F.broadcast(sdf.filter(F.col("sdf") <= _SPARSE_DF_CAP)).drop("sdf"), "token"
+    )
+    nrm = wtc.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    dot = (
+        wtc.alias("a")
+        .join(
+            wtc.alias("b"),
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot_fp"),
+        )
+    )
+    cos = F.round(
+        F.col("dot_fp").cast("double")
+        / (F.sqrt(F.col("na.n2").cast("double")) * F.sqrt(F.col("nb.n2").cast("double"))),
+        6,
+    )
+    return (
+        dot.join(nrm.alias("na"), F.col("doc_a") == F.col("na.doc_id"))
+        .join(nrm.alias("nb"), F.col("doc_b") == F.col("nb.doc_id"))
+        .select("doc_a", "doc_b", "n_shared", "dot_fp", cos.alias("cosine"))
+        .filter(F.col("cosine") >= _SPARSE_T)
+    )

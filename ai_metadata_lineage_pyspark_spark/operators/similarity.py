@@ -690,3 +690,114 @@ def _km_cos(a: str, b: str) -> str:
     from ..functions.vectors import cosine_expr
 
     return cosine_expr(a, b)
+
+
+# ---------------------------------------------------------------------------
+# semdedup_prune — cluster-scoped semantic deduplication: the SemDeDup
+# recipe (Abbas et al. 2023, arXiv:2303.09540 — public) of k-means-cluster
+# the embeddings, then prune near-identical points WITHIN each cluster,
+# keeping one representative per duplicate neighborhood.
+#
+# Keep rule (deterministic, join-expressible): a point is pruned iff SOME
+# lower-id point in its cluster has rounded cosine >= _SEM_T with it. The
+# paper's greedy keep-chain variant (keep x only if no KEPT earlier point
+# is within T) needs per-cluster sequential state — that is an
+# applyInPandas escape hatch over clusters when cluster sizes are bounded;
+# the any-earlier-neighbor rule prunes at most as lazily as one extra
+# representative per chain and needs only one equi-join, so it is the shape
+# that survives 100 TB.
+#
+# 100 TB design: the K-row centroid table broadcasts (assignment is a
+# map-side cross join + per-vec top-1, identical to kmeans_assign); the
+# pairwise stage is an equi-join keyed by cent_id — bounded per key by the
+# cluster size, which K sizing controls (SemDeDup runs K proportional to
+# corpus size precisely so clusters stay bounded); the prune decision is a
+# LEFT ANTI-shaped join on vec_id. No stage touches corpus x corpus.
+# ---------------------------------------------------------------------------
+
+_SEM_T = 0.4  # prune threshold on the rounded-6 cosine
+
+
+@register(
+    "semdedup_prune",
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id < {_KM_K}
+    ),
+    scored AS (
+      SELECT e.vec_id, c.cent_id,
+        list_cosine_similarity(e.embedding::DOUBLE[], c.c_emb::DOUBLE[]) AS cos
+      FROM embeddings e CROSS JOIN cents c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, cent_id ASC) AS rn
+        FROM scored
+      ) WHERE rn = 1
+    ),
+    pruned AS (
+      SELECT DISTINCT b.vec_id
+      FROM assign a
+      JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE round(list_cosine_similarity(
+              ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) >= {_SEM_T}
+    )
+    SELECT assign.vec_id, assign.cent_id,
+      (pruned.vec_id IS NULL) AS kept
+    FROM assign LEFT JOIN pruned ON assign.vec_id = pruned.vec_id
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-scoped semantic dedup (module note above): assign every
+    embedding to its nearest of the first-K centroids, then flag each point
+    kept/pruned by the any-earlier-neighbor rule at rounded cosine >= T.
+
+    Plan: centroid assignment reuses the kmeans_assign shape (broadcast
+    cross join + WindowGroupLimit top-1 per vec); the pair stage re-joins
+    the (vec_id, cent_id) assignment with the embedding rows on vec_id so
+    the window shuffle never carries vectors, then self-joins on cent_id;
+    the final kept flag is a vec_id-keyed left join against the distinct
+    pruned set."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < _KM_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id")
+    )
+    pts = assign.join(emb, "vec_id")
+    cos_ab = F.round(
+        F.expr(cosine_from_norms_expr("a.embedding", "b.embedding", "a.norm", "b.norm")), 6
+    )
+    pruned = (
+        pts.alias("a")
+        .join(
+            pts.alias("b"),
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos_ab >= _SEM_T)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(
+        pruned.withColumn("is_pruned", F.lit(True)), "vec_id", "left"
+    ).select("vec_id", "cent_id", F.col("is_pruned").isNull().alias("kept"))

@@ -230,6 +230,10 @@ def main() -> None:
         "bpe_apply_encode",
         "token_budget_waterfill",
         "grouped_agg_pandas_udf",
+        "sparse_cosine_doc_pairs",
+        "duplicate_substring_spans",
+        "semdedup_prune",
+        "observed_ingest_metrics",
     ]
     extras_timings: dict[str, float] = {}
     extras_steady: dict[str, float] = {}

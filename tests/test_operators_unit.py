@@ -119,3 +119,85 @@ def test_fan_out_survives_missing_private_jdf(spark, monkeypatch):
         out = fan_out(df, min_partitions=8)
     assert out.rdd.getNumPartitions() == 8
     assert out.count() == 100
+
+
+def test_sparse_cosine_pair_properties(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.search import (
+        _SPARSE_R,
+        _SPARSE_T,
+        sparse_cosine_doc_pairs,
+    )
+
+    rows = sparse_cosine_doc_pairs(spark, sf_dir).collect()
+    assert rows, "fixture corpus must produce sparse near-dup pairs"
+    for r in rows:
+        assert r.doc_a < r.doc_b
+        # a pair can share at most one signature of terms
+        assert 1 <= r.n_shared <= _SPARSE_R
+        assert _SPARSE_T <= r.cosine <= 1.0 + 1e-9
+        assert r.dot_fp > 0
+
+
+def test_duplicate_substring_spans_properties(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        _SPAN_W,
+        duplicate_substring_spans,
+    )
+
+    rows = duplicate_substring_spans(spark, sf_dir).collect()
+    assert rows, "fixture corpus must contain cross-doc repeated windows"
+    for r in rows:
+        assert len(r.window_text) == _SPAN_W
+        assert r.n_docs >= 2
+        assert r.n_occ >= r.n_docs  # every doc contributes >= 1 occurrence
+        assert r.min_doc_id < r.max_doc_id
+
+
+def test_duplicate_substring_spans_finds_planted_run(spark):
+    # two docs sharing a run of exactly W + S - 1 chars must collide on at
+    # least one window (the detection guarantee the module note states)
+    from ai_metadata_lineage_pyspark_spark.operators import dedup as D
+
+    run = "x" * (D._SPAN_W + D._SPAN_S - 1)
+    rows = [
+        (1, "A" * 7 + run + "B" * 11),
+        (2, "C" * 3 + run + "D" * 23),
+        (3, "unrelated " * 10),
+    ]
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(rows, ["doc_id", "text"]).write.parquet(
+            os.path.join(td, "documents.parquet")
+        )
+        got = D.duplicate_substring_spans(spark, td).collect()
+    assert any(set(r.window_text) == {"x"} for r in got)
+
+
+def test_semdedup_keeps_cluster_minimum_and_partitions(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.similarity import semdedup_prune
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    assert rows
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r.cent_id, []).append(r)
+    assert sum(1 for r in rows if not r.kept) > 0, "fixture must prune something"
+    for members in by_cluster.values():
+        # the lowest-id point of a cluster has no earlier neighbor -> kept
+        assert min(members, key=lambda r: r.vec_id).kept
+
+
+def test_observed_metrics_agree_with_rollup(spark, sf_dir):
+    # the audit columns and the per-type rollup come from ONE observed scan;
+    # their mutual consistency is the invariant worth pinning
+    from ai_metadata_lineage_pyspark_spark.operators.relational import (
+        observed_ingest_metrics,
+    )
+
+    rows = observed_ingest_metrics(spark, sf_dir).collect()
+    assert rows
+    assert sum(r.n_events for r in rows) == rows[0].n_rows
+    assert sum(r.type_cents for r in rows) == rows[0].cents_total
+    assert len({(r.n_rows, r.cents_total, r.n_null_value) for r in rows}) == 1

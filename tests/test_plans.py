@@ -392,3 +392,31 @@ def test_quantile_sketch_sample_is_takeordered_not_global_sort(q):
         # aggregate (count merge), never a sort/window over fact rows
         nxt = lines[i + 1] if i + 1 < len(lines) else ""
         assert "HashAggregate" in nxt, f"SinglePartition over non-agg:\n{lines[i]}\n{nxt}"
+
+
+def test_sparse_cosine_candidates_are_token_keyed(q):
+    # round-7: the AllPairs-style sparse similarity join must generate
+    # candidates via an equi-join on token (prefix-filtered postings),
+    # never an all-pairs product; both caps live UPSTREAM of that join.
+    df = q("sparse_cosine_doc_pairs")
+    assert I.cartesian_product_count(df) == 0
+    assert any("token" in ks for ks in I.equi_join_key_sets(df))
+    assert I.partial_aggregate_count(df) >= 2  # tf and the pair dot
+
+
+def test_duplicate_substring_spans_single_scan_pruned(q):
+    df = q("duplicate_substring_spans")
+    assert I.cartesian_product_count(df) == 0
+    # one corpus scan reading exactly the two needed columns
+    assert I.scan_columns(df) == [["doc_id", "text"]]
+    assert I.partial_aggregate_count(df) >= 1
+
+
+def test_semdedup_pair_join_is_cluster_keyed(q):
+    df = q("semdedup_prune")
+    assert I.cartesian_product_count(df) == 0
+    # the pairwise stage must be keyed by cent_id (cluster-scoped), and the
+    # final kept flag by vec_id
+    key_sets = I.equi_join_key_sets(df)
+    assert any("cent_id" in ks for ks in key_sets)
+    assert any("vec_id" in ks for ks in key_sets)
