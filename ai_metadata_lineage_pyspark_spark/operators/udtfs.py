@@ -106,15 +106,22 @@ def _cents_udaf():
     string annotations)."""
     from pyspark.sql.functions import PandasUDFType, pandas_udf  # noqa: PLC0415
 
-    def sum_floor_cents(v) -> int:
+    def sum_floor_cents(v):
         # integer fold => partition/arrival order cannot change the result
         # (a float mean here would hash-diverge run to run); floor before
-        # summing matches the oracle's per-row CAST(floor(value*100))
+        # summing matches the oracle's per-row CAST(floor(value*100)).
+        # NULLs are dropped BEFORE the cast: np.floor(NaN).astype(int64)
+        # is undefined garbage, while SQL SUM skips NULLs — and an
+        # all-NULL group returns None (SQL SUM of no rows is NULL, not 0).
         import numpy as np  # noqa: PLC0415
 
+        v = v.dropna()
+        if len(v) == 0:
+            return None
         return int(np.floor(v.to_numpy() * 100.0).astype("int64").sum())
 
     def count_rows(v) -> int:
+        # COUNT(*) semantics: NULL value rows still count.
         return int(len(v))
 
     return (
@@ -145,24 +152,36 @@ def grouped_agg_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned here the hard way), so the row count is a second UDAF in the
     same Arrow pass rather than a built-in COUNT.
 
-    Scale shape: Spark's grouped-agg pandas UDF path shuffles on the
-    group key and streams each group through Arrow ONCE with no
-    intermediate relation; the fold is integer (floor to cents, int64
-    sum), so partition count and arrival order cannot perturb the result
-    — the same determinism rule every money aggregate in this repo
-    follows. The per-group derived ratio reuses the UDAF columns, showing
-    they compose like any aggregate output. Caveat honestly stated:
-    unlike built-in SUM, a pandas UDAF has no map-side partial
-    aggregation — each group's full value vector crosses the shuffle —
-    so the built-in-expression twin (identical SQL in the oracle) remains
-    the hot path for plain folds; this entry covers the API shape."""
+    Scale shape — salted two-level fold: a GROUPED_AGG pandas UDAF has
+    no map-side partial aggregation, so a naive groupBy(event_type)
+    ships each group's ENTIRE value vector to one Python worker —
+    with ~5 event types, parallelism collapses to 5 tasks each
+    streaming ~1/5 of the table. Instead the UDAF folds over the
+    salted key `(event_type, pmod(hash(event_id), 64))` — parallelism
+    is salt-bounded (5×64 tasks), each Arrow batch is ~1/320 of the
+    table — and a built-in SUM re-reduces the integer partials to
+    `event_type`. The fold is exact int64 cents, so the two-level
+    composition is bit-identical to the single-level fold (integer
+    addition is associative); the oracle hash is unchanged by
+    construction. The per-group derived ratio reuses the re-reduced
+    columns, showing they compose like any aggregate output."""
     from pyspark.sql import functions as F  # noqa: PLC0415
 
     events = load_events(spark, sf_dir)
     cents, nrows = _cents_udaf()
-    out = events.groupBy("event_type").agg(
-        cents(F.col("value")).alias("cents_total"),
-        nrows(F.col("value")).alias("n_events"),
+    partial = (
+        events.withColumn(
+            "salt", F.pmod(F.hash(F.col("event_id")), F.lit(64))
+        )
+        .groupBy("event_type", "salt")
+        .agg(
+            cents(F.col("value")).alias("c"),
+            nrows(F.col("value")).alias("n"),
+        )
+    )
+    out = partial.groupBy("event_type").agg(
+        F.sum("c").cast("long").alias("cents_total"),
+        F.sum("n").cast("long").alias("n_events"),
     )
     return out.select(
         "event_type",

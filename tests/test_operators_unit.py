@@ -201,3 +201,42 @@ def test_observed_metrics_agree_with_rollup(spark, sf_dir):
     assert sum(r.n_events for r in rows) == rows[0].n_rows
     assert sum(r.type_cents for r in rows) == rows[0].cents_total
     assert len({(r.n_rows, r.cents_total, r.n_null_value) for r in rows}) == 1
+
+
+def test_grouped_agg_udaf_null_and_salt_semantics(spark, tmp_path):
+    # ADVICE r7: NULL values must be dropped BEFORE the floor/int64 cast
+    # (np.floor(NaN).astype(int64) is garbage) and an all-NULL group's sum
+    # is NULL, while COUNT(*) still counts the null rows — pinned on a
+    # null-bearing fixture the parquet tables don't provide. Also pins the
+    # salted two-level fold == single-level SQL fold equivalence.
+    import datetime
+
+    from ai_metadata_lineage_pyspark_spark.operators.udtfs import (
+        grouped_agg_pandas_udf,
+    )
+
+    ts = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 10, "click", 1.239, "{}"),
+        (2, ts, 11, "click", None, "{}"),
+        (3, ts, 12, "click", 2.5, "{}"),
+        (4, ts, 13, "refund", None, "{}"),
+        (5, ts, 14, "refund", None, "{}"),
+        (6, ts, 15, "purchase", -0.015, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+    d = str(tmp_path / "events.parquet")
+    df.write.mode("overwrite").parquet(d)
+    got = {
+        r.event_type: (r.cents_total, r.n_events, r.cents_per_event)
+        for r in grouped_agg_pandas_udf(spark, str(tmp_path)).collect()
+    }
+    # click: floor(123.9)+floor(250) = 123+250 = 373 over 3 rows (null counted)
+    assert got["click"] == (373, 3, 124)
+    # refund: all-NULL values -> SUM is NULL, COUNT(*) is 2
+    assert got["refund"][0] is None and got["refund"][1] == 2
+    # purchase: floor(-1.5) = -2 (floor, not trunc)
+    assert got["purchase"][0] == -2 and got["purchase"][1] == 1
