@@ -27,7 +27,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from ai_metadata_lineage_pyspark_spark.functions.cache import release_persisted  # noqa: E402
+from ai_metadata_lineage_pyspark_spark.functions.cache import (  # noqa: E402
+    release_models,
+    release_persisted,
+)
 from ai_metadata_lineage_pyspark_spark.functions.io import load  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
@@ -241,6 +244,11 @@ def main() -> None:
         extras_timings[name], extras_steady[name] = timed_pair(
             registry[name].fn, f"extras {name}"
         )
+    # Fitted-model artifacts (the BPE merge table) are scoped to the suite:
+    # bpe_apply_encode's FIRST run prices fit+encode, its steady run prices
+    # encode against the fitted model — the production shape — and the
+    # model is dropped here so nothing leaks past the suite.
+    release_models()
 
     total = round(sum(timings.values()), 3)
     full_record = {

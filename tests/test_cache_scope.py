@@ -66,3 +66,36 @@ def test_components_memo_shared_within_scope(spark, sf_dir):
     assert {p.component_id for p in picks} == comp_ids
     release_persisted()
     assert memo_get(key) is None
+
+
+def test_fitted_model_memo_survives_release_persisted(spark, sf_dir):
+    # r7 verdict: bpe_apply_encode re-ran the full 6-round trainer every
+    # execution. The fitted merge table now lives in the MODEL memo tier:
+    # materialized driver-side literal rows (zero executor storage), so
+    # release_persisted() leaves it alone and only release_models() drops it.
+    from ai_metadata_lineage_pyspark_spark.functions.cache import (
+        model_memo_get,
+        release_models,
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.search import (
+        _fitted_bpe_merges,
+        bpe_train_merges,
+    )
+
+    release_models()
+    key = ("bpe_merges", spark.sparkContext.applicationId, sf_dir)
+    assert model_memo_get(key) is None
+    fitted = _fitted_bpe_merges(spark, sf_dir)
+    assert model_memo_get(key) is fitted
+    # the memoized artifact is literal rows identical to a fresh fit
+    assert sorted(map(tuple, fitted.collect())) == sorted(
+        map(tuple, bpe_train_merges(spark, sf_dir).collect())
+    )
+    # survives the per-query persist release (it holds no executor blocks)
+    release_persisted()
+    assert model_memo_get(key) is fitted
+    assert _fitted_bpe_merges(spark, sf_dir) is fitted
+    # explicit model release ends the scope
+    release_models()
+    assert model_memo_get(key) is None
+    release_persisted()
