@@ -1016,15 +1016,55 @@ def incremental_corpus_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # building a global suffix array.
 #
 # 100 TB design: per-doc window count is len/S (a constant factor of corpus
-# bytes, tunable by S); the only shuffle is the groupBy on the window text —
-# hash-partitioned, map-side partial on (n_occ). At real scale the group key
-# would be an 8-byte rolling hash instead of the W-char string (8/W of the
-# shuffle bytes, collisions re-verified bucket-locally); the md5 fingerprint
-# column in the output documents that seam.
+# bytes, tunable by S). The heavy shuffle is keyed by the 8-byte
+# xxhash64(window_text), NOT the W-char string: pass 1 projects each window
+# to (hash, doc_id) — 16 bytes crossing the wire instead of W+ — and keeps
+# the hashes seen in >= 2 distinct docs (a SUPERSET of the true duplicate
+# windows: equal text implies equal hash, so no true duplicate can escape;
+# hash collisions only ADD candidates). Pass 2 re-windows the corpus
+# (map-local second scan — scans are cheap, shuffles are the cost), keeps
+# only candidate-hash windows via a size-gated broadcast/equi semi-join,
+# and re-verifies by grouping on the ACTUAL window text with exact
+# per-text counts — so a 64-bit collision can never merge two different
+# windows' counts. Only the duplicated tail's text is ever shuffled.
 # ---------------------------------------------------------------------------
 
 _SPAN_W = 32  # window width (chars)
 _SPAN_S = 8  # stride: detects any repeated run >= W + S - 1 = 39 chars
+
+
+def _span_windows(docs: DataFrame) -> DataFrame:
+    """(doc_id, s, window_text) for every stride-S W-char window. Docs
+    shorter than W are filtered before the explode (Spark's `sequence`
+    raises on an empty descending range; DuckDB's generate_series returns
+    empty — the filter makes both engines skip them identically)."""
+    return (
+        docs.select("doc_id", "text")
+        .filter(F.length("text") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.length("text") - F.lit(_SPAN_W - 1),
+                    F.lit(_SPAN_S),
+                )
+            ).alias("s"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            "s",
+            F.expr(f"substring(text, s, {_SPAN_W})").alias("window_text"),
+        )
+    )
+
+
+# candidate hashes below this row count ride a broadcast hash join (8 bytes
+# a row -> 32 MB at the cap); above it, a shuffled semi-join on the 8-byte
+# key — still never the window text
+_SPAN_CAND_BROADCAST_ROWS = 4_000_000
+
 
 
 @register(
@@ -1050,35 +1090,34 @@ _SPAN_S = 8  # stride: detects any repeated run >= W + S - 1 = 39 chars
     """,
 )
 def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide repeated W-char windows (module note above): explode each
-    doc into stride-S character windows, group by window text, keep windows
-    seen in >= 2 distinct docs.
-
-    Plan: ONE corpus scan; sequence+explode and substring are codegen'd
-    JVM expressions (no Python); ONE hash shuffle keyed by window text with
-    map-side partial aggregation of the occurrence count. Docs shorter than
-    W are filtered before the explode (Spark's `sequence` raises on an
-    empty descending range; DuckDB's generate_series returns empty — the
-    filter makes both engines skip them identically)."""
+    """Corpus-wide repeated W-char windows (module note above), found with
+    the 8-byte-key two-pass plan: explode each doc into stride-S windows;
+    pass 1 shuffles only (xxhash64(window_text), doc_id) with map-side
+    partial aggregation to find candidate hashes seen in >= 2 distinct
+    docs; pass 2 re-windows (map-local scan), semi-joins the candidate
+    set (broadcast when its measured row count fits, shuffled on the
+    8-byte key otherwise), and groups by the ACTUAL window text — exact
+    counts, so hash collisions are re-verified away bucket-locally and
+    the output is identical to grouping by text directly. All expressions
+    are codegen'd JVM (no Python); shuffle bytes are ~16/window for the
+    heavy pass instead of the W+8 of a text-keyed groupBy."""
+    release_persisted()
     docs = fan_out(load(spark, sf_dir, "documents"))
-    win = (
-        docs.select("doc_id", "text")
-        .filter(F.length("text") >= _SPAN_W)
-        .select(
-            "doc_id",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.length("text") - F.lit(_SPAN_W - 1),
-                    F.lit(_SPAN_S),
-                )
-            ).alias("s"),
-            "text",
-        )
-        .select("doc_id", F.expr(f"substring(text, s, {_SPAN_W})").alias("window_text"))
+    cand = scoped_persist(
+        _span_windows(docs)
+        .select(F.xxhash64("window_text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand_small = cand.count() <= _SPAN_CAND_BROADCAST_ROWS
+    win = _span_windows(docs).withColumn("h", F.xxhash64("window_text"))
+    survivors = win.join(
+        F.broadcast(cand) if cand_small else cand, "h", "left_semi"
     )
     return (
-        win.groupBy("window_text")
+        survivors.groupBy("window_text")
         .agg(
             F.countDistinct("doc_id").alias("n_docs"),
             F.count(F.lit(1)).alias("n_occ"),
@@ -1095,3 +1134,99 @@ def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_doc_id",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate_span_merge — the completion of the exact-substring family: Lee
+# et al. (ACL'22) remove duplicated SPANS, not windows, so the per-doc
+# duplicated windows must be coalesced into maximal character spans before
+# anything is cut. Stride-S windows covering one contiguous duplicated run
+# sit at consecutive sampled positions (gap exactly S), so the classic
+# gaps-and-islands trick applies in index space: ((s-1) DIV S) -
+# row_number() is constant within an island, and each island's span is
+# [min(s), max(s) + W - 1].
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "duplicate_span_merge",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id,
+        unnest(generate_series(1, length(text) - {_SPAN_W - 1}, {_SPAN_S})) AS s,
+        text
+      FROM documents WHERE length(text) >= {_SPAN_W}
+    ), win AS (
+      SELECT doc_id, s, substring(text, s, {_SPAN_W}) AS window_text FROM w
+    ), dup AS (
+      SELECT window_text FROM win
+      GROUP BY window_text HAVING COUNT(DISTINCT doc_id) >= 2
+    ), dw AS (
+      SELECT doc_id, s FROM win
+      WHERE window_text IN (SELECT window_text FROM dup)
+    ), isl AS (
+      SELECT doc_id, s,
+        ((s - 1) // {_SPAN_S})
+          - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s) AS g
+      FROM dw
+    )
+    SELECT doc_id,
+      CAST(MIN(s) AS BIGINT) AS span_start,
+      CAST(MAX(s) + {_SPAN_W - 1} AS BIGINT) AS span_end,
+      CAST(MAX(s) + {_SPAN_W - 1} - MIN(s) + 1 AS BIGINT) AS span_len,
+      CAST(COUNT(*) AS BIGINT) AS n_windows
+    FROM isl GROUP BY doc_id, g
+    """,
+)
+def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated character spans per document: the windows
+    `duplicate_substring_spans` flags (text shared by >= 2 distinct docs),
+    coalesced per doc into contiguous spans via gaps-and-islands — the
+    unit a span-removal rewrite actually cuts.
+
+    Plan: same two-pass 8-byte-key candidate scheme as the window query
+    (hash-only heavy shuffle, text re-verified on the small survivor set),
+    then the per-doc islands pass runs ONLY over duplicated windows — the
+    window function partitions by doc_id over the duplicated tail, never
+    the full corpus. Island key is ((s-1) DIV S) - row_number(): stride
+    indices are dense within a contiguous run, so the difference is
+    constant per island; span_end adds W-1 to cover the final window."""
+    release_persisted()
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    cand = scoped_persist(
+        _span_windows(docs)
+        .select(F.xxhash64("window_text").alias("h"), "doc_id")
+        .groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cand_small = cand.count() <= _SPAN_CAND_BROADCAST_ROWS
+    win = _span_windows(docs).withColumn("h", F.xxhash64("window_text"))
+    surv = scoped_persist(
+        win.join(F.broadcast(cand) if cand_small else cand, "h", "left_semi")
+    )
+    dup_texts = (
+        surv.groupBy("window_text")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("window_text")
+    )
+    dw = surv.join(
+        F.broadcast(dup_texts) if cand_small else dup_texts,
+        "window_text",
+        "left_semi",
+    ).select("doc_id", "s")
+    isl = dw.withColumn(
+        "g",
+        F.expr(f"(s - 1) DIV {_SPAN_S}")
+        - F.row_number().over(Window.partitionBy("doc_id").orderBy("s")),
+    )
+    return isl.groupBy("doc_id", "g").agg(
+        F.min("s").cast("long").alias("span_start"),
+        (F.max("s") + F.lit(_SPAN_W - 1)).cast("long").alias("span_end"),
+        (F.max("s") + F.lit(_SPAN_W - 1) - F.min("s") + F.lit(1))
+        .cast("long")
+        .alias("span_len"),
+        F.count(F.lit(1)).alias("n_windows"),
+    ).drop("g")

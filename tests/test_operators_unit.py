@@ -240,3 +240,32 @@ def test_grouped_agg_udaf_null_and_salt_semantics(spark, tmp_path):
     assert got["refund"][0] is None and got["refund"][1] == 2
     # purchase: floor(-1.5) = -2 (floor, not trunc)
     assert got["purchase"][0] == -2 and got["purchase"][1] == 1
+
+
+def test_duplicate_span_merge_coalesces_planted_run(spark):
+    # gaps-and-islands must merge every duplicated window of one shared run
+    # into ONE maximal span per doc, whose characters all lie inside the run
+    import os
+    import tempfile
+
+    from ai_metadata_lineage_pyspark_spark.operators import dedup as D
+
+    run = "x" * 63
+    docs = {1: "A" * 7 + run + "B" * 11, 2: "C" * 3 + run + "D" * 23,
+            3: "unrelated " * 10}
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            list(docs.items()), ["doc_id", "text"]
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = D.duplicate_span_merge(spark, td).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {1, 2}
+    for doc_id, spans in by_doc.items():
+        assert len(spans) == 1, "one shared run -> one maximal span"
+        (r,) = spans
+        covered = docs[doc_id][r.span_start - 1 : r.span_end]
+        assert set(covered) == {"x"} and len(covered) == r.span_len
+        assert r.span_len >= D._SPAN_W
+        assert r.n_windows == (r.span_len - D._SPAN_W) // D._SPAN_S + 1
