@@ -94,7 +94,7 @@ class _ShimReader:
         return self._shim._input(path)
 
     def table(self, name: str) -> DataFrame:
-        return self._shim._input(name)
+        return self._shim.table(name)
 
 
 class PlanCaptureSession:
@@ -118,6 +118,19 @@ class PlanCaptureSession:
         return self._spark.sql(query, **kw)
 
     def table(self, name: str) -> DataFrame:
+        # seeded/captured names win; otherwise fall back to the REAL session
+        # for temp views the script itself registered (r7 advice: a script
+        # doing createOrReplaceTempView + spark.table(view) previously hit
+        # the seed-schema KeyError and was reported skipped, silently losing
+        # its lineage, while the equivalent spark.sql('... FROM view')
+        # path worked)
+        p = _norm(name)
+        if p not in self.frames and p not in self._seeds:
+            try:
+                if self._spark.catalog.tableExists(name):
+                    return self._spark.table(name)
+            except Exception:  # noqa: BLE001 — fall through to the seed error
+                pass
         return self._input(name)
 
     def createDataFrame(self, *a, **kw) -> DataFrame:
@@ -144,27 +157,89 @@ class PlanCaptureSession:
         self.frames[_norm(path)] = self._spark.createDataFrame([], df.schema)
 
 
+class _V2Recorder:
+    """Stand-in for DataFrameWriterV2 (df.writeTo(table)): builder calls
+    chain, terminal calls record (table, df) and skip the physical write
+    (r7 advice: V2 writes previously vanished without appearing in
+    `skipped`)."""
+
+    def __init__(self, df: DataFrame, table: str, writes: list) -> None:
+        self._df, self._table, self._writes = df, table, writes
+
+    def using(self, *_a) -> "_V2Recorder":
+        return self
+
+    def option(self, *_a, **_kw) -> "_V2Recorder":
+        return self
+
+    def options(self, **_kw) -> "_V2Recorder":
+        return self
+
+    def tableProperty(self, *_a) -> "_V2Recorder":
+        return self
+
+    def partitionedBy(self, *_a) -> "_V2Recorder":
+        return self
+
+    def _record(self) -> None:
+        self._writes.append((self._table, self._df))
+
+    create = createOrReplace = replace = append = overwrite = (
+        lambda self, *_a, **_kw: self._record()
+    )
+    overwritePartitions = lambda self, *_a, **_kw: self._record()  # noqa: E731
+
+
 @contextmanager
-def _capture_writes(writer_cls: type, writes: list[tuple[str, DataFrame]]):
+def _capture_writes(writer_cls: type, writes: list[tuple[str, DataFrame]], df_cls: type = DataFrame):
     """Patch DataFrameWriter terminal methods to record (path, df) and skip
-    the physical write. Restores the class on exit."""
+    the physical write; `option('path', ...)` is recorded so a bare
+    `.save()` resolves its sink instead of recording '' (r7 advice).
+    `DataFrame.writeTo` is patched to a V2 recorder. foreachBatch-style
+    streaming sinks are NOT captured — out of scope for batch pipeline
+    lineage (the streaming twin would hook DataStreamWriter). Restores the
+    classes on exit."""
 
     def _mk(name: str):
         def patched(self, path=None, *_a, **_kw):
+            if path is None:
+                path = getattr(self, "_plan_lineage_opts", {}).get("path")
             writes.append((path, self._df))
 
         patched.__name__ = name
         return patched
 
+    def _opt(self, key=None, value=None):
+        if key is not None:
+            self.__dict__.setdefault("_plan_lineage_opts", {})[str(key)] = value
+        return self
+
+    def _opts(self, **kw):
+        self.__dict__.setdefault("_plan_lineage_opts", {}).update(
+            {str(k): v for k, v in kw.items()}
+        )
+        return self
+
     names = ("parquet", "csv", "json", "orc", "text", "save", "saveAsTable", "insertInto")
     originals = {n: getattr(writer_cls, n) for n in names}
+    orig_option = writer_cls.option
+    orig_options = writer_cls.options
+    # patch the CONCRETE DataFrame class (pyspark.sql.classic in Spark 4
+    # overrides the base's writeTo, so patching the ABC would be a no-op)
+    orig_write_to = df_cls.writeTo
     try:
         for n in names:
             setattr(writer_cls, n, _mk(n))
+        writer_cls.option = _opt
+        writer_cls.options = _opts
+        df_cls.writeTo = lambda self, table: _V2Recorder(self, table, writes)
         yield
     finally:
         for n, fn in originals.items():
             setattr(writer_cls, n, fn)
+        writer_cls.option = orig_option
+        writer_cls.options = orig_options
+        df_cls.writeTo = orig_write_to
 
 
 # ---------------------------------------------------------------------------
@@ -222,6 +297,14 @@ def _collect_lineage_maps(plan) -> tuple[dict[int, set[tuple[str, int]]], list[s
                     couts = _seq(child.output())
                     if i < len(couts):
                         bound.add((couts[i].name(), couts[i].exprId().id()))
+        elif kind == "Generate":
+            # explode/posexplode/inline: the generator's output attrs carry
+            # fresh exprIds with no Alias binding — bind them to the
+            # generator expression's references so traced lineage flows
+            # through instead of dead-ending (r7 advice)
+            grefs = refs_of(node.generator())
+            for attr in _seq(node.generatorOutput()):
+                alias_map.setdefault(attr.exprId().id(), set()).update(grefs)
         elif kind == "CTERelationDef":
             cte_defs[node.id()] = [
                 (a.name(), a.exprId().id()) for a in _seq(node.output())
@@ -265,7 +348,12 @@ def _trace(
         seen.add(i)
         if i in boundary:
             found.add(boundary[i])
-            continue
+            # do NOT stop here: Union reuses its FIRST child's exprIds as
+            # the union output, so an id can be an input boundary attr of
+            # child A *and* carry alias bindings to every other child's
+            # attrs — stopping at the boundary silently dropped lineage to
+            # all non-first Union children (r7 advice). Self-loops are
+            # impossible: the seen-set never revisits an id.
         for _name, rid in alias_map.get(i, ()):
             stack.append(rid)
     return found
@@ -313,9 +401,22 @@ def run_pipelines(
     (edges, skipped) where skipped is [(script, reason)] for scripts whose
     execution raised (e.g. the Delta-dependent reference script_08/09 in
     this sandbox).
+
+    TRUST BOUNDARY — this function exec()s the scripts IN-PROCESS with
+    full privileges. That is inherent to plan lineage (the script must
+    build real DataFrame plans against the shim session), and it means
+    the caller must treat every script path as CODE IT CHOOSES TO RUN,
+    exactly as a scheduler does: only feed scripts from a source you
+    would deploy. For corpora not under the caller's control, pin
+    content by hash before invoking (tests/test_plan_lineage.py pins the
+    public reference examples this way) or run the whole derivation in a
+    disposable subprocess/container. The AST path (lineage/extract.py)
+    is the no-execution alternative for untrusted source.
     """
     shim = PlanCaptureSession(spark, seed_schemas)
-    writer_cls = type(spark.range(1).write)
+    probe = spark.range(1)
+    writer_cls = type(probe.write)
+    df_cls = type(probe)
     edges: list[tuple[str, str, str, str, str]] = []
     skipped: list[tuple[str, str]] = []
     for path in script_paths:
@@ -325,7 +426,7 @@ def run_pipelines(
         shim.reads = set()
         writes: list[tuple[str, DataFrame]] = []
         try:
-            with _capture_writes(writer_cls, writes):
+            with _capture_writes(writer_cls, writes, df_cls):
                 glb = {"__name__": "__plan_lineage_twin__", "spark": shim}
                 exec(compile(source, path, "exec"), glb)  # noqa: S102
                 entry = glb.get("run") or glb.get("main")

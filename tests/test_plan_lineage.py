@@ -37,6 +37,39 @@ from ai_metadata_lineage_pyspark_spark.lineage.queries import (
 
 REFERENCE_EXAMPLES = "/root/reference/examples"
 
+# Trust boundary (r7 advice): run_pipelines exec()s script source
+# in-process, and the reference examples are PUBLIC UNTRUSTED CONTENT —
+# so the corpus is pinned by sha256 and any drift skips the exec-based
+# tests instead of running changed code. Re-pin deliberately (after
+# reading the diff) if the reference corpus legitimately changes.
+EXAMPLE_SHA256: dict[str, str] = {
+    "script_01_bronze_ingest_orders": "7a421747b1d02c8c9e22030823ba1079388ca072ce5b97d2f25213dc0610f324",
+    "script_02_dim_customer_latest": "14f08856ce257e12d00686d7db6e0948e69583de8da6aae2b23164e2d8ea5315",
+    "script_03_fact_orders_enriched": "e130a99217213dd803496d6c37aebcfb9dad193f58da78479edf75c3226d9a08",
+    "script_04_dim_product_sql_cte": "4742999179093992ed699a4ff83cd646ca024a50f0ca8d29c16af6e902db2070",
+    "script_05_sales_margin_rank": "25980bf38a39d96db41059c391c643ecf3a0ccad675b6232abdb7a638b352038",
+    "script_06_web_sessionization": "8d26b2bc90d77d5b7297b460611ed47c8dc9149988163ec7c6a49465f14013b5",
+    "script_07_fraud_scoring": "11f00bbb6485fb45a6efbfacf9138f518292a052cf1549286a3ad3f596e185da",
+    "script_08_delta_merge_scd1_customer": "1e51aafaffb5197c425f49c30d33462c3e16f68984375e40544298ec549bdede",
+    "script_09_sql_merge_inventory": "829f8303b7c0deffbca549db4ba3a3a46fd2da35f53d98702844590148fc413a",
+    "script_10_mart_customer_value": "0fdf22bf8faea58663930435bac53541f21c6524058944f946d5a2ae4a8d82c9",
+    "script_a_customer_agg": "423e178c7e759b2eb63143b7e2a9e870761f1fd4c8795a81c61adb7447d2b2c2",
+    "script_b_join_products": "37e0d58f2281af81197035b9ada0ada5d6380a5ad09fa4c7a8443f41db658667",
+}
+
+
+def _verify_example_pins() -> None:
+    import hashlib
+
+    for name, want in EXAMPLE_SHA256.items():
+        p = os.path.join(REFERENCE_EXAMPLES, f"{name}.py")
+        got = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        if got != want:
+            pytest.skip(
+                f"reference example {name}.py drifted from its pinned hash;"
+                " refusing to exec unreviewed untrusted content"
+            )
+
 # schema-only stand-ins for the reference examples' raw inputs (column sets
 # read off the scripts; types are whatever the scripts' own casts expect)
 EXAMPLE_SEEDS: dict[str, str] = {
@@ -182,6 +215,7 @@ def test_fixture_sql_cte_lineage_only_in_plan_path():
 
 @pytest.fixture(scope="module")
 def example_runs(spark):
+    _verify_example_pins()
     paths = [os.path.join(REFERENCE_EXAMPLES, f"{n}.py") for n in EXAMPLE_ORDER]
     plan_edges, skipped = run_pipelines(spark, paths, EXAMPLE_SEEDS)
 
@@ -234,3 +268,76 @@ def test_expression_join_quirk_a11_resolved_by_plan(example_runs):
         s == "script_07_fraud_scoring" and out_col == "__join__"
         for (s, _sink, out_col, _src, _sc) in plan_edges
     )
+
+
+def _run_inline(spark, tmp_path, source: str, seeds: dict[str, str]):
+    p = os.path.join(str(tmp_path), "inline_script.py")
+    with open(p, "w", encoding="utf-8") as fh:
+        fh.write(source)
+    return run_pipelines(spark, [p], seeds)
+
+
+def test_union_lineage_reaches_all_children(spark, tmp_path):
+    # r7 advice: Union output reuses the FIRST child's exprIds, which are
+    # boundary attrs of input A — the tracer must still expand the alias
+    # bindings to B, or lineage to every non-first child is dropped
+    edges, skipped = _run_inline(
+        spark,
+        tmp_path,
+        "a = spark.read.parquet('in://a')\n"
+        "b = spark.read.parquet('in://b')\n"
+        "a.unionByName(b).write.parquet('out://u')\n",
+        {"in://a": "k long, v double", "in://b": "k long, v double"},
+    )
+    assert not skipped
+    srcs = {(src, src_col) for (_s, _sink, out, src, src_col) in edges if out == "v"}
+    assert srcs == {("in://a", "v"), ("in://b", "v")}
+
+
+def test_generate_explode_lineage_bound(spark, tmp_path):
+    # r7 advice: Generate output attrs had no alias binding and dead-ended
+    edges, skipped = _run_inline(
+        spark,
+        tmp_path,
+        "from pyspark.sql import functions as F\n"
+        "df = spark.read.parquet('in://arr')\n"
+        "df.select(df.k, F.explode(df.items).alias('item'))"
+        ".write.parquet('out://x')\n",
+        {"in://arr": "k long, items array<string>"},
+    )
+    assert not skipped
+    srcs = {(src, src_col) for (_s, _sink, out, src, src_col) in edges if out == "item"}
+    assert srcs == {("in://arr", "items")}
+
+
+def test_script_registered_temp_view_via_spark_table(spark, tmp_path):
+    # r7 advice: spark.table(view) on a view the script itself registered
+    # previously raised the seed-schema KeyError and skipped the script
+    edges, skipped = _run_inline(
+        spark,
+        tmp_path,
+        "df = spark.read.parquet('in://t')\n"
+        "df.createOrReplaceTempView('my_view_planlineage')\n"
+        "spark.table('my_view_planlineage').write.parquet('out://y')\n",
+        {"in://t": "k long, v double"},
+    )
+    assert not skipped
+    assert {(src, src_col) for (_s, _sink, out, src, src_col) in edges if out == "k"} == {
+        ("in://t", "k")
+    }
+
+
+def test_option_path_save_and_writer_v2_captured(spark, tmp_path):
+    # r7 advice: .option('path', ...).save() recorded sink ''; writeTo()
+    # writes vanished entirely
+    edges, skipped = _run_inline(
+        spark,
+        tmp_path,
+        "df = spark.read.parquet('in://t')\n"
+        "df.write.format('parquet').option('path', 'out://via_option').save()\n"
+        "df.writeTo('cat.db.tbl').using('parquet').append()\n",
+        {"in://t": "k long, v double"},
+    )
+    assert not skipped
+    sinks = {sink for (_s, sink, *_rest) in edges}
+    assert sinks == {"out://via_option", "cat.db.tbl"}
