@@ -617,12 +617,36 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     cost of the slowest mining-suite entry). `release_persisted()` drops
     the memo, so steady-state bench runs still price the full pipeline.
     """
-    key = ("neardup_components", spark.sparkContext.applicationId, sf_dir)
+    return _with_component_size(_neardup_labels(spark, sf_dir))
+
+
+def _neardup_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized (doc_id, label) table from min-label propagation over the
+    LSH near-dup pairs — the shared subgraph. The memo stores the RAW
+    labels, not the size-joined table: `neardup_canonical_pick` only needs
+    (doc_id, component_id) and computes its own component rollup, so the
+    size join would be a wasted shuffle+join in its plan (r7 verdict
+    residue)."""
+    key = ("neardup_labels", spark.sparkContext.applicationId, sf_dir)
     cached = memo_get(key)
     if cached is None:
         pairs = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
         cached = memo_put(key, _min_label_components(pairs))
     return cached
+
+
+def _with_component_size(labels: DataFrame) -> DataFrame:
+    """Attach component_size / is_canonical to a (doc_id, label) table —
+    the full neardup_components output contract."""
+    comp_size = labels.groupBy("label").agg(
+        F.count(F.lit(1)).alias("component_size")
+    )
+    return labels.join(comp_size, "label").select(
+        "doc_id",
+        F.col("label").alias("component_id"),
+        "component_size",
+        (F.col("doc_id") == F.col("label")).alias("is_canonical"),
+    )
 
 
 def _capped_components_oracle(cap: int) -> str:
@@ -705,7 +729,7 @@ def neardup_components_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_decontam_components.py pins equality on true-duplicate
     clusters, where star and clique produce identical components."""
     pairs = lsh_pairs_capped(spark, sf_dir).select("doc_a", "doc_b")
-    return _min_label_components(pairs)
+    return _with_component_size(_min_label_components(pairs))
 
 
 @register("neardup_components_star", oracle=_capped_components_oracle(2))
@@ -716,7 +740,7 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays the identical cap-2 semantics, making the star topology
     itself hash-checked by the driver rather than only pytest-pinned."""
     pairs = lsh_pairs_capped(spark, sf_dir, bucket_cap=2).select("doc_a", "doc_b")
-    return _min_label_components(pairs)
+    return _with_component_size(_min_label_components(pairs))
 
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
@@ -773,16 +797,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         labels = flagged.select("doc_id", "label")
         if changed == 0:
             break
-    comp_size = labels.groupBy("label").agg(F.count(F.lit(1)).alias("component_size"))
-    return (
-        labels.join(comp_size, "label")
-        .select(
-            "doc_id",
-            F.col("label").alias("component_id"),
-            "component_size",
-            (F.col("doc_id") == F.col("label")).alias("is_canonical"),
-        )
-    )
+    return labels
 
 
 @register("embedding_lsh_neardup", oracle=_neardup_oracle())
@@ -866,7 +881,9 @@ def neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number window pass (one whole extra sort+shuffle stage). At 100 TB
     the broadcast probe is the only corpus-touching stage and the
     aggregate is map-side-combinable with constant per-component state."""
-    comps = neardup_components(spark, sf_dir).select("doc_id", "component_id")
+    comps = _neardup_labels(spark, sf_dir).select(
+        "doc_id", F.col("label").alias("component_id")
+    )
     docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
     members = docs.join(F.broadcast(comps), "doc_id")
     return (

@@ -53,12 +53,15 @@ def test_components_memo_shared_within_scope(spark, sf_dir):
     from ai_metadata_lineage_pyspark_spark.operators import dedup
 
     release_persisted()
-    key = ("neardup_components", spark.sparkContext.applicationId, sf_dir)
+    # the memo stores the RAW labels table (r8: the size join moved out so
+    # canonical_pick's plan no longer pays a shuffle+join it discards)
+    key = ("neardup_labels", spark.sparkContext.applicationId, sf_dir)
     assert memo_get(key) is None
-    first = dedup.neardup_components(spark, sf_dir)
-    assert memo_get(key) is first
+    first_labels = dedup._neardup_labels(spark, sf_dir)
+    assert memo_get(key) is first_labels
     # same object back on a second call in the same scope — no rebuild
-    assert dedup.neardup_components(spark, sf_dir) is first
+    assert dedup._neardup_labels(spark, sf_dir) is first_labels
+    first = dedup.neardup_components(spark, sf_dir)
     # canonical_pick consumes the memoized frame and agrees with it
     comps = {(r.doc_id, r.component_id) for r in first.collect()}
     picks = dedup.neardup_canonical_pick(spark, sf_dir).collect()

@@ -83,13 +83,13 @@ def test_capped_star_components_match_exact_on_duplicate_cluster(spark, tmp_path
 
     exact_pairs = {(r["doc_a"], r["doc_b"])
                    for r in minhash_lsh_pairs(spark, sf).collect()}
-    exact_comp = {(r["doc_id"], r["component_id"])
+    exact_comp = {(r["doc_id"], r["label"])
                   for r in _min_label_components(
                       minhash_lsh_pairs(spark, sf).select("doc_a", "doc_b")
                   ).collect()}
     capped = lsh_pairs_capped(spark, sf, bucket_cap=8)
     capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
-    capped_comp = {(r["doc_id"], r["component_id"])
+    capped_comp = {(r["doc_id"], r["label"])
                    for r in _min_label_components(
                        lsh_pairs_capped(spark, sf, bucket_cap=8)
                        .select("doc_a", "doc_b")
