@@ -51,6 +51,12 @@ _SQL_SHINGLES = (
 
 _N_SIGS = 8
 
+# normalized-text exact-dup hash (shared with similarity.hard_negative_mining;
+# defined up top so cross-module oracle construction never sees a partially
+# initialized module)
+_NORM_HASH_SPARK = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+_NORM_HASH_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
 # MinHash via Kirsch-Mitzenmacher double hashing: ONE md5 per shingle split
 # into two 32-bit halves (h1, h2); the j-th hash function is h1 + j*h2
 # (classic result: a pairwise combination of two hashes preserves the
@@ -913,8 +919,6 @@ def neardup_canonical_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _INC_MOD = 5  # doc_id % 5 == 0 -> incoming batch (~20%); rest = corpus
 
-_NORM_HASH_SPARK = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
-_NORM_HASH_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
 
 
 @register(
@@ -1247,3 +1251,71 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("span_len"),
         F.count(F.lit(1)).alias("n_windows"),
     ).drop("g")
+
+
+# ---------------------------------------------------------------------------
+# minhash_estimate_error — estimator-quality evaluation (r8): for every
+# VERIFIED near-dup pair, compare the MinHash similarity estimate (matching
+# signature fraction) against the exact shingle Jaccard the verification
+# already computed. The eval a pipeline runs before trusting signature
+# agreement as a similarity proxy (e.g. when skipping verification at some
+# band threshold): with _N_SIGS=8 the estimate moves in 1/8 steps, and this
+# table quantifies exactly how coarse that is on real pairs.
+# ---------------------------------------------------------------------------
+
+_SIG_STEP_PPM = 1_000_000 // _N_SIGS
+
+
+def _sig_match_sql(a: str, b: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN {a}.sig_{j} = {b}.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(_N_SIGS)
+    )
+
+
+@register(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH {_PAIRS_SQL_CTES}
+    SELECT p.doc_a, p.doc_b,
+      CAST({_sig_match_sql('sa', 'sb')} AS BIGINT) AS n_sig_match,
+      CAST(({_sig_match_sql('sa', 'sb')}) * {_SIG_STEP_PPM} AS BIGINT)
+        AS est_ppm,
+      CAST(floor(p.jaccard * 1000000) AS BIGINT) AS exact_ppm,
+      CAST(abs(({_sig_match_sql('sa', 'sb')}) * {_SIG_STEP_PPM}
+               - floor(p.jaccard * 1000000)) AS BIGINT) AS abs_err_ppm
+    FROM pairs p
+    JOIN sigs sa ON sa.doc_id = p.doc_a
+    JOIN sigs sb ON sb.doc_id = p.doc_b
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per verified near-dup pair: MinHash estimate (n matching sigs / 8,
+    in ppm) vs exact Jaccard (ppm, floored from the same int/int double
+    both engines compute identically), and the absolute error.
+
+    Plan: the pair table is the already-verified LSH output (tiny vs the
+    corpus) joined twice against the doc-cardinality signature table on
+    doc_id — two equi-joins where the pair side is small (AQE broadcasts
+    it); the signature columns ride the same pipeline minhash_signatures
+    registers, so no new corpus-scan shape. All comparison arithmetic is
+    integer; the only double is the Jaccard itself, an int/int division
+    identical across engines."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    sigs = minhash_signatures(spark, sf_dir).drop("n_shingles")
+    match = F.expr(_sig_match_sql("sa", "sb"))
+    return (
+        pairs.join(sigs.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sigs.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            match.cast("long").alias("n_sig_match"),
+            (match * F.lit(_SIG_STEP_PPM)).cast("long").alias("est_ppm"),
+            F.expr("CAST(floor(jaccard * 1000000) AS BIGINT)").alias("exact_ppm"),
+            F.expr(
+                f"CAST(abs(({_sig_match_sql('sa', 'sb')}) * {_SIG_STEP_PPM}"
+                " - floor(jaccard * 1000000)) AS BIGINT)"
+            ).alias("abs_err_ppm"),
+        )
+    )

@@ -596,3 +596,84 @@ def observed_ingest_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="event_type string, n_events bigint, type_cents bigint, "
         "n_rows bigint, cents_total bigint, n_null_value bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# key_skew_histogram — shuffle-key skew diagnostic (r8): the census a
+# platform runs on a join/agg key BEFORE deciding between plain hash
+# partitioning, salting, and AQE skew-join. Keys are bucketed by
+# floor(log2(rows-per-key)); each bucket reports how many keys it holds
+# and what share of total rows they carry — a heavy bucket with few keys
+# is exactly the salting trigger. (The salted twin this feeds is
+# skew_salted_user_rollup.)
+#
+# Scale: one key-keyed shuffle with map-side partial count (the same
+# exchange the diagnosed join itself would do), then a bucket rollup over
+# the key-cardinality table and one broadcast single-row totals join.
+# floor(log2(c)) is safe cross-engine: log2 is exact on powers of two and
+# non-powers cannot land on an integer, so the floor cannot straddle ULPs.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "key_skew_histogram",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    bucketed AS (
+      SELECT CAST(floor(log2(c)) AS BIGINT) AS log2_bucket, c FROM per_key
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS total_rows,
+             CAST(COUNT(*) AS BIGINT) AS total_keys
+      FROM per_key
+    )
+    SELECT b.log2_bucket,
+      CAST(COUNT(*) AS BIGINT) AS n_keys,
+      CAST(SUM(b.c) AS BIGINT) AS n_rows,
+      CAST(MAX(b.c) AS BIGINT) AS max_rows_per_key,
+      CAST(SUM(b.c) * 1000000 // t.total_rows AS BIGINT) AS rows_share_ppm,
+      CAST(COUNT(*) * 1000000 // t.total_keys AS BIGINT) AS keys_share_ppm
+    FROM bucketed b CROSS JOIN tot t
+    GROUP BY b.log2_bucket, t.total_rows, t.total_keys
+    """,
+)
+def key_skew_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """log2-bucketed rows-per-key histogram of the events join key
+    (module note above): per bucket, key count, row volume, the largest
+    key, and integer-ppm shares of total rows/keys."""
+    per_key = (
+        load(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = per_key.agg(
+        F.sum("c").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("total_keys"),
+    )
+    return (
+        per_key.select(
+            F.expr("CAST(floor(log2(c)) AS BIGINT)").alias("log2_bucket"), "c"
+        )
+        .crossJoin(F.broadcast(tot))
+        .groupBy("log2_bucket", "total_rows", "total_keys")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("c").cast("long").alias("n_rows"),
+            F.max("c").cast("long").alias("max_rows_per_key"),
+        )
+        .select(
+            "log2_bucket",
+            "n_keys",
+            "n_rows",
+            "max_rows_per_key",
+            F.expr("CAST(n_rows * 1000000 DIV total_rows AS BIGINT)").alias(
+                "rows_share_ppm"
+            ),
+            F.expr("CAST(n_keys * 1000000 DIV total_keys AS BIGINT)").alias(
+                "keys_share_ppm"
+            ),
+        )
+    )

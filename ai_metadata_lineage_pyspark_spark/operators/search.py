@@ -1170,3 +1170,89 @@ def sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", "n_shared", "dot_fp", cos.alias("cosine"))
         .filter(F.col("cosine") >= _SPARSE_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# ngram_novelty_curve — per-document corpus novelty (r8): for each doc, the
+# fraction of its DISTINCT bigrams that first appear (by doc_id order) in
+# that doc. The curve a curation pipeline watches to decide when additional
+# crawl data stops contributing new content (diminishing-novelty cutoff),
+# and a per-doc diversity signal for curriculum ordering.
+#
+# 100 TB shape: per-doc distinct bigrams are computed IN-ROW
+# (transform + array_distinct — no shuffle spent on within-doc dedup);
+# the corpus pass is ONE bigram-keyed shuffle with map-side partial min,
+# and per-doc novel counts come from re-grouping the bigram->first_doc
+# table by first_doc — never a bigram-level join back against the corpus.
+# All counts integer; the ratio is integer parts-per-million.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+        list_distinct(list_transform(
+          generate_series(1, len(regexp_split_to_array(lower(text), '\\s+')) - 1),
+          i -> regexp_split_to_array(lower(text), '\\s+')[i] || ' ' ||
+               regexp_split_to_array(lower(text), '\\s+')[i + 1]
+        )) AS bis
+      FROM documents
+    ),
+    per_doc AS (
+      SELECT doc_id, CAST(len(bis) AS BIGINT) AS n_bigrams FROM b
+    ),
+    firsts AS (
+      SELECT bigram, MIN(doc_id) AS first_doc
+      FROM (SELECT doc_id, unnest(bis) AS bigram FROM b)
+      GROUP BY bigram
+    ),
+    novel AS (
+      SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+      FROM firsts GROUP BY first_doc
+    )
+    SELECT p.doc_id, p.n_bigrams,
+      CAST(COALESCE(n.n_novel, 0) AS BIGINT) AS n_novel,
+      CASE WHEN p.n_bigrams = 0 THEN NULL
+           ELSE CAST(COALESCE(n.n_novel, 0) * 1000000 // p.n_bigrams AS BIGINT)
+      END AS novelty_ppm
+    FROM per_doc p LEFT JOIN novel n ON n.doc_id = p.doc_id
+    """,
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc distinct-bigram novelty vs all earlier docs (module note
+    above). Novel counts are derived by re-grouping the bigram->first_doc
+    table by first_doc, so the plan is: in-row bigram arrays, one
+    bigram-keyed shuffle (map-side partial MIN), one doc-cardinality
+    groupBy, one doc-keyed join of two doc-cardinality tables — linear
+    end to end, no bigram-level join against the corpus."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    b = docs.select(
+        "doc_id",
+        F.expr(
+            "array_distinct(transform("
+            " sequence(1, size(split(lower(text), '\\\\s+')) - 1),"
+            " i -> concat(split(lower(text), '\\\\s+')[i - 1], ' ',"
+            "             split(lower(text), '\\\\s+')[i])))"
+        ).alias("bis"),
+    )
+    per_doc = b.select("doc_id", F.size("bis").cast("long").alias("n_bigrams"))
+    firsts = (
+        b.select("doc_id", F.explode("bis").alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_bigrams",
+        F.coalesce("n_novel", F.lit(0)).cast("long").alias("n_novel"),
+        F.expr(
+            "CASE WHEN n_bigrams = 0 THEN NULL"
+            " ELSE CAST(coalesce(n_novel, 0) * 1000000 DIV n_bigrams AS BIGINT)"
+            " END"
+        ).alias("novelty_ppm"),
+    )

@@ -801,3 +801,98 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign.join(
         pruned.withColumn("is_pruned", F.lit(True)), "vec_id", "left"
     ).select("vec_id", "cent_id", F.col("is_pruned").isNull().alias("kept"))
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — contrastive-training data prep (r8): for each query
+# document, the most-similar neighbors that are NOT duplicates of it. Top
+# retrieval hits that survive dedup exclusion are exactly the "hard
+# negatives" an embedding-model training pipeline mines (similar enough to
+# be confusable, distinct enough to be a true negative); returning a
+# near-dup as a negative would teach the model to push duplicates apart.
+#
+# Exclusion set = verified MinHash-LSH near-dup pairs (both orientations)
+# ∪ exact normalized-text duplicates (covers docs under the 3-token
+# shingle floor). The fixture maps vec_id ≡ doc_id 1:1, as in
+# hybrid_search_rrf.
+#
+# 100 TB shape: the candidate table is the registered KNN output (|Q|·k
+# rows), the exclusion table is pair-scale — the anti-join is two tiny
+# tables on an equi-key; every corpus-touching stage is a registered,
+# already-probed operator (exact KNN baseline; IVF/LSH swap in at scale).
+# ---------------------------------------------------------------------------
+
+_HN_K = 5
+
+
+def _hard_negative_oracle() -> str:
+    from .dedup import _NORM_HASH_SQL, _PAIRS_SQL_CTES
+
+    return f"""
+    WITH {_EXACT_TOPK_CTES},
+    {_PAIRS_SQL_CTES},
+    excl AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT x.doc_id, y.doc_id
+      FROM (SELECT doc_id, {_NORM_HASH_SQL} AS h FROM documents) x
+      JOIN (SELECT doc_id, {_NORM_HASH_SQL} AS h FROM documents) y
+        ON x.h = y.h AND x.doc_id <> y.doc_id
+    ),
+    kept AS (
+      SELECT e.query_id, e.neighbor_id, e.cosine
+      FROM exact_topk e
+      LEFT JOIN excl ON excl.a = e.query_id AND excl.b = e.neighbor_id
+      WHERE excl.a IS NULL
+    )
+    SELECT query_id, neighbor_id, cosine, hn_rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC)
+        AS hn_rank
+      FROM kept
+    ) WHERE hn_rank <= {_HN_K}
+    """
+
+
+@register("hard_negative_mining", oracle=_hard_negative_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_HN_K} hard negatives per query document: exact-KNN candidates
+    (depth {_TOP_K}) anti-joined against the dedup exclusion set
+    (LSH near-dup pairs in both orientations ∪ exact normalized-text
+    duplicates), then re-ranked per query. Plan: registered KNN output
+    (|Q|·k rows) LEFT ANTI equi-join pair-scale exclusions, one
+    query-partitioned window over ≤k rows per query — nothing
+    corpus-sized beyond the registered inputs themselves."""
+    from .dedup import _NORM_HASH_SPARK, minhash_lsh_pairs
+
+    cands = cosine_topk(spark, sf_dir)
+    nd = minhash_lsh_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    docs_h = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(_NORM_HASH_SPARK).alias("h"))
+    )
+    exact_pairs = (
+        docs_h.alias("x")
+        .join(docs_h.alias("y"), (F.col("x.h") == F.col("y.h"))
+              & (F.col("x.doc_id") != F.col("y.doc_id")))
+        .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
+    )
+    excl = (
+        nd.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .union(nd.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .union(exact_pairs)
+        .distinct()
+    )
+    kept = cands.join(
+        excl,
+        (cands.query_id == excl.a) & (cands.neighbor_id == excl.b),
+        "left_anti",
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        kept.withColumn("hn_rank", F.row_number().over(w))
+        .filter(F.col("hn_rank") <= _HN_K)
+        .select("query_id", "neighbor_id", "cosine", "hn_rank")
+    )
