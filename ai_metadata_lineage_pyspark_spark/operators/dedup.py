@@ -1113,23 +1113,27 @@ _SPAN_CAND_BROADCAST_ROWS = 4_000_000
 def duplicate_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide repeated W-char windows (module note above), found with
     the 8-byte-key two-pass plan: explode each doc into stride-S windows;
-    pass 1 shuffles only (xxhash64(window_text), doc_id) with map-side
-    partial aggregation to find candidate hashes seen in >= 2 distinct
-    docs; pass 2 re-windows (map-local scan), semi-joins the candidate
+    pass 1 shuffles only xxhash64(window_text) with map-side partial
+    COUNT to find candidate hashes occurring >= 2 times (a verified-later
+    superset of the >=2-docs windows); pass 2 re-windows (map-local
+    scan), semi-joins the candidate
     set (broadcast when its measured row count fits, shuffled on the
     8-byte key otherwise), and groups by the ACTUAL window text — exact
     counts, so hash collisions are re-verified away bucket-locally and
     the output is identical to grouping by text directly. All expressions
     are codegen'd JVM (no Python); shuffle bytes are ~16/window for the
-    heavy pass instead of the W+8 of a text-keyed groupBy."""
+    heavy pass instead of the W+8 of a text-keyed groupBy — and
+    post-compression the advantage is fixture-dependent, since text
+    compresses and hashes do not (measured honestly in
+    ARTIFACTS/r08_scaling_probe_extras.md)."""
     release_persisted()
     docs = fan_out(load(spark, sf_dir, "documents"))
     cand = scoped_persist(
         _span_windows(docs)
-        .select(F.xxhash64("window_text").alias("h"), "doc_id")
+        .select(F.xxhash64("window_text").alias("h"))
         .groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
         .select("h")
     )
     cand_small = cand.count() <= _SPAN_CAND_BROADCAST_ROWS
@@ -1206,7 +1210,7 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     unit a span-removal rewrite actually cuts.
 
     Plan: same two-pass 8-byte-key candidate scheme as the window query
-    (hash-only heavy shuffle, text re-verified on the small survivor set),
+    (bare-hash heavy shuffle, text re-verified on the small survivor set),
     then the per-doc islands pass runs ONLY over duplicated windows — the
     window function partitions by doc_id over the duplicated tail, never
     the full corpus. Island key is ((s-1) DIV S) - row_number(): stride
@@ -1216,12 +1220,13 @@ def duplicate_span_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = fan_out(load(spark, sf_dir, "documents"))
     cand = scoped_persist(
         _span_windows(docs)
-        .select(F.xxhash64("window_text").alias("h"), "doc_id")
+        .select(F.xxhash64("window_text").alias("h"))
         .groupBy("h")
-        .agg(F.countDistinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
         .select("h")
     )
+
     cand_small = cand.count() <= _SPAN_CAND_BROADCAST_ROWS
     win = _span_windows(docs).withColumn("h", F.xxhash64("window_text"))
     surv = scoped_persist(
