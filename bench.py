@@ -250,6 +250,23 @@ def main() -> None:
     # model is dropped here so nothing leaks past the suite.
     release_models()
 
+    # round-8 additions: separate anchor suite (full record only — the
+    # compact driver line keeps its fixed four-suite shape)
+    extras8_suite = [
+        "duplicate_span_merge",
+        "ngram_novelty_curve",
+        "minhash_estimate_error",
+        "hard_negative_mining",
+        "key_skew_histogram",
+    ]
+    extras8_timings: dict[str, float] = {}
+    extras8_steady: dict[str, float] = {}
+    for name in extras8_suite:
+        extras8_timings[name], extras8_steady[name] = timed_pair(
+            registry[name].fn, f"extras8 {name}"
+        )
+    release_models()
+
     total = round(sum(timings.values()), 3)
     full_record = {
         "metric": "headline_query_wall_clock_total",
@@ -293,6 +310,14 @@ def main() -> None:
             "queries": extras_timings,
             "queries_steady": extras_steady,
             "steady_total": round(sum(extras_steady.values()), 3),
+        },
+        "extras8_suite": {
+            "metric": "round8_additions_total",
+            "value": round(sum(extras8_timings.values()), 3),
+            "unit": "sec",
+            "queries": extras8_timings,
+            "queries_steady": extras8_steady,
+            "steady_total": round(sum(extras8_steady.values()), 3),
         },
     }
 
