@@ -426,3 +426,20 @@ def test_semdedup_pair_join_is_cluster_keyed(q):
     key_sets = I.equi_join_key_sets(df)
     assert any("cent_id" in ks for ks in key_sets)
     assert any("vec_id" in ks for ks in key_sets)
+
+
+def test_grouped_agg_udaf_is_salted_two_level(q):
+    # r8: the pandas UDAF folds over (event_type, salt) so parallelism is
+    # salt-bounded, and a built-in SUM re-reduces to event_type — the plan
+    # must show the salted exchange feeding the UDAF and a second
+    # event_type-only aggregation on top
+    df = q("grouped_agg_pandas_udf")
+    plan = I.physical_plan(df)
+    assert "ArrowAggregatePython" in plan or "AggregateInPandas" in plan
+    # the UDAF's exchange is keyed by BOTH event_type and the salt column
+    import re
+
+    m = re.search(r"hashpartitioning\(event_type#\d+, salt#\d+", plan)
+    assert m, f"expected salted exchange in plan:\n{plan[:2000]}"
+    # the re-reduce is a plain hash aggregate (built-in sum), partial+final
+    assert I.partial_aggregate_count(df) >= 1
