@@ -143,3 +143,81 @@ def merge_scd1_delta(
     else:  # pragma: no cover
         m = m.whenNotMatchedInsertAll()
     m.execute()  # pragma: no cover
+
+
+# ---------------------------------------------------------------------------
+# scd2_user_state_history — slowly-changing-dimension TYPE 2 build (r8):
+# the companion to scd1_merge_customer. SCD-1 overwrites; SCD-2 keeps
+# HISTORY — one row per state episode with a validity interval and a
+# current flag. Built from the events stream treated as a CDC feed: each
+# user's event_type sequence collapses to its change points (lag filter),
+# and each change point's validity runs until the next one (lead).
+#
+# 100 TB shape: everything runs in ONE user-keyed shuffle — both window
+# passes and nothing else partition by user_id, so Spark reuses a single
+# exchange; per-row state is constant (lag/lead of one column). Ordering
+# is (ts_us, event_id) — a total order, so ties cannot flip episodes
+# between engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scd2_user_state_history",
+    oracle="""
+    WITH ev AS (
+      SELECT user_id, event_type, event_id,
+        epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
+      FROM events
+    ),
+    ch AS (
+      SELECT user_id, event_type, event_id, ts_us,
+        LAG(event_type) OVER (PARTITION BY user_id
+                              ORDER BY ts_us, event_id) AS prev_state
+      FROM ev
+    ),
+    ep AS (
+      SELECT user_id, event_type AS state, event_id AS first_event_id,
+        ts_us AS valid_from_us,
+        LEAD(ts_us) OVER (PARTITION BY user_id
+                          ORDER BY ts_us, event_id) AS valid_to_us
+      FROM ch
+      WHERE prev_state IS NULL OR event_type <> prev_state
+    )
+    SELECT user_id, state, first_event_id, valid_from_us, valid_to_us,
+      valid_to_us IS NULL AS is_current
+    FROM ep
+    """,
+)
+def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 state history per user from the event stream (module note
+    above): change points via lag over (ts_us, event_id), validity
+    intervals via lead over the SAME window key, open interval (NULL
+    valid_to_us) marks the current episode. One user-keyed exchange
+    serves both window passes."""
+    from pyspark.sql.window import Window  # noqa: PLC0415
+
+    from ..functions.io import load_events  # noqa: PLC0415
+
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ev = load_events(spark, sf_dir).select(
+        "user_id", "event_type", "event_id", "ts_us"
+    )
+    ch = ev.withColumn("prev_state", F.lag("event_type").over(w)).filter(
+        F.col("prev_state").isNull()
+        | (F.col("event_type") != F.col("prev_state"))
+    )
+    ep = ch.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("event_id").alias("first_event_id"),
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
+    )
+    return ep.select(
+        "user_id",
+        "state",
+        "first_event_id",
+        "valid_from_us",
+        "valid_to_us",
+        F.col("valid_to_us").isNull().alias("is_current"),
+    )

@@ -443,3 +443,12 @@ def test_grouped_agg_udaf_is_salted_two_level(q):
     assert m, f"expected salted exchange in plan:\n{plan[:2000]}"
     # the re-reduce is a plain hash aggregate (built-in sum), partial+final
     assert I.partial_aggregate_count(df) >= 1
+
+
+def test_scd2_history_is_single_shuffle(q):
+    # both window passes (lag change filter + lead validity) must reuse ONE
+    # user-keyed exchange and ONE sort — the filter between them preserves
+    # partitioning and order
+    df = q("scd2_user_state_history")
+    assert I.shuffle_exchange_count(df) == 1
+    assert I.physical_plan(df).count("Sort ") == 1
