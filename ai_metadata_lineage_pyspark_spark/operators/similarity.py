@@ -896,3 +896,183 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hn_rank") <= _HN_K)
         .select("query_id", "neighbor_id", "cosine", "hn_rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pq_quantize — product quantization (r8): the PQ half of the
+# IVF-PQ index every billion-vector ANN deployment runs (Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI'11). The
+# 64-dim vector splits into M=4 16-dim subvectors; each subspace gets its
+# own K=8-entry codebook (deterministic first-K init + one integer-exact
+# Lloyd refinement, the kmeans_iterate recipe), and every vector is stored
+# as M 3-bit codes — 64 floats -> 4 codes, with the exact squared
+# reconstruction error reported per vector in micro^2 units.
+#
+# Engine-exactness: coordinates quantize to 1e-6 integers BEFORE any
+# arithmetic, subspace distances are BIGINT sums of squared differences
+# (<= 16 * (2e6)^2 ~ 6.4e13, well inside BIGINT), codebook means are
+# integer division (DIV/​// truncate identically on both engines), and
+# argmin ties break on the smaller code id — nothing float anywhere.
+#
+# 100 TB shape: codebooks are M*K rows (broadcast); training is one
+# corpus scan + a constant-size (M*K*16 longs) shuffle; assignment is a
+# second scan against the broadcast refined codebook; the heaviest
+# intermediate is the per-(vector, subspace) stream — 4x corpus rows,
+# each 16 longs — and the final pivot groups by vec_id, partial-agg'd.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUBDIM = 16  # dims per subspace (4 x 16 = the 64-dim embedding)
+_PQ_K = 8  # codes per subspace (3 bits)
+
+
+def _pq_dist_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (acc, v) -> acc + v)"
+    )
+
+
+def _pq_oracle() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        " i -> (s.sub[i] - c.c_sub[i]) * (s.sub[i] - c.c_sub[i]))) AS BIGINT)"
+    ).format(sd=_PQ_SUBDIM)
+    return f"""
+    WITH pq_emb AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * {_KM_MICRO}) AS BIGINT)) AS mi
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, t.m,
+        mi[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sub
+      FROM pq_emb
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) t
+    ),
+    pc0 AS (
+      SELECT m, vec_id AS code, sub AS c_sub FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    d1 AS (
+      SELECT s.vec_id, s.m, s.sub, c.code, {dist} AS dist
+      FROM subs s JOIN pc0 c ON c.m = s.m
+    ),
+    a1 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist ASC, code ASC) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    dsum AS (
+      SELECT a.m, a.code, t.d,
+        CAST(SUM(a.sub[t.d]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM a1 a
+      CROSS JOIN (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS d) t
+      GROUP BY a.m, a.code, t.d
+    ),
+    pc1 AS (
+      SELECT m, code, list(CAST(s // n AS BIGINT) ORDER BY d) AS c_sub
+      FROM dsum GROUP BY m, code
+    ),
+    d2 AS (
+      SELECT s.vec_id, s.m, c.code, {dist} AS dist
+      FROM subs s JOIN pc1 c ON c.m = s.m
+    ),
+    a2 AS (
+      SELECT vec_id, m, code, dist FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist ASC, code ASC) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    )
+    SELECT vec_id,
+      CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code_0,
+      CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code_1,
+      CAST(MAX(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code_2,
+      CAST(MAX(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code_3,
+      CAST(SUM(dist) AS BIGINT) AS sq_err_micro2
+    FROM a2 GROUP BY vec_id
+    """
+
+
+@register("embedding_pq_quantize", oracle=_pq_oracle())
+def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding to {_PQ_M} codebook codes (module
+    note above): deterministic first-K codebook init per subspace, one
+    integer-exact Lloyd refinement (16 wide integer sums per (subspace,
+    code) — the shuffle is M*K*{_PQ_SUBDIM} longs, corpus-independent),
+    then final assignment against the broadcast refined codebooks with
+    BIGINT squared-distance argmin and per-vector exact reconstruction
+    error."""
+    emb = load(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(round(cast(x as double)"
+            f" * {_KM_MICRO}) AS BIGINT))"
+        ).alias("mi"),
+    )
+    subs = emb.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"slice(mi, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+                    for m in range(_PQ_M)
+                )
+                + ")"
+            )
+        ).alias("m", "sub"),
+    )
+    c0 = F.broadcast(
+        subs.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("m").alias("cm"),
+            F.col("vec_id").alias("code"),
+            F.col("sub").alias("c_sub"),
+        )
+    )
+    dist = F.expr(_pq_dist_spark("sub", "c_sub"))
+    wvm = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    a1 = (
+        subs.join(c0, F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "sub", "code", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wvm))
+        .filter(F.col("rn") == 1)
+    )
+    dim_sums = a1.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"sub[{d}]")).alias(f"s{d}")
+            for d in range(_PQ_SUBDIM)
+        ],
+    )
+    c1 = F.broadcast(
+        dim_sums.select(
+            F.col("m").alias("cm"),
+            "code",
+            F.expr(
+                "array("
+                + ", ".join(f"s{d} DIV n" for d in range(_PQ_SUBDIM))
+                + ")"
+            ).alias("c_sub"),
+        )
+    )
+    a2 = (
+        subs.join(c1, F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "code", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wvm))
+        .filter(F.col("rn") == 1)
+    )
+    return a2.groupBy("vec_id").agg(
+        *[
+            F.max(F.when(F.col("m") == m, F.col("code")))
+            .cast("long")
+            .alias(f"code_{m}")
+            for m in range(_PQ_M)
+        ],
+        F.sum("dist").cast("long").alias("sq_err_micro2"),
+    )

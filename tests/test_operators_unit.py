@@ -269,3 +269,22 @@ def test_duplicate_span_merge_coalesces_planted_run(spark):
         assert set(covered) == {"x"} and len(covered) == r.span_len
         assert r.span_len >= D._SPAN_W
         assert r.n_windows == (r.span_len - D._SPAN_W) // D._SPAN_S + 1
+
+
+def test_pq_quantize_invariants(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.similarity import (
+        _PQ_K,
+        _PQ_M,
+        embedding_pq_quantize,
+    )
+    from ai_metadata_lineage_pyspark_spark.functions.io import load
+
+    rows = embedding_pq_quantize(spark, sf_dir).collect()
+    n_vec = load(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec, "every vector gets a code word"
+    for r in rows:
+        for m in range(_PQ_M):
+            assert 0 <= r[f"code_{m}"] < _PQ_K
+        assert r.sq_err_micro2 >= 0
+    # quantization must do SOME work: not all vectors share one code word
+    assert len({(r.code_0, r.code_1, r.code_2, r.code_3) for r in rows}) > 1
