@@ -933,13 +933,13 @@ def _pq_dist_spark(a: str, b: str) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_sql_ctes() -> str:
     dist = (
         "CAST(list_sum(list_transform(generate_series(1, {sd}),"
         " i -> (s.sub[i] - c.c_sub[i]) * (s.sub[i] - c.c_sub[i]))) AS BIGINT)"
     ).format(sd=_PQ_SUBDIM)
     return f"""
-    WITH pq_emb AS (
+    pq_emb AS (
       SELECT vec_id,
         list_transform(embedding,
           x -> CAST(round(CAST(x AS DOUBLE) * {_KM_MICRO}) AS BIGINT)) AS mi
@@ -987,6 +987,12 @@ def _pq_oracle() -> str:
         FROM d2
       ) WHERE rn = 1
     )
+    """
+
+
+def _pq_quantize_oracle() -> str:
+    return f"""
+    WITH {_pq_sql_ctes()}
     SELECT vec_id,
       CAST(MAX(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code_0,
       CAST(MAX(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code_1,
@@ -997,15 +1003,11 @@ def _pq_oracle() -> str:
     """
 
 
-@register("embedding_pq_quantize", oracle=_pq_oracle())
-def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantize every embedding to {_PQ_M} codebook codes (module
-    note above): deterministic first-K codebook init per subspace, one
-    integer-exact Lloyd refinement (16 wide integer sums per (subspace,
-    code) — the shuffle is M*K*{_PQ_SUBDIM} longs, corpus-independent),
-    then final assignment against the broadcast refined codebooks with
-    BIGINT squared-distance argmin and per-vector exact reconstruction
-    error."""
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """(subs, refined_codebook, code_assignments): the shared PQ pipeline.
+    subs = (vec_id, m, sub[16] micro-ints); codebook = broadcast (cm,
+    code, c_sub); assignments = (vec_id, m, code, dist) after the
+    integer argmin against the refined codebook."""
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -1066,7 +1068,21 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "m", "code", dist.alias("dist"))
         .withColumn("rn", F.row_number().over(wvm))
         .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code", "dist")
     )
+    return subs, c1, a2
+
+
+@register("embedding_pq_quantize", oracle=_pq_quantize_oracle())
+def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantize every embedding to {_PQ_M} codebook codes (module
+    note above): deterministic first-K codebook init per subspace, one
+    integer-exact Lloyd refinement (16 wide integer sums per (subspace,
+    code) — the shuffle is M*K*{_PQ_SUBDIM} longs, corpus-independent),
+    then final assignment against the broadcast refined codebooks with
+    BIGINT squared-distance argmin and per-vector exact reconstruction
+    error."""
+    _subs, _c1, a2 = _pq_parts(spark, sf_dir)
     return a2.groupBy("vec_id").agg(
         *[
             F.max(F.when(F.col("m") == m, F.col("code")))
@@ -1075,4 +1091,90 @@ def embedding_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             for m in range(_PQ_M)
         ],
         F.sum("dist").cast("long").alias("sq_err_micro2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk — PQ search by Asymmetric Distance Computation (r8): the
+# query keeps full precision, the corpus exists only as PQ codes, and the
+# distance to any vector is M table lookups: per query precompute
+# LUT[m][code] = ||q_sub_m - codebook[m][code]||^2 (|Q| * M * K integer
+# entries, broadcast), then score each code word by summing its M lookups.
+# This is how a billion-vector index scans compressed lists (Jégou et al.
+# TPAMI'11); a production deployment prunes candidates with IVF first —
+# this entry is the documented full-scan ADC baseline, exactly as
+# cosine_topk is the full-scan float baseline.
+#
+# Everything is BIGINT (micro^2 distances), ties break (dist asc,
+# neighbor asc) — the ranking is engine-exact even though PQ itself is an
+# approximation of the float geometry.
+# ---------------------------------------------------------------------------
+
+
+def _pq_adc_oracle() -> str:
+    ldist = (
+        "CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        " i -> (q.sub[i] - c.c_sub[i]) * (q.sub[i] - c.c_sub[i]))) AS BIGINT)"
+    ).format(sd=_PQ_SUBDIM)
+    return f"""
+    WITH {_pq_sql_ctes()},
+    lut AS (
+      SELECT q.vec_id AS query_id, q.m, c.code, {ldist} AS ldist
+      FROM (SELECT * FROM subs WHERE vec_id % {_QUERY_MOD} = 0) q
+      JOIN pc1 c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+        CAST(SUM(l.ldist) AS BIGINT) AS adc_dist
+      FROM a2 a JOIN lut l ON l.m = a.m AND l.code = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, a.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC)
+        AS rank
+      FROM adc
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@register("pq_adc_topk", oracle=_pq_adc_oracle())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{_TOP_K} per query over the PQ-compressed corpus via ADC
+    (module note above). Plan: the per-query lookup tables are |Q|*M*K
+    integer rows built from the broadcast codebook and BROADCAST back
+    into the code stream; scoring joins codes to lookups on (m, code) —
+    an equi-join whose corpus side carries 3 small integers per row, with
+    the per-(query, vector) sum partially aggregated map-side before the
+    top-k window."""
+    subs, c1, a2 = _pq_parts(spark, sf_dir)
+    q = subs.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("m").alias("qm"),
+        F.col("sub").alias("q_sub"),
+    )
+    lut = F.broadcast(
+        q.join(c1, F.col("qm") == F.col("cm")).select(
+            "query_id",
+            F.col("qm").alias("lm"),
+            F.col("code").alias("lcode"),
+            F.expr(_pq_dist_spark("q_sub", "c_sub")).alias("ldist"),
+        )
+    )
+    adc = (
+        a2.join(
+            lut,
+            (F.col("m") == F.col("lm"))
+            & (F.col("code") == F.col("lcode"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("ldist").cast("long").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return adc.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= _TOP_K
     )
