@@ -1178,3 +1178,62 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.withColumn("rank", F.row_number().over(wq)).filter(
         F.col("rank") <= _TOP_K
     )
+
+
+@register(
+    "pq_recall_eval",
+    oracle=f"""
+    WITH {_pq_sql_ctes()},
+    lut AS (
+      SELECT q.vec_id AS query_id, q.m, c.code,
+        CAST(list_sum(list_transform(generate_series(1, {_PQ_SUBDIM}),
+          i -> (q.sub[i] - c.c_sub[i]) * (q.sub[i] - c.c_sub[i])))
+          AS BIGINT) AS ldist
+      FROM (SELECT * FROM subs WHERE vec_id % {_QUERY_MOD} = 0) q
+      JOIN pc1 c ON c.m = q.m
+    ),
+    adc AS (
+      SELECT l.query_id, a.vec_id AS neighbor_id,
+        CAST(SUM(l.ldist) AS BIGINT) AS adc_dist
+      FROM a2 a JOIN lut l ON l.m = a.m AND l.code = a.code
+      WHERE a.vec_id <> l.query_id
+      GROUP BY l.query_id, a.vec_id
+    ),
+    adc_topk AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+          AS rank
+        FROM adc
+      ) WHERE rank <= {_TOP_K}
+    ),
+    {_EXACT_TOPK_CTES.lstrip()}
+    SELECT e.query_id,
+      CAST(COUNT(*) AS BIGINT) AS n_exact,
+      CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+      CAST(COUNT(p.neighbor_id) * 100 // COUNT(*) AS BIGINT) AS recall_pct
+    FROM exact_topk e
+    LEFT JOIN adc_topk p
+      ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id
+    """,
+)
+def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query recall@{_TOP_K} of `pq_adc_topk` against the exact
+    cosine ground truth — the tuning dial a PQ deployment watches when
+    choosing M/K (more codes = more recall = more bytes per vector).
+    Same |Q|·k equi-join + query rollup shape as `ann_recall_eval`;
+    integer recall percentage keeps the output engine-exact. Note the
+    metric spans TWO geometries (PQ is trained on L2 in micro space,
+    ground truth ranks by cosine) — exactly the mismatch a real
+    embedding-search tuning loop measures."""
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    approx = pq_adc_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("n_exact"),
+        F.count("hit").alias("n_hits"),
+        F.expr("CAST(COUNT(hit) * 100 DIV COUNT(1) AS BIGINT)").alias("recall_pct"),
+    )
