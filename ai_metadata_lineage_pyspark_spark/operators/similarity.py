@@ -1237,3 +1237,131 @@ def pq_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("hit").alias("n_hits"),
         F.expr("CAST(COUNT(hit) * 100 DIV COUNT(1) AS BIGINT)").alias("recall_pct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_topk — the production billion-vector index shape, end-to-end (r8):
+# IVF cell pruning composed with PQ/ADC scoring. The query probes its
+# _NPROBE nearest cells (IVF), and only the vectors ASSIGNED to those
+# cells are scored — by M integer table lookups against the query's LUT
+# (ADC), never a float dot product with the corpus. This is exactly the
+# FAISS IVFPQ scan (Jégou et al. TPAMI'11), re-expressed as three
+# broadcast-pruned equi-joins over DataFrames; the two baselines it
+# composes (`ivf_topk` = IVF + exact float verify, `pq_adc_topk` =
+# full-scan ADC) are both registered and hash-checked independently.
+#
+# 100 TB shape: cells prune the candidate set (nprobe/nlist of the
+# corpus), the corpus-side payload is 3 small integers per (vector,
+# subspace), the LUT and probe tables broadcast, and the final sum is
+# map-side partially aggregated before the per-query top-k window.
+# ---------------------------------------------------------------------------
+
+
+def _ivf_pq_oracle() -> str:
+    ldist = (
+        "CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        " i -> (q.sub[i] - c.c_sub[i]) * (q.sub[i] - c.c_sub[i]))) AS BIGINT)"
+    ).format(sd=_PQ_SUBDIM)
+    return f"""
+    WITH {_pq_sql_ctes()},
+    {_IVF_TOPK_CTES.strip()},
+    lut AS (
+      SELECT q.vec_id AS query_id, q.m, c.code, {ldist} AS ldist
+      FROM (SELECT * FROM subs WHERE vec_id % {_QUERY_MOD} = 0) q
+      JOIN pc1 c ON c.m = q.m
+    ),
+    ivfpq_adc AS (
+      SELECT cd.query_id, cd.neighbor_id,
+        CAST(SUM(l.ldist) AS BIGINT) AS adc_dist
+      FROM cand cd
+      JOIN a2 a ON a.vec_id = cd.neighbor_id
+      JOIN lut l ON l.query_id = cd.query_id
+                AND l.m = a.m AND l.code = a.code
+      GROUP BY cd.query_id, cd.neighbor_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc_dist ASC, neighbor_id ASC)
+        AS rank
+      FROM ivfpq_adc
+    ) WHERE rank <= {_TOP_K}
+    """
+
+
+@register("ivf_pq_topk", oracle=_ivf_pq_oracle())
+def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-{_TOP_K} (module note above): probe {_NPROBE} cells per
+    query, ADC-score only the probed cells' members via the broadcast
+    LUT, integer argmin ranking. The cell stage carries no embedding
+    payload (only vec_id/cell ints); the scoring stage carries (m, code)
+    ints — at no point does a corpus-sized float vector cross a shuffle."""
+    subs, c1, a2 = _pq_parts(spark, sf_dir)
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = emb.join(cent).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
+        ).alias("cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cell")
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    lut = F.broadcast(
+        subs.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .select(
+            F.col("vec_id").alias("lq"),
+            F.col("m").alias("lm"),
+            F.col("sub").alias("q_sub"),
+        )
+        .join(c1, F.col("lm") == F.col("cm"))
+        .select(
+            "lq",
+            "lm",
+            F.col("code").alias("lcode"),
+            F.expr(_pq_dist_spark("q_sub", "c_sub")).alias("ldist"),
+        )
+    )
+    adc = (
+        cand.join(a2, F.col("neighbor_id") == F.col("vec_id"))
+        .join(
+            lut,
+            (F.col("lq") == F.col("query_id"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("lcode") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ldist").cast("long").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return adc.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= _TOP_K
+    )
