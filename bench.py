@@ -258,6 +258,11 @@ def main() -> None:
         "minhash_estimate_error",
         "hard_negative_mining",
         "key_skew_histogram",
+        "scd2_user_state_history",
+        "embedding_pq_quantize",
+        "pq_adc_topk",
+        "ivf_pq_topk",
+        "pq_recall_eval",
     ]
     extras8_timings: dict[str, float] = {}
     extras8_steady: dict[str, float] = {}
