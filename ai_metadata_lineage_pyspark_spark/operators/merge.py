@@ -161,9 +161,7 @@ def merge_scd1_delta(
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "scd2_user_state_history",
-    oracle="""
+_SCD2_ORACLE = """
     WITH ev AS (
       SELECT user_id, event_type, event_id,
         epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us
@@ -186,8 +184,10 @@ def merge_scd1_delta(
     SELECT user_id, state, first_event_id, valid_from_us, valid_to_us,
       valid_to_us IS NULL AS is_current
     FROM ep
-    """,
-)
+    """
+
+
+@register("scd2_user_state_history", oracle=_SCD2_ORACLE)
 def scd2_user_state_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 state history per user from the event stream (module note
     above): change points via lag over (ts_us, event_id), validity

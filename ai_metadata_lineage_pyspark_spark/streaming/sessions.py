@@ -40,6 +40,7 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.io import ensure_engine_confs, normalize_events_ts
 from ..operators.behavior import _TRANSITION_ORACLE
+from ..operators.merge import _SCD2_ORACLE
 from ..registry import register
 
 _SESSION_GAP_MIN = 30
@@ -555,3 +556,89 @@ def streaming_transition_counts_tws(spark: SparkSession, sf_dir: str) -> DataFra
             "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)"
         ).alias("prob_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming_scd2_history — the stateful-streaming twin of the batch
+# scd2_user_state_history (operators/merge.py, r8): SCD-2 episode tracking
+# as an applyInPandasWithState operator. State = the OPEN episode per user
+# (current state value, its start, its first event id); each micro-batch
+# closes episodes whose state changed (emitting them with their validity
+# interval) and carries the open episode forward. On the availableNow
+# single-file replay this produces exactly the batch SCD-2 table, so the
+# same DuckDB oracle hash-checks it; in a live multi-batch stream the open
+# episode is re-emitted per update (update-mode semantics), with closed
+# episodes emitted exactly once.
+# ---------------------------------------------------------------------------
+
+_SCD2_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("first_event_id", T.LongType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("valid_to_us", T.LongType()),
+        T.StructField("is_current", T.BooleanType()),
+    ]
+)
+
+_SCD2_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cur_state", T.StringType()),
+        T.StructField("valid_from_us", T.LongType()),
+        T.StructField("first_event_id", T.LongType()),
+    ]
+)
+
+
+def _scd2_fn(key, pdf_iter, state: GroupState):
+    user_id = int(key[0])
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts_us", "event_id"])
+    cur = vfrom = fid = None
+    if state.exists:
+        cur, vfrom, fid = state.get
+    out: list[tuple] = []
+    for r in rows.itertuples():
+        ts, eid, st = int(r.ts_us), int(r.event_id), r.event_type
+        if cur is None:
+            cur, vfrom, fid = st, ts, eid
+        elif st != cur:
+            out.append((user_id, cur, fid, vfrom, ts, False))
+            cur, vfrom, fid = st, ts, eid
+    state.update((cur, vfrom, fid))
+    # the open episode rides along as the update-mode current row
+    out.append((user_id, cur, fid, vfrom, None, True))
+    yield pd.DataFrame(
+        out,
+        columns=[
+            "user_id",
+            "state",
+            "first_event_id",
+            "valid_from_us",
+            "valid_to_us",
+            "is_current",
+        ],
+    )
+
+
+@register("streaming_scd2_history", oracle=_SCD2_ORACLE)
+def streaming_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 episode tracking in a stream (module note above): per-user
+    GroupState holds only the open episode (3 scalars — state size is
+    user-cardinality-bounded regardless of event volume); closed episodes
+    stream out as their closing event arrives. Hash-checked against the
+    SAME oracle as the batch builder."""
+    events = read_events_stream(spark, sf_dir)
+    eps = (
+        events.select("user_id", "ts_us", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _scd2_fn,
+            outputStructType=_SCD2_OUT_SCHEMA,
+            stateStructType=_SCD2_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    return run_to_memory(eps, "update")
