@@ -1256,3 +1256,130 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END"
         ).alias("novelty_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_search_topk — BM25 ranking (Robertson/Spärck Jones), integer-exact
+# (r8): completes the lexical ranking family (binary postings ->
+# tf-idf surrogate -> BM25 saturation + length normalization). All
+# arithmetic is fixed-point integer so cross-engine ranking cannot drift:
+#   lnorm_m  = (1-b) + b*dl/avgdl      in micro (b=0.75; avgdl = integer
+#              token mean, deterministic)
+#   sat_k    = tf*(k1+1) / (tf + k1*lnorm)  in milli (k1=1.2)
+#   idf_k    = (N-df)/df               in milli — the monotone integer
+#              surrogate of ln((N-df+.5)/(df+.5)) this module already uses
+#              (per-term ordering identical; the summed ranking is the
+#              surrogate's, stated honestly)
+# Bounds: every intermediate fits BIGINT while N*2.2e6*|q| < 2^63 — i.e.
+# beyond 10^11 documents per query term, far past any real corpus.
+# ---------------------------------------------------------------------------
+
+_BM25_TOP_K = 5
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+    WITH q(query_id, qtext) AS (VALUES {_search_query_values_sql()}),
+    qterms AS (
+      SELECT query_id, unnest(regexp_split_to_array(qtext, '\\s+')) AS token
+      FROM q
+    ),
+    tok AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+        FROM documents
+      ) WHERE token <> ''
+      GROUP BY doc_id, token
+    ),
+    dl AS (
+      SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(dl) // COUNT(*) AS BIGINT) AS avgdl
+      FROM dl
+    ),
+    df AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok GROUP BY token
+    ),
+    scored AS (
+      SELECT qt.query_id, t.doc_id,
+        CAST(SUM(
+          (((s.n_docs - d.df) * 1000) // d.df)
+          * ((t.tf * 2200000000) //
+             (t.tf * 1000000
+              + (1200000 * (250000 + (l.dl * 750000) // s.avgdl)) // 1000000))
+        ) AS BIGINT) AS score,
+        CAST(COUNT(*) AS BIGINT) AS n_matched_terms
+      FROM qterms qt
+      JOIN tok t ON t.token = qt.token
+      JOIN df d ON d.token = qt.token
+      JOIN dl l ON l.doc_id = t.doc_id
+      CROSS JOIN stats s
+      GROUP BY qt.query_id, t.doc_id
+    )
+    SELECT query_id, doc_id, score, n_matched_terms, rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score DESC, doc_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= {_BM25_TOP_K}
+    """,
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_TOP_K} per query (module note above): term
+    saturation (k1=1.2) and document-length normalization (b=0.75) in
+    exact fixed-point integers, integer-rational idf surrogate.
+
+    Plan: the postings build is the same (doc, token) shuffle the other
+    lexical rankers share; per-doc lengths re-aggregate the postings
+    table (map-side combine, never a second corpus scan); the corpus
+    stats are ONE broadcast row; query terms broadcast into the postings
+    probe, so Q queries cost one token-keyed probe. WindowGroupLimit
+    prunes per-query candidates before the final sort."""
+    queries = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(_SEARCH_QUERIES)], "query_id INT, qtext STRING"
+    )
+    qterms = queries.select(
+        "query_id", F.explode(F.expr("split(qtext, '\\\\s+')")).alias("token")
+    )
+    tok = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select("doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"))
+        .where("token <> ''")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = tok.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr("CAST(SUM(dl) DIV COUNT(1) AS BIGINT)").alias("avgdl"),
+    )
+    df = tok.groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    scored = (
+        F.broadcast(qterms)
+        .join(tok, "token")
+        .join(F.broadcast(df.join(F.broadcast(qterms.select("token").distinct()), "token")), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(
+                F.expr(
+                    "(((n_docs - df) * 1000) DIV df)"
+                    " * ((tf * 2200000000) DIV"
+                    " (tf * 1000000"
+                    "  + (1200000 * (250000 + (dl * 750000) DIV avgdl)) DIV 1000000))"
+                )
+            )
+            .cast("long")
+            .alias("score"),
+            F.count(F.lit(1)).alias("n_matched_terms"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _BM25_TOP_K)
+    )
