@@ -1294,7 +1294,15 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, ADC-score only the probed cells' members via the broadcast
     LUT, integer argmin ranking. The cell stage carries no embedding
     payload (only vec_id/cell ints); the scoring stage carries (m, code)
-    ints — at no point does a corpus-sized float vector cross a shuffle."""
+    ints — at no point does a corpus-sized float vector cross a shuffle.
+
+    Honesty note: FAISS's default IVFPQ encodes RESIDUALS (x - centroid)
+    rather than raw vectors — residual PQ reuses the codebook budget on
+    the within-cell distribution and recalls better at equal bits. This
+    operator encodes raw vectors (one global codebook set, the
+    IVFFlat-then-PQ composition): the join/broadcast/pruning plan — the
+    part Spark must get right — is identical either way; residual
+    encoding changes only the subtraction feeding _pq_parts."""
     subs, c1, a2 = _pq_parts(spark, sf_dir)
     emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
