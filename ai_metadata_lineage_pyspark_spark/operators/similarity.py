@@ -1373,3 +1373,297 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.withColumn("rank", F.row_number().over(wq)).filter(
         F.col("rank") <= _TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_pq_residual_topk — RESIDUAL-encoded IVF-PQ (r8): the FAISS IVFPQ
+# default, completing the note on `ivf_pq_topk`. Vectors are PQ-encoded as
+# residuals r = x - centroid(cell(x)), so the codebook budget spends on
+# the within-cell distribution; the price is a PER-PROBED-CELL lookup
+# table on the query side (the query's residual differs per cell:
+# q - centroid(c)), i.e. |Q| * nprobe * M * K LUT entries instead of
+# |Q| * M * K — still broadcast-tiny. Everything stays integer micro
+# space end to end; ADC joins on (query, CANDIDATE'S cell, m, code).
+# ---------------------------------------------------------------------------
+
+
+def _res_pq_sql_ctes() -> str:
+    dist = (
+        "CAST(list_sum(list_transform(generate_series(1, {sd}),"
+        " i -> (s.sub[i] - c.c_sub[i]) * (s.sub[i] - c.c_sub[i]))) AS BIGINT)"
+    ).format(sd=_PQ_SUBDIM)
+    return f"""
+    remb AS (
+      SELECT vec_id,
+        list_transform(embedding,
+          x -> CAST(round(CAST(x AS DOUBLE) * {_KM_MICRO}) AS BIGINT)) AS mi
+      FROM embeddings
+    ),
+    cent_mi AS (
+      SELECT cent_id, list_transform(c_emb,
+        x -> CAST(round(CAST(x AS DOUBLE) * {_KM_MICRO}) AS BIGINT)) AS c_mi
+      FROM cent
+    ),
+    res AS (
+      SELECT e.vec_id, a.cell,
+        list_transform(generate_series(1, {_PQ_M * _PQ_SUBDIM}),
+          i -> e.mi[i] - cm.c_mi[i]) AS rmi
+      FROM remb e
+      JOIN assigned a ON a.vec_id = e.vec_id
+      JOIN cent_mi cm ON cm.cent_id = a.cell
+    ),
+    rsubs AS (
+      SELECT vec_id, cell, t.m,
+        rmi[t.m * {_PQ_SUBDIM} + 1 : t.m * {_PQ_SUBDIM} + {_PQ_SUBDIM}] AS sub
+      FROM res
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) t
+    ),
+    rpc0 AS (
+      SELECT m, vec_id AS code, sub AS c_sub FROM rsubs WHERE vec_id < {_PQ_K}
+    ),
+    rd1 AS (
+      SELECT s.vec_id, s.m, s.sub, c.code, {dist} AS dist
+      FROM rsubs s JOIN rpc0 c ON c.m = s.m
+    ),
+    ra1 AS (
+      SELECT vec_id, m, sub, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist ASC, code ASC) AS rn
+        FROM rd1
+      ) WHERE rn = 1
+    ),
+    rdsum AS (
+      SELECT a.m, a.code, t.d,
+        CAST(SUM(a.sub[t.d]) AS BIGINT) AS s, COUNT(*) AS n
+      FROM ra1 a
+      CROSS JOIN (SELECT unnest(generate_series(1, {_PQ_SUBDIM})) AS d) t
+      GROUP BY a.m, a.code, t.d
+    ),
+    rpc1 AS (
+      SELECT m, code, list(CAST(s // n AS BIGINT) ORDER BY d) AS c_sub
+      FROM rdsum GROUP BY m, code
+    ),
+    rd2 AS (
+      SELECT s.vec_id, s.m, c.code, {dist} AS dist
+      FROM rsubs s JOIN rpc1 c ON c.m = s.m
+    ),
+    ra2 AS (
+      SELECT vec_id, m, code FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                                     ORDER BY dist ASC, code ASC) AS rn
+        FROM rd2
+      ) WHERE rn = 1
+    ),
+    qres AS (
+      SELECT p.query_id, p.cell, t.m,
+        list_transform(generate_series(1, {_PQ_SUBDIM}),
+          i -> e.mi[t.m * {_PQ_SUBDIM} + i] - cm.c_mi[t.m * {_PQ_SUBDIM} + i])
+          AS sub
+      FROM probes p
+      JOIN remb e ON e.vec_id = p.query_id
+      JOIN cent_mi cm ON cm.cent_id = p.cell
+      CROSS JOIN (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS m) t
+    ),
+    rlut AS (
+      SELECT s.query_id, s.cell, s.m, c.code, {dist} AS ldist
+      FROM qres s JOIN rpc1 c ON c.m = s.m
+    ),
+    res_adc AS (
+      SELECT cd.query_id, cd.neighbor_id,
+        CAST(SUM(l.ldist) AS BIGINT) AS adc_dist
+      FROM cand cd
+      JOIN ra2 a ON a.vec_id = cd.neighbor_id
+      JOIN rlut l ON l.query_id = cd.query_id AND l.cell = cd.cell
+                 AND l.m = a.m AND l.code = a.code
+      GROUP BY cd.query_id, cd.neighbor_id
+    ),
+    res_topk AS (
+      SELECT query_id, neighbor_id, adc_dist, rank FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY adc_dist ASC, neighbor_id ASC)
+          AS rank
+        FROM res_adc
+      ) WHERE rank <= {_TOP_K}
+    )
+    """
+
+
+def _res_pq_parts(spark: SparkSession, sf_dir: str):
+    """(assigned, probes, codes, lut): the residual-PQ pipeline. assigned
+    = (vec_id, cell); probes = (query_id, cell); codes = (vec_id, m,
+    code) over residuals; lut = broadcast (query_id, cell, m, code,
+    ldist) — one table per (query, probed cell)."""
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id",
+        "embedding",
+        F.expr(norm_expr("embedding")).alias("norm"),
+        F.expr(
+            f"transform(embedding, x -> CAST(round(cast(x as double)"
+            f" * {_KM_MICRO}) AS BIGINT))"
+        ).alias("mi"),
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+            F.col("mi").alias("c_mi"),
+        )
+    )
+    scored = emb.join(cent).select(
+        "vec_id",
+        "mi",
+        "cent_id",
+        "c_mi",
+        F.expr(
+            cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
+        ).alias("cos"),
+    )
+    assigned = scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cell"),
+        F.max_by(
+            "c_mi", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cell_mi"),
+        F.first("mi").alias("mi"),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    probes = (
+        scored.filter(F.col("vec_id") % _QUERY_MOD == 0)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= _NPROBE)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("cell"),
+            F.col("mi").alias("q_mi"),
+            F.col("c_mi").alias("p_cmi"),
+        )
+    )
+    rsubs = assigned.select(
+        "vec_id",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"transform(sequence({m * _PQ_SUBDIM + 1},"
+                    f" {(m + 1) * _PQ_SUBDIM}),"
+                    " i -> mi[i - 1] - cell_mi[i - 1])"
+                    for m in range(_PQ_M)
+                )
+                + ")"
+            )
+        ).alias("m", "sub"),
+    )
+    pc0 = F.broadcast(
+        rsubs.filter(F.col("vec_id") < _PQ_K).select(
+            F.col("m").alias("cm"),
+            F.col("vec_id").alias("code"),
+            F.col("sub").alias("c_sub"),
+        )
+    )
+    dist = F.expr(_pq_dist_spark("sub", "c_sub"))
+    wvm = Window.partitionBy("vec_id", "m").orderBy(
+        F.col("dist").asc(), F.col("code").asc()
+    )
+    a1 = (
+        rsubs.join(pc0, F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "sub", "code", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wvm))
+        .filter(F.col("rn") == 1)
+    )
+    dim_sums = a1.groupBy("m", "code").agg(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.expr(f"sub[{d}]")).alias(f"s{d}")
+            for d in range(_PQ_SUBDIM)
+        ],
+    )
+    pc1 = F.broadcast(
+        dim_sums.select(
+            F.col("m").alias("cm"),
+            "code",
+            F.expr(
+                "array("
+                + ", ".join(f"s{d} DIV n" for d in range(_PQ_SUBDIM))
+                + ")"
+            ).alias("c_sub"),
+        )
+    )
+    codes = (
+        rsubs.join(pc1, F.col("m") == F.col("cm"))
+        .select("vec_id", "m", "code", dist.alias("dist"))
+        .withColumn("rn", F.row_number().over(wvm))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "m", "code")
+    )
+    qsubs = probes.select(
+        "query_id",
+        "cell",
+        F.posexplode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"transform(sequence({m * _PQ_SUBDIM + 1},"
+                    f" {(m + 1) * _PQ_SUBDIM}),"
+                    " i -> q_mi[i - 1] - p_cmi[i - 1])"
+                    for m in range(_PQ_M)
+                )
+                + ")"
+            )
+        ).alias("m", "sub"),
+    )
+    lut = F.broadcast(
+        qsubs.join(pc1, F.col("m") == F.col("cm")).select(
+            F.col("query_id").alias("lq"),
+            F.col("cell").alias("lcell"),
+            F.col("m").alias("lm"),
+            F.col("code").alias("lcode"),
+            dist.alias("ldist"),
+        )
+    )
+    return assigned.select("vec_id", "cell"), probes.select("query_id", "cell"), codes, lut
+
+
+@register(
+    "ivf_pq_residual_topk",
+    oracle=f"""
+    WITH {_IVF_TOPK_CTES.strip()},
+    {_res_pq_sql_ctes().strip()}
+    SELECT query_id, neighbor_id, adc_dist, rank FROM res_topk
+    """,
+)
+def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual-encoded IVF-PQ top-{_TOP_K} (module note above): codes
+    quantize r = x - centroid(cell), the LUT is per (query, probed
+    cell), and ADC joins on (query, candidate's cell, m, code). The
+    plan adds exactly one broadcast column (the cell's centroid
+    micro-vector) to the raw-vector composition — the pruning and
+    integer-scoring structure is unchanged."""
+    assigned, probes, codes, lut = _res_pq_parts(spark, sf_dir)
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "cell")
+    )
+    adc = (
+        cand.join(codes, F.col("neighbor_id") == F.col("vec_id"))
+        .join(
+            lut,
+            (F.col("lq") == F.col("query_id"))
+            & (F.col("lcell") == F.col("cell"))
+            & (F.col("lm") == F.col("m"))
+            & (F.col("lcode") == F.col("code")),
+        )
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("ldist").cast("long").alias("adc_dist"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return adc.withColumn("rank", F.row_number().over(wq)).filter(
+        F.col("rank") <= _TOP_K
+    )
