@@ -262,7 +262,10 @@ def main() -> None:
         "embedding_pq_quantize",
         "pq_adc_topk",
         "ivf_pq_topk",
+        "ivf_pq_residual_topk",
         "pq_recall_eval",
+        "streaming_scd2_history",
+        "bm25_search_topk",
     ]
     extras8_timings: dict[str, float] = {}
     extras8_steady: dict[str, float] = {}
