@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 from ..functions.io import fan_out, load
 from ..registry import register
 from .sampling import _BUCKET_SPARK, _BUCKET_SQL
+from .search import _LM_SCORE_CTES
 from .text import _LANG_STOPWORDS, _TOKENS, _hits_sql, _hits_toks_expr
 
 _MIN_QUALITY = 3
@@ -148,4 +149,72 @@ def corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("total_chars"),
         F.sum("quality_score").alias("quality_mass"),
         F.min("doc_id").alias("min_doc_id"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# lm_quality_buckets — the CCNet head/middle/tail split (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data"): per-language terciles of a language-model quality score. CCNet
+# ranks each language's documents by LM perplexity and cuts the ranking in
+# three; downstream training keeps `head` (and often `middle`) and drops
+# `tail`. Here the LM score is the engine's integer-exact bigram
+# commonality proxy (search.py lm_bigram_doc_score), so the whole split is
+# engine-deterministic with no float perplexity.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lm_quality_buckets",
+    oracle=_LM_SCORE_CTES
+    + """
+    , ranked AS (
+      SELECT s.doc_id, d.lang, s.avg_bigram_count,
+        ntile(3) OVER (
+          PARTITION BY d.lang
+          ORDER BY s.avg_bigram_count DESC, s.doc_id ASC
+        ) AS tercile
+      FROM lm_scores s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT doc_id, lang, avg_bigram_count,
+      CAST(tercile AS BIGINT) AS tercile,
+      CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+        AS bucket
+    FROM ranked
+    """,
+)
+def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language quality terciles over the bigram LM score.
+
+    Plan: the lm score pipeline (one explode + two bigram-keyed shuffles,
+    see lm_bigram_doc_score) feeds a doc_id-keyed broadcast-size join to
+    pick up `lang`, then ONE lang-partitioned window assigns terciles.
+    ntile needs each language's scored docs ordered within its partition —
+    a per-language sort, not a global one; at 100 TB with a handful of
+    languages the partition is large but the sort is the mandatory cost of
+    an exact quantile split (the approx swap is percentile_approx cutoffs
+    per lang + a broadcast cutoff join, same output contract modulo ties).
+    Tercile order is total (score DESC, doc_id ASC) so the split is
+    deterministic and engine-exact; both engines distribute ntile
+    remainders to the leading buckets.
+    """
+    from .search import lm_bigram_doc_score  # noqa: PLC0415
+
+    scores = lm_bigram_doc_score(spark, sf_dir).select("doc_id", "avg_bigram_count")
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("avg_bigram_count"), F.asc("doc_id")
+    )
+    ranked = scores.join(docs, "doc_id").withColumn(
+        "tercile", F.ntile(3).over(w).cast("bigint")
+    )
+    return ranked.select(
+        "doc_id",
+        "lang",
+        "avg_bigram_count",
+        "tercile",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
     )

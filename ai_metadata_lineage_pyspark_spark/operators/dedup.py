@@ -1324,3 +1324,173 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("abs_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# chunk_dedup_reconstruct — C4-style corpus-global span dedup WITH document
+# reconstruction (Raffel et al. 2020 drop any repeated three-sentence span;
+# RefinedWeb/Gopher do the same at paragraph/line granularity). The corpus
+# here has no sentence boundaries, so the dedup unit is a fixed
+# non-overlapping 10-token block; each block survives only at its globally
+# FIRST occurrence (ordered by doc_id, then position), and every document
+# is re-assembled from its surviving blocks in order.
+# ---------------------------------------------------------------------------
+
+_CDR_B = 10  # tokens per dedup block
+
+
+@register(
+    "chunk_dedup_reconstruct",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
+      FROM documents
+    ),
+    blocks AS (
+      SELECT doc_id, unnest(generate_series(0, (len(t) - 1) // {_CDR_B})) AS blk, t
+      FROM toks
+    ),
+    chunks AS (
+      SELECT doc_id, blk,
+        array_to_string(
+          list_slice(t, blk * {_CDR_B} + 1, blk * {_CDR_B} + {_CDR_B}), ' '
+        ) AS chunk_txt
+      FROM blocks
+    ),
+    flagged AS (
+      SELECT doc_id, blk, chunk_txt,
+        row_number() OVER (
+          PARTITION BY chunk_txt ORDER BY doc_id ASC, blk ASC
+        ) = 1 AS kept
+      FROM chunks
+    )
+    SELECT doc_id,
+      CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      CAST(COUNT(*) FILTER (WHERE kept) AS BIGINT) AS n_kept,
+      CAST(coalesce(
+        length(string_agg(chunk_txt, ' ' ORDER BY blk) FILTER (WHERE kept)), 0
+      ) AS BIGINT) AS dedup_len,
+      md5(coalesce(
+        string_agg(chunk_txt, ' ' ORDER BY blk) FILTER (WHERE kept), ''
+      )) AS dedup_hash
+    FROM flagged
+    GROUP BY doc_id
+    """,
+)
+def chunk_dedup_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global span dedup + reconstruction over 10-token blocks.
+
+    Plan: one explode to (doc_id, blk, chunk_txt); ONE chunk-keyed window
+    (row_number over the chunk text) marks the global first occurrence;
+    ONE doc-keyed groupBy re-assembles surviving blocks in position order
+    and emits narrow columns (counts + md5 of the rebuilt text, the
+    chunking.py contract). Two shuffles total, both linear in block count.
+
+    At 100 TB: the window key should be xxhash64(chunk_txt) with bucket-
+    local text re-verification (the duplicate_substring_spans two-pass
+    pattern, dedup.py above) so the first shuffle moves 8-byte keys rather
+    than text; the reassembly groupBy is the unavoidable cost of emitting
+    deduped documents rather than a drop-list. Hot boilerplate chunks skew
+    the window key — AQE skew-split handles the count side, and the
+    row_number partition for a pathological chunk is bounded by its
+    occurrence count (the C4 paper reports ~0.05% of spans repeated).
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    chunks = (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS t")
+        .selectExpr(
+            "doc_id", f"explode(sequence(0, (size(t) - 1) div {_CDR_B})) AS blk", "t"
+        )
+        .selectExpr(
+            "doc_id",
+            "blk",
+            f"concat_ws(' ', slice(t, blk * {_CDR_B} + 1, {_CDR_B})) AS chunk_txt",
+        )
+    )
+    w = Window.partitionBy("chunk_txt").orderBy(F.asc("doc_id"), F.asc("blk"))
+    flagged = chunks.withColumn("kept", F.row_number().over(w) == 1)
+    rebuilt = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("kept").cast("bigint")).alias("n_kept"),
+        F.expr("array_sort(collect_list(struct(blk, kept, chunk_txt)))").alias("arr"),
+    )
+    kept_txt = "concat_ws(' ', transform(filter(arr, x -> x.kept), x -> x.chunk_txt))"
+    return rebuilt.selectExpr(
+        "doc_id",
+        "n_chunks",
+        "n_kept",
+        f"CAST(length({kept_txt}) AS BIGINT) AS dedup_len",
+        f"md5({kept_txt}) AS dedup_hash",
+    )
+
+
+# ---------------------------------------------------------------------------
+# source_priority_dedup — exact dedup that keeps the copy from the BEST
+# source rather than the lowest doc_id: every curation stack ranks its
+# sources (curated > crawl-A > crawl-B ...) and, when the same text appears
+# in several, keeps the highest-priority copy. Priority here is the
+# source's numeric suffix (src0 beats src19), tie-broken by doc_id.
+# ---------------------------------------------------------------------------
+
+# (priority, doc_id) packed into one BIGINT so the argmin is a plain MIN
+# with map-side partial aggregation — no window, no min_by struct (whose
+# comparison semantics differ across engines).
+_PRIO_PACK = 1_000_000_000_000
+
+
+@register(
+    "source_priority_dedup",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS text_hash,
+        CAST(substr(source, 4) AS BIGINT) AS priority,
+        source
+      FROM documents
+    )
+    SELECT text_hash,
+      CAST(COUNT(*) AS BIGINT) AS n_copies,
+      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+      CAST(MIN(priority * {_PRIO_PACK} + doc_id) % {_PRIO_PACK} AS BIGINT)
+        AS kept_doc_id,
+      CAST(MIN(priority * {_PRIO_PACK} + doc_id) // {_PRIO_PACK} AS BIGINT)
+        AS kept_priority,
+      'src' || CAST(MIN(priority * {_PRIO_PACK} + doc_id) // {_PRIO_PACK} AS VARCHAR)
+        AS kept_source
+    FROM d
+    GROUP BY text_hash
+    """,
+)
+def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup keeping the best-source copy (argmin by packed key).
+
+    Plan: one hash-keyed groupBy; the (priority, doc_id) argmin rides a
+    single packed-BIGINT MIN, so every aggregate in the query has map-side
+    partial aggregation — at 100 TB the shuffle carries one pre-combined
+    row per (partition, distinct text hash), the same profile as
+    exact_dedup. COUNT(DISTINCT source) rewrites to a two-level expand on
+    the same key; source cardinality is tiny so the expansion factor is
+    bounded.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
+    packed = F.expr(f"CAST(substr(source, 4) AS BIGINT) * {_PRIO_PACK} + doc_id")
+    return (
+        docs.select(
+            norm_hash.alias("text_hash"),
+            "source",
+            packed.alias("packed"),
+        )
+        .groupBy("text_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.countDistinct("source").alias("n_sources"),
+            F.expr(f"CAST(MIN(packed) % {_PRIO_PACK} AS BIGINT)").alias("kept_doc_id"),
+            F.expr(f"CAST(MIN(packed) DIV {_PRIO_PACK} AS BIGINT)").alias(
+                "kept_priority"
+            ),
+            F.expr(
+                f"concat('src', CAST(MIN(packed) DIV {_PRIO_PACK} AS STRING))"
+            ).alias("kept_source"),
+        )
+    )

@@ -119,3 +119,80 @@ def table_profile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_price"),
         F.expr("approx_count_distinct(l_partkey)").alias("n_parts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_dim_stats — per-dimension distribution profile of the embedding
+# column: the sanity pass every vector pipeline runs before indexing
+# (dead dimensions, scale drift between model versions, outlier dims that
+# dominate L2 distance). Values are fixed-pointed to integer micro-units
+# (floor(v * 1e6)) BEFORE aggregation, so every sum is exact integer
+# arithmetic and the cross-engine hash cannot drift on float summation
+# order; mean/variance leave as IEEE-double expressions over those exact
+# integer sums, identical in both engines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    WITH u AS (
+      SELECT generate_subscripts(embedding, 1) AS dim, unnest(embedding) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT dim,
+        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+      FROM u
+    )
+    SELECT CAST(dim AS BIGINT) AS dim,
+      CAST(COUNT(*) AS BIGINT) AS n_values,
+      CAST(SUM(v_micro) AS BIGINT) AS sum_micro,
+      CAST(MIN(v_micro) AS BIGINT) AS min_micro,
+      CAST(MAX(v_micro) AS BIGINT) AS max_micro,
+      CAST(SUM(v_micro) AS DOUBLE) / COUNT(*) AS mean_micro,
+      (CAST(SUM(v_micro * v_micro) AS DOUBLE)
+        - CAST(SUM(v_micro) AS DOUBLE) * CAST(SUM(v_micro) AS DOUBLE) / COUNT(*))
+        / COUNT(*) AS var_micro2
+    FROM m
+    GROUP BY dim
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension count/sum/min/max/mean/variance over the vector column.
+
+    Plan: posexplode (64 rows per vector) -> groupBy(dim) with map-side
+    partial aggregation into 64 groups — the shuffle after partial agg is
+    (n_partitions x 64) pre-combined rows regardless of table size, so the
+    query is scan-bound at any scale. At 100 TB the BIGINT accumulators
+    need headroom: micro-units square to ~1e13 per value, so the sum-of-
+    squares column overflows past ~1e6 rows per (partition, dim) group —
+    the production swap is DECIMAL(38,0) accumulators (same plan, exact
+    arithmetic, ~2x agg cost); counts/min/max are unaffected.
+
+    Determinism: fixed-point micro conversion is floor over an exact
+    dyadic double (float->double widening is value-preserving, *1e6 and
+    floor are correctly-rounded IEEE ops), so both engines aggregate
+    identical integers; the mean/var doubles are then single-expression
+    IEEE arithmetic over integers < 2^63, which both engines round
+    identically.
+    """
+    u = load(spark, sf_dir, "embeddings").select(
+        F.posexplode("embedding").alias("pos", "v")
+    )
+    m = u.selectExpr(
+        "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_micro",
+    )
+    return m.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n_values"),
+        F.sum("v_micro").alias("sum_micro"),
+        F.min("v_micro").alias("min_micro"),
+        F.max("v_micro").alias("max_micro"),
+        F.expr("CAST(SUM(v_micro) AS DOUBLE) / COUNT(*)").alias("mean_micro"),
+        F.expr(
+            "(CAST(SUM(v_micro * v_micro) AS DOUBLE)"
+            " - CAST(SUM(v_micro) AS DOUBLE) * CAST(SUM(v_micro) AS DOUBLE) / COUNT(*))"
+            " / COUNT(*)"
+        ).alias("var_micro2"),
+    )

@@ -268,10 +268,10 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _LM_UNUSUAL_THRESHOLD = 5  # avg corpus bigram count below this -> flagged
 
-
-@register(
-    "lm_bigram_doc_score",
-    oracle=f"""
+# Shared CTE block ending in `lm_scores` (doc_id, n_bigrams,
+# avg_bigram_count, is_unusual) — reused by curation.py's lm_quality_buckets
+# so the bucket oracle scores docs with EXACTLY this SQL.
+_LM_SCORE_CTES = f"""
     WITH toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
       FROM documents
@@ -287,13 +287,23 @@ _LM_UNUSUAL_THRESHOLD = 5  # avg corpus bigram count below this -> flagged
     ),
     scored AS (
       SELECT d.doc_id, c.n_bi FROM doc_bi d JOIN counts c ON d.bigram = c.bigram
+    ),
+    lm_scores AS (
+      SELECT doc_id,
+        CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        CAST(SUM(n_bi) // COUNT(*) AS BIGINT) AS avg_bigram_count,
+        (SUM(n_bi) // COUNT(*)) < {_LM_UNUSUAL_THRESHOLD} AS is_unusual
+      FROM scored
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-      CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-      CAST(SUM(n_bi) // COUNT(*) AS BIGINT) AS avg_bigram_count,
-      (SUM(n_bi) // COUNT(*)) < {_LM_UNUSUAL_THRESHOLD} AS is_unusual
-    FROM scored
-    GROUP BY doc_id
+"""
+
+
+@register(
+    "lm_bigram_doc_score",
+    oracle=_LM_SCORE_CTES
+    + """
+    SELECT doc_id, n_bigrams, avg_bigram_count, is_unusual FROM lm_scores
     """,
 )
 def lm_bigram_doc_score(spark: SparkSession, sf_dir: str) -> DataFrame:

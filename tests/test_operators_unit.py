@@ -288,3 +288,97 @@ def test_pq_quantize_invariants(spark, sf_dir):
         assert r.sq_err_micro2 >= 0
     # quantization must do SOME work: not all vectors share one code word
     assert len({(r.code_0, r.code_1, r.code_2, r.code_3) for r in rows}) > 1
+
+
+def test_chunk_dedup_reconstruct_drops_repeated_block(spark, tmp_path):
+    # Doc 1 and doc 2 share an identical 10-token block; doc 2's copy must
+    # be dropped (doc 1 is the global first occurrence) and doc 2 rebuilds
+    # from its remaining block only. Doc 3 is untouched.
+    block = " ".join(f"tok{i}" for i in range(10))  # exactly one block
+    tail2 = " ".join(f"own{i}" for i in range(10))
+    rows = [
+        (1, block, len(block)),
+        (2, block + " " + tail2, len(block) + 1 + len(tail2)),
+        (3, "unique words only here", 22),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        chunk_dedup_reconstruct,
+    )
+
+    out = {r.doc_id: r for r in chunk_dedup_reconstruct(spark, str(tmp_path)).collect()}
+    import hashlib
+
+    assert out[1].n_chunks == 1 and out[1].n_kept == 1
+    assert out[2].n_chunks == 2 and out[2].n_kept == 1
+    assert out[2].dedup_hash == hashlib.md5(tail2.encode()).hexdigest()
+    assert out[2].dedup_len == len(tail2)
+    assert out[3].n_kept == out[3].n_chunks == 1
+
+
+def test_source_priority_dedup_prefers_lowest_source_number(spark, tmp_path):
+    rows = [
+        (10, "same body", "src12", 9),
+        (11, "Same   Body", "src3", 9),  # normalizes equal; src3 wins
+        (12, "other body", "src0", 10),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "source", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import source_priority_dedup
+
+    out = {r.kept_doc_id: r for r in source_priority_dedup(spark, str(tmp_path)).collect()}
+    assert set(out) == {11, 12}
+    kept = out[11]
+    assert kept.kept_source == "src3"
+    assert kept.kept_priority == 3
+    assert kept.n_copies == 2 and kept.n_sources == 2
+
+
+def test_embedding_dim_stats_exact_micro_units(spark, tmp_path):
+    rows = [
+        (1, [0.5, -1.25], 0),
+        (2, [1.5, 0.75], 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from ai_metadata_lineage_pyspark_spark.operators.profile import embedding_dim_stats
+
+    out = {r.dim: r for r in embedding_dim_stats(spark, str(tmp_path)).collect()}
+    d1, d2 = out[1], out[2]
+    assert (d1.n_values, d1.sum_micro, d1.min_micro, d1.max_micro) == (
+        2,
+        2_000_000,
+        500_000,
+        1_500_000,
+    )
+    assert d1.mean_micro == 1_000_000.0
+    assert d1.var_micro2 == pytest.approx(250_000_000_000.0)
+    assert (d2.sum_micro, d2.min_micro) == (-500_000, -1_250_000)
+
+
+def test_lm_quality_buckets_balanced_and_ordered(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.curation import lm_quality_buckets
+
+    df = lm_quality_buckets(spark, sf_dir).cache()
+    try:
+        sizes = {
+            (r.lang, r.tercile): r.n
+            for r in df.groupBy("lang", "tercile").agg(F.count("*").alias("n")).collect()
+        }
+        langs = {lang for lang, _ in sizes}
+        for lang in langs:
+            per = [sizes.get((lang, t), 0) for t in (1, 2, 3)]
+            assert max(per) - min(per) <= 1  # ntile balance
+        # head scores dominate tail scores within every language
+        agg = df.groupBy("lang", "bucket").agg(
+            F.min("avg_bigram_count").alias("lo"), F.max("avg_bigram_count").alias("hi")
+        )
+        rows = {(r.lang, r.bucket): r for r in agg.collect()}
+        for lang in langs:
+            assert rows[(lang, "head")].lo >= rows[(lang, "tail")].hi
+    finally:
+        df.unpersist()
