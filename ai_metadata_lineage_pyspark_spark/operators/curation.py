@@ -30,6 +30,8 @@ from pyspark.sql import functions as F
 
 from ..functions.io import fan_out, load
 from ..registry import register
+from .decontam import _EVAL_MOD
+from .dedup import _SHINGLES_FROM_TOKS, _SQL_SHINGLES, _SQL_TOKENS
 from .sampling import _BUCKET_SPARK, _BUCKET_SQL
 from .search import _LM_SCORE_CTES
 from .text import _LANG_STOPWORDS, _TOKENS, _hits_sql, _hits_toks_expr
@@ -217,4 +219,198 @@ def lm_quality_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("tercile") == 2, "middle")
         .otherwise("tail")
         .alias("bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel_report — the per-stage census of the curation pipeline:
+# raw -> quality gate -> exact dedup -> decontamination, one row per stage
+# with surviving docs/chars and the drop from the previous stage. This is
+# the dashboard table every corpus build publishes (how much did each gate
+# cost?); the gates reuse the engine's own definitions verbatim — the
+# corpus_curation quality score, exact_dedup's normalized-text canonical
+# rule, and benchmark_decontam's eval-slice shingle overlap — so the
+# funnel numbers reconcile exactly with the individual operators.
+# ---------------------------------------------------------------------------
+
+_QSCORE_SQL = """
+        (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.2 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens > 0.3 THEN 1 ELSE 0 END
+         + CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)
+"""
+
+
+@register(
+    "curation_funnel_report",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id, n_chars,
+        {_hits_sql(_LANG_STOPWORDS['en'])} AS en_hits,
+        {_hits_sql(_LANG_STOPWORDS['de'])} AS de_hits,
+        {_hits_sql(_LANG_STOPWORDS['fr'])} AS fr_hits,
+        {_hits_sql(_LANG_STOPWORDS['es'])} AS es_hits,
+        len({_SQL_TOKENS}) AS n_tokens,
+        len(list_distinct({_SQL_TOKENS})) AS n_unique,
+        length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+        md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    flags_q AS (
+      SELECT doc_id, n_chars, fp,
+        ({_QSCORE_SQL} >= {_MIN_QUALITY}
+         AND NOT (en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0))
+          AS q
+      FROM sig
+    ),
+    sh AS (
+      SELECT doc_id, unnest({_SQL_SHINGLES}) AS shingle
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    contam AS (
+      SELECT DISTINCT t.doc_id
+      FROM sh t
+      JOIN (SELECT DISTINCT shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0) e
+        ON t.shingle = e.shingle
+      WHERE t.doc_id % {_EVAL_MOD} <> 0
+    ),
+    flags AS (
+      SELECT f.doc_id, f.n_chars,
+        f.q,
+        f.q AND f.doc_id = MIN(CASE WHEN f.q THEN f.doc_id END)
+          OVER (PARTITION BY f.fp) AS d,
+        f.q AND f.doc_id = MIN(CASE WHEN f.q THEN f.doc_id END)
+          OVER (PARTITION BY f.fp) AND c.doc_id IS NULL AS k
+      FROM flags_q f LEFT JOIN contam c ON f.doc_id = c.doc_id
+    ),
+    tot AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n0, CAST(SUM(n_chars) AS BIGINT) AS c0,
+        CAST(COUNT(*) FILTER (WHERE q) AS BIGINT) AS n1,
+        CAST(COALESCE(SUM(n_chars) FILTER (WHERE q), 0) AS BIGINT) AS c1,
+        CAST(COUNT(*) FILTER (WHERE d) AS BIGINT) AS n2,
+        CAST(COALESCE(SUM(n_chars) FILTER (WHERE d), 0) AS BIGINT) AS c2,
+        CAST(COUNT(*) FILTER (WHERE k) AS BIGINT) AS n3,
+        CAST(COALESCE(SUM(n_chars) FILTER (WHERE k), 0) AS BIGINT) AS c3
+      FROM flags
+    )
+    SELECT CAST(0 AS BIGINT) AS stage, 'raw' AS stage_name,
+      n0 AS n_docs, c0 AS total_chars,
+      CAST(NULL AS BIGINT) AS n_dropped, CAST(NULL AS BIGINT) AS drop_ppm
+    FROM tot
+    UNION ALL
+    SELECT 1, 'quality_gate', n1, c1, n0 - n1,
+      ((n0 - n1) * 1000000) // n0 FROM tot
+    UNION ALL
+    SELECT 2, 'exact_dedup', n2, c2, n1 - n2,
+      CASE WHEN n1 = 0 THEN NULL ELSE ((n1 - n2) * 1000000) // n1 END FROM tot
+    UNION ALL
+    SELECT 3, 'decontam', n3, c3, n2 - n3,
+      CASE WHEN n2 = 0 THEN NULL ELSE ((n2 - n3) * 1000000) // n2 END FROM tot
+    """,
+)
+def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survival census of the curation pipeline.
+
+    Plan: one documents scan computes the quality flag per doc; the dedup
+    flag is ONE fp-keyed window (min qualifying doc_id per normalized-text
+    group); the decontam flag is the benchmark_decontam join — eval-slice
+    distinct shingles are benchmark-sized, so the train side is a
+    broadcast-hash join, no big-side shuffle. All four stage censuses then
+    collapse into a SINGLE aggregate row (count/sum per cumulative flag —
+    map-side combined, one scan of the flagged stream) and unpivot to four
+    rows via stack(). Nothing in the plan grows with corpus size except
+    the scans and the fp window, each linear and key-partitioned.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    en, de, fr, es = (F.col(f"{c}_hits") for c in ("en", "de", "fr", "es"))
+    sig = docs.selectExpr(
+        "doc_id", "n_chars", "text", f"{_TOKENS} AS toks"
+    ).select(
+        "doc_id",
+        "n_chars",
+        *[
+            F.expr(_hits_toks_expr(words)).alias(f"{lang}_hits")
+            for lang, words in _LANG_STOPWORDS.items()
+        ],
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_unique"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")).alias(
+            "n_punct"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
+        F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))).alias(
+            "fp"
+        ),
+    )
+    qscore = (
+        F.when(F.col("n_tokens").between(10, 100000), 1).otherwise(0)
+        + F.when(F.col("n_punct").cast("double") / F.col("n_chars") < 0.1, 1).otherwise(0)
+        + F.when(F.col("n_digit").cast("double") / F.col("n_chars") < 0.2, 1).otherwise(0)
+        + F.when(F.col("n_unique").cast("double") / F.col("n_tokens") > 0.3, 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 100, 1).otherwise(0)
+    )
+    flags_q = sig.select(
+        "doc_id",
+        "n_chars",
+        "fp",
+        (
+            (qscore >= _MIN_QUALITY)
+            & ~((en == 0) & (de == 0) & (fr == 0) & (es == 0))
+        ).alias("q"),
+    )
+    sh = (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"explode({_SHINGLES_FROM_TOKS}) AS shingle")
+    )
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), "shingle")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_contam", F.lit(True))
+    )
+    w = Window.partitionBy("fp")
+    flags = (
+        flags_q.join(contam, "doc_id", "left")
+        .withColumn(
+            "d",
+            F.col("q")
+            & (
+                F.col("doc_id")
+                == F.min(F.when(F.col("q"), F.col("doc_id"))).over(w)
+            ),
+        )
+        .withColumn("k", F.col("d") & F.col("is_contam").isNull())
+    )
+    tot = flags.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum("n_chars").alias("c0"),
+        F.expr("CAST(COUNT(IF(q, 1, NULL)) AS BIGINT)").alias("n1"),
+        F.expr("CAST(COALESCE(SUM(IF(q, n_chars, NULL)), 0) AS BIGINT)").alias("c1"),
+        F.expr("CAST(COUNT(IF(d, 1, NULL)) AS BIGINT)").alias("n2"),
+        F.expr("CAST(COALESCE(SUM(IF(d, n_chars, NULL)), 0) AS BIGINT)").alias("c2"),
+        F.expr("CAST(COUNT(IF(k, 1, NULL)) AS BIGINT)").alias("n3"),
+        F.expr("CAST(COALESCE(SUM(IF(k, n_chars, NULL)), 0) AS BIGINT)").alias("c3"),
+    )
+    return tot.selectExpr(
+        """stack(4,
+          CAST(0 AS BIGINT), 'raw', n0, c0,
+            CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+          CAST(1 AS BIGINT), 'quality_gate', n1, c1, n0 - n1,
+            ((n0 - n1) * 1000000) DIV n0,
+          CAST(2 AS BIGINT), 'exact_dedup', n2, c2, n1 - n2,
+            CASE WHEN n1 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE ((n1 - n2) * 1000000) DIV n1 END,
+          CAST(3 AS BIGINT), 'decontam', n3, c3, n2 - n3,
+            CASE WHEN n2 = 0 THEN CAST(NULL AS BIGINT)
+              ELSE ((n2 - n3) * 1000000) DIV n2 END
+        ) AS (stage, stage_name, n_docs, total_chars, n_dropped, drop_ppm)"""
     )

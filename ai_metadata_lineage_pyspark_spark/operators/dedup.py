@@ -1494,3 +1494,195 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("kept_source"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# minhash_band_sweep — the LSH operating-point sweep every MinHash
+# deployment runs before fixing (bands, rows): with 8 signatures, the four
+# band shapes b8r1 / b4r2 / b2r4 / b1r8 trade recall (many short bands
+# fire on weak similarity) against precision (few long bands fire only on
+# strong similarity), tracing the classic S-curve P[candidate] =
+# 1-(1-j^r)^b. Every candidate set is exactly verified, so the sweep
+# reports measured precision/recall, not the formula. Recall's denominator
+# is the b8r1 verified set: a pair agreeing on any r-row band necessarily
+# agrees on each of its single-sig bands, so b8r1's candidates are a
+# superset of every other config's.
+# ---------------------------------------------------------------------------
+
+_SWEEP_CONFIGS = ((8, 1), (4, 2), (2, 4), (1, 8))
+
+
+def _sweep_struct_array_spark() -> str:
+    entries = []
+    for b, r in _SWEEP_CONFIGS:
+        cfg = f"b{b}r{r}"
+        for j in range(b):
+            key = ", ".join(f"CAST(sigs[{j * r + i}] AS STRING)" for i in range(r))
+            entries.append(
+                f"struct('{cfg}' AS cfg, {j} AS band, concat_ws('|', {key}) AS band_key)"
+            )
+    return "array(" + ", ".join(entries) + ")"
+
+
+def _sweep_bands_sql() -> str:
+    selects = []
+    for b, r in _SWEEP_CONFIGS:
+        cfg = f"b{b}r{r}"
+        for j in range(b):
+            key = " || '|' || ".join(
+                f"CAST(sig_{j * r + i} AS VARCHAR)" for i in range(r)
+            )
+            selects.append(
+                f"SELECT doc_id, '{cfg}' AS cfg, {j} AS band, {key} AS band_key FROM sigs"
+            )
+    return "\n      UNION ALL ".join(selects)
+
+
+def _sweep_case(field_idx: int) -> str:
+    whens = " ".join(
+        f"WHEN 'b{b}r{r}' THEN {(b, r)[field_idx]}" for b, r in _SWEEP_CONFIGS
+    )
+    return f"CASE cfg {whens} END"
+
+
+@register(
+    "minhash_band_sweep",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    hp AS (
+      SELECT doc_id, shingles, {_HASH_PAIRS_SQL} AS hp FROM sh
+    ),
+    sigs AS (
+      SELECT doc_id, shingles,
+        {_sig_exprs_sql()}
+      FROM hp
+    ),
+    bands_all AS (
+      {_sweep_bands_sql()}
+    ),
+    cand AS (
+      SELECT DISTINCT a.cfg, a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_all a
+      JOIN bands_all b
+        ON a.cfg = b.cfg AND a.band = b.band AND a.band_key = b.band_key
+      WHERE a.doc_id < b.doc_id
+    ),
+    scored AS (
+      SELECT c.cfg,
+        len(list_intersect(sa.shingles, sb.shingles)) AS i,
+        len(sa.shingles) + len(sb.shingles) AS ab
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+    ),
+    per_cfg AS (
+      SELECT cfg,
+        CAST(COUNT(*) AS BIGINT) AS n_candidates,
+        CAST(COUNT(*) FILTER (
+          WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
+        ) AS BIGINT) AS n_verified
+      FROM scored GROUP BY cfg
+    )
+    SELECT p.cfg,
+      CAST({_sweep_case(0).replace('cfg', 'p.cfg')} AS BIGINT) AS n_bands,
+      CAST({_sweep_case(1).replace('cfg', 'p.cfg')} AS BIGINT) AS n_rows,
+      p.n_candidates, p.n_verified,
+      t.n_true,
+      CASE WHEN p.n_candidates = 0 THEN CAST(NULL AS BIGINT)
+        ELSE (p.n_verified * 1000000) // p.n_candidates END AS precision_ppm,
+      CASE WHEN t.n_true = 0 THEN CAST(NULL AS BIGINT)
+        ELSE (p.n_verified * 1000000) // t.n_true END AS recall_ppm
+    FROM per_cfg p
+    CROSS JOIN (
+      SELECT n_verified AS n_true FROM per_cfg WHERE cfg = 'b8r1'
+    ) t
+    """,
+)
+def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured precision/recall of four LSH band shapes over 8 signatures.
+
+    Plan: ONE shingling + signature pass (scoped-persisted, the expensive
+    md5 loop runs once); all 15 (config, band) keys leave that pass as a
+    single in-row explode, so candidate generation for the whole sweep is
+    ONE band-keyed groupBy shuffle (sorted-bucket clique emission, the
+    minhash_lsh_pairs shape) keyed by (cfg, band, band_key) — the sweep
+    costs one pair pipeline, not four. Verification joins each config's
+    candidates back to the persisted shingles; the 4-row summary then
+    broadcasts the b8r1 truth row. At 100 TB the oversized-bucket story is
+    lsh_pairs_capped's star topology, applied per config; the b1r8 end
+    needs no cap (8-sig agreement ~ exact dup), the b8r1 end inherits the
+    single-sig collision skew the capped generator documents.
+
+    Integer-exact throughout: counts and floor-ppm ratios; the only double
+    is the verification Jaccard, the same int/int division the pairs
+    family hashes.
+    """
+    release_persisted()  # drop any prior invocation's cached intermediates
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    sh = scoped_persist(
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
+    )
+    sigs_expr = (
+        f"transform(sequence(0, {_N_SIGS - 1}),"
+        " j -> array_min(transform(hp, h -> h[0] + j * h[1])))"
+    )
+    bands = (
+        sh.selectExpr("doc_id", f"{_HASH_PAIRS_SPARK} AS hp")
+        .selectExpr("doc_id", f"{sigs_expr} AS sigs")
+        .selectExpr("doc_id", f"explode({_sweep_struct_array_spark()}) AS bnd")
+        .select("doc_id", "bnd.cfg", "bnd.band", "bnd.band_key")
+    )
+    buckets = (
+        bands.groupBy("cfg", "band", "band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    cand = (
+        buckets.selectExpr(
+            "cfg",
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p",
+        )
+        .select("cfg", "p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    scored = (
+        cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sh.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "cfg",
+            F.size(
+                F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+            ).alias("i"),
+            (F.size("sa.shingles") + F.size("sb.shingles")).alias("ab"),
+        )
+    )
+    per_cfg = scored.groupBy("cfg").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.expr(
+            f"CAST(COUNT(IF(CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T},"
+            " 1, NULL)) AS BIGINT)"
+        ).alias("n_verified"),
+    )
+    true_row = per_cfg.filter(F.col("cfg") == "b8r1").select(
+        F.col("n_verified").alias("n_true")
+    )
+    return per_cfg.crossJoin(F.broadcast(true_row)).selectExpr(
+        "cfg",
+        f"CAST({_sweep_case(0)} AS BIGINT) AS n_bands",
+        f"CAST({_sweep_case(1)} AS BIGINT) AS n_rows",
+        "n_candidates",
+        "n_verified",
+        "n_true",
+        "CASE WHEN n_candidates = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE (n_verified * 1000000) DIV n_candidates END AS precision_ppm",
+        "CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT)"
+        " ELSE (n_verified * 1000000) DIV n_true END AS recall_ppm",
+    )

@@ -406,3 +406,78 @@ def arrow_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, schema="doc_id long, n_tokens long, n_chars_exact long"
     )
+
+
+# ---------------------------------------------------------------------------
+# token_simpson_diversity — lexical diversity per document via the Simpson/
+# Herfindahl index over token frequencies: repeat_prob = sum_t k_t^2 / n^2
+# is the probability two uniformly drawn tokens are the same type;
+# diversity = 1 - repeat_prob. The integer-exact cousin of Shannon entropy
+# (no log() to drift across engines) and a standard repetitiveness signal
+# alongside text_repetition_stats' distinct-ratio columns.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "token_simpson_diversity",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS toks
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id,
+        CAST(len(toks) AS BIGINT) AS n_tokens,
+        CAST(len(list_distinct(toks)) AS BIGINT) AS n_types,
+        CAST(list_aggregate(
+          list_transform(list_distinct(toks),
+                         x -> len(list_filter(toks, y -> y = x))
+                              * len(list_filter(toks, y -> y = x))),
+          'sum') AS BIGINT) AS sum_k2
+      FROM t
+    )
+    SELECT doc_id, n_tokens, n_types, sum_k2,
+      CAST(sum_k2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        AS repeat_prob,
+      CAST(1 AS DOUBLE) - CAST(sum_k2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))
+        AS simpson_diversity
+    FROM k
+    """,
+)
+def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Simpson lexical-diversity index, computed entirely IN-ROW.
+
+    Plan: zero shuffles — the type-frequency fold runs inside one
+    projection over the scan (distinct types x tokens per row, bounded by
+    document length), so the operator is embarrassingly parallel at any
+    scale; contrast lm_bigram_doc_score, whose signal needs corpus-global
+    shuffles. The per-row cost is O(types * tokens); for pathological
+    single-doc lengths the swap is the explode + groupBy(doc_id, token)
+    two-shuffle shape, same output.
+
+    Determinism: counts are exact integers; the two double divisions are
+    single IEEE expressions over those integers, bit-identical across
+    engines (registry float rule).
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    return (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(toks) AS BIGINT) AS n_tokens",
+            "CAST(size(array_distinct(toks)) AS BIGINT) AS n_types",
+            "CAST(aggregate(transform(array_distinct(toks),"
+            " x -> size(filter(toks, y -> y = x)) * size(filter(toks, y -> y = x))),"
+            " 0, (acc, v) -> acc + v) AS BIGINT) AS sum_k2",
+        )
+        .selectExpr(
+            "doc_id",
+            "n_tokens",
+            "n_types",
+            "sum_k2",
+            "CAST(sum_k2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+            " AS repeat_prob",
+            "CAST(1 AS DOUBLE) - CAST(sum_k2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE) * CAST(n_tokens AS DOUBLE))"
+            " AS simpson_diversity",
+        )
+    )

@@ -382,3 +382,57 @@ def test_lm_quality_buckets_balanced_and_ordered(spark, sf_dir):
             assert rows[(lang, "head")].lo >= rows[(lang, "tail")].hi
     finally:
         df.unpersist()
+
+
+def test_token_simpson_diversity_tiny(spark, tmp_path):
+    rows = [(1, "a a b", 5), (2, "x y z", 5)]
+    spark.createDataFrame(rows, ["doc_id", "text", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.text import token_simpson_diversity
+
+    out = {r.doc_id: r for r in token_simpson_diversity(spark, str(tmp_path)).collect()}
+    d1 = out[1]
+    assert (d1.n_tokens, d1.n_types, d1.sum_k2) == (3, 2, 5)
+    assert d1.repeat_prob == pytest.approx(5 / 9)
+    assert d1.simpson_diversity == pytest.approx(1 - 5 / 9)
+    d2 = out[2]
+    assert d2.repeat_prob == pytest.approx(1 / 3)  # all distinct: 3/9
+
+
+def test_minhash_band_sweep_scurve_monotonicity(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import minhash_band_sweep
+
+    rows = {r.cfg: r for r in minhash_band_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {"b8r1", "b4r2", "b2r4", "b1r8"}
+    # candidate sets are nested along the halving chain, so counts are
+    # monotone; recall is measured against b8r1's verified set
+    assert (
+        rows["b8r1"].n_candidates
+        >= rows["b4r2"].n_candidates
+        >= rows["b2r4"].n_candidates
+        >= rows["b1r8"].n_candidates
+    )
+    assert rows["b8r1"].recall_ppm == 1_000_000
+    for r in rows.values():
+        assert r.n_verified <= r.n_candidates
+        assert r.n_true == rows["b8r1"].n_verified
+
+
+def test_curation_funnel_report_is_monotone_and_consistent(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.curation import (
+        curation_funnel_report,
+    )
+
+    rows = sorted(curation_funnel_report(spark, sf_dir).collect(), key=lambda r: r.stage)
+    assert [r.stage_name for r in rows] == [
+        "raw",
+        "quality_gate",
+        "exact_dedup",
+        "decontam",
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_docs <= prev.n_docs
+        assert cur.n_dropped == prev.n_docs - cur.n_docs
+        assert cur.drop_ppm == (cur.n_dropped * 1_000_000) // prev.n_docs
+    assert rows[0].n_dropped is None and rows[0].drop_ppm is None
