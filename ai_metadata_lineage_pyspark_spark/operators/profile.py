@@ -196,3 +196,163 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / COUNT(*)"
         ).alias("var_micro2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_quantile_normalize — rank-based per-dimension normalization
+# (the quantile transform): each value is replaced by its midpoint-rank
+# quantile within its dimension, making every dimension uniformly
+# distributed — the robust preprocessing step before distance-based
+# indexing when dimensions have wildly different scales. Integer-exact:
+# ranks over micro-unit values with vec_id tie-breaks, quantiles as
+# floor-ppm of (2*rank - 1) / (2*n).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_quantile_normalize",
+    oracle="""
+    WITH u AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+        unnest(embedding) AS v
+      FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_micro
+      FROM u
+    ),
+    r AS (
+      SELECT vec_id, dim, v_micro,
+        CAST(row_number() OVER (
+          PARTITION BY dim ORDER BY v_micro ASC, vec_id ASC
+        ) AS BIGINT) AS rnk,
+        CAST(COUNT(*) OVER (PARTITION BY dim) AS BIGINT) AS n
+      FROM m
+    )
+    SELECT vec_id, dim, v_micro, rnk,
+      ((2 * rnk - 1) * 1000000) // (2 * n) AS quantile_ppm
+    FROM r
+    """,
+)
+def embedding_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile (rank) normalization of every embedding dimension.
+
+    Plan: posexplode -> ONE dim-partitioned window serving both the
+    row_number and the partition count (same sort, one exchange). With 64
+    dimensions the shuffle has 64 keys — at 100 TB each dimension's
+    partition is corpus-sized, so the production variant range-partitions
+    WITHIN dimension ((dim, value-range) composite keys from an
+    approx-quantile pre-pass, then offsets per range by the preceding
+    ranges' counts — the classic distributed-sort rank); the output
+    contract is unchanged. Ranks are total-ordered (v_micro, vec_id), so
+    the quantile assignment is engine-exact; ppm is integer floor-div.
+    """
+    u = load(spark, sf_dir, "embeddings").select(
+        "vec_id", F.posexplode("embedding").alias("pos", "v")
+    )
+    m = u.selectExpr(
+        "vec_id",
+        "CAST(pos + 1 AS BIGINT) AS dim",
+        "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS v_micro",
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wd = Window.partitionBy("dim")
+    w = wd.orderBy(F.asc("v_micro"), F.asc("vec_id"))
+    return (
+        m.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .withColumn("n", F.count(F.lit(1)).over(wd).cast("bigint"))
+        .selectExpr(
+            "vec_id",
+            "dim",
+            "v_micro",
+            "rnk",
+            "((2 * rnk - 1) * 1000000) DIV (2 * n) AS quantile_ppm",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding_norm_outliers — per-vector L2 norm (micro-units) flagged
+# against the corpus norm distribution: vectors whose norm sits more than
+# 2 sigma from the mean are suspect (truncated inputs, encoder version
+# drift, zero vectors) and every vector pipeline quarantines them before
+# indexing. The in-row sum of squares is over exact micro-unit integers
+# (order-free), the global mean/sigma over exact integer sums, so the flag
+# is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    oracle="""
+    WITH n AS (
+      SELECT vec_id,
+        CAST(floor(sqrt(CAST(list_aggregate(
+          list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)
+                 * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),
+          'sum') AS DOUBLE))) AS BIGINT) AS norm_micro
+      FROM embeddings
+    ),
+    s AS (
+      SELECT
+        CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(norm_micro) AS BIGINT) AS sum_norm,
+        CAST(SUM(norm_micro * norm_micro) AS BIGINT) AS sum_norm2
+      FROM n
+    )
+    SELECT n.vec_id, n.norm_micro,
+      CAST(s.sum_norm AS DOUBLE) / s.n_vecs AS mean_norm_micro,
+      sqrt((CAST(s.sum_norm2 AS DOUBLE)
+        - CAST(s.sum_norm AS DOUBLE) * CAST(s.sum_norm AS DOUBLE) / s.n_vecs)
+        / s.n_vecs) AS sd_norm_micro,
+      abs(CAST(n.norm_micro AS DOUBLE) - CAST(s.sum_norm AS DOUBLE) / s.n_vecs)
+        > CAST(2 AS DOUBLE) * sqrt((CAST(s.sum_norm2 AS DOUBLE)
+          - CAST(s.sum_norm AS DOUBLE) * CAST(s.sum_norm AS DOUBLE) / s.n_vecs)
+          / s.n_vecs) AS is_outlier
+    FROM n CROSS JOIN s
+    """,
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm + 2-sigma outlier flag against the corpus.
+
+    Plan: the norm is a zero-shuffle in-row fold (exact integers, so fold
+    order is irrelevant); the corpus stats are ONE map-side-combined
+    aggregate producing a single row that broadcast-joins back onto the
+    vector stream — two scans of a columnar single-column projection, no
+    big shuffle anywhere. At 100 TB the stats row is still one row; the
+    only growing cost is the scans. BIGINT headroom: sum of norm_micro^2
+    is ~6.4e13 per vector — the DECIMAL(38,0) accumulator swap applies
+    past ~1e5 vectors per partition group (documented in
+    embedding_dim_stats).
+    """
+    n = load(spark, sf_dir, "embeddings").selectExpr(
+        "vec_id",
+        "CAST(floor(sqrt(CAST(aggregate("
+        " transform(embedding,"
+        "  x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)"
+        "       * CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)),"
+        " CAST(0 AS BIGINT), (acc, y) -> acc + y) AS DOUBLE))) AS BIGINT)"
+        " AS norm_micro",
+    )
+    s = n.agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("norm_micro").alias("sum_norm"),
+        F.expr("CAST(SUM(norm_micro * norm_micro) AS BIGINT)").alias("sum_norm2"),
+    )
+    mean = "CAST(sum_norm AS DOUBLE) / n_vecs"
+    sd = (
+        "sqrt((CAST(sum_norm2 AS DOUBLE)"
+        " - CAST(sum_norm AS DOUBLE) * CAST(sum_norm AS DOUBLE) / n_vecs)"
+        " / n_vecs)"
+    )
+    return n.crossJoin(F.broadcast(s)).selectExpr(
+        "vec_id",
+        "norm_micro",
+        f"{mean} AS mean_norm_micro",
+        f"{sd} AS sd_norm_micro",
+        f"abs(CAST(norm_micro AS DOUBLE) - {mean})"
+        f" > CAST(2 AS DOUBLE) * {sd} AS is_outlier",
+    )

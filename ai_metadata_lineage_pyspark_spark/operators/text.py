@@ -481,3 +481,82 @@ def token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS simpson_diversity",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# langid_confusion_matrix — the evaluation rollup of the heuristic
+# language classifier against the labeled `lang` column: one row per
+# (actual, predicted) cell with both marginals and the conditional rates
+# (diagonal cells read as per-class recall/precision). The audit every
+# langid deployment publishes before its output is trusted as a routing
+# key for language-specific pipelines.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "langid_confusion_matrix",
+    oracle=f"""
+    WITH hits AS (
+      SELECT doc_id, lang AS lang_actual,
+        {_hits_sql(_LANG_STOPWORDS['en'])} AS en_hits,
+        {_hits_sql(_LANG_STOPWORDS['de'])} AS de_hits,
+        {_hits_sql(_LANG_STOPWORDS['fr'])} AS fr_hits,
+        {_hits_sql(_LANG_STOPWORDS['es'])} AS es_hits
+      FROM documents
+    ),
+    pred AS (
+      SELECT doc_id, lang_actual,
+        CASE
+          WHEN en_hits = 0 AND de_hits = 0 AND fr_hits = 0 AND es_hits = 0 THEN 'und'
+          WHEN en_hits >= de_hits AND en_hits >= fr_hits AND en_hits >= es_hits THEN 'en'
+          WHEN de_hits >= fr_hits AND de_hits >= es_hits THEN 'de'
+          WHEN fr_hits >= es_hits THEN 'fr'
+          ELSE 'es'
+        END AS lang_pred
+      FROM hits
+    ),
+    cells AS (
+      SELECT lang_actual, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pred GROUP BY lang_actual, lang_pred
+    )
+    SELECT lang_actual, lang_pred, n,
+      CAST(SUM(n) OVER (PARTITION BY lang_actual) AS BIGINT) AS n_actual_total,
+      CAST(SUM(n) OVER (PARTITION BY lang_pred) AS BIGINT) AS n_pred_total,
+      (n * 1000000) // SUM(n) OVER (PARTITION BY lang_actual) AS recall_ppm,
+      (n * 1000000) // SUM(n) OVER (PARTITION BY lang_pred) AS precision_ppm
+    FROM cells
+    """,
+)
+def langid_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion cells + marginals + conditional rates for text_langid.
+
+    Plan: the per-doc classifier projection (one scan, in-row stopword
+    folds) collapses straight into a (actual, pred) groupBy — at most
+    |langs|^2 pre-combined rows leave the map side; the two marginal sums
+    then run as windows over that tiny cell table (negligible at any
+    corpus size). Rates are integer floor-ppm; totals are positive by
+    construction (every cell row implies its marginals >= n), so no
+    divide-by-zero guard is needed.
+    """
+    cells = (
+        text_langid(spark, sf_dir)
+        .groupBy("lang_actual", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    wa = Window.partitionBy("lang_actual")
+    wp = Window.partitionBy("lang_pred")
+    return (
+        cells.withColumn("n_actual_total", F.sum("n").over(wa).cast("bigint"))
+        .withColumn("n_pred_total", F.sum("n").over(wp).cast("bigint"))
+        .selectExpr(
+            "lang_actual",
+            "lang_pred",
+            "n",
+            "n_actual_total",
+            "n_pred_total",
+            "(n * 1000000) DIV n_actual_total AS recall_ppm",
+            "(n * 1000000) DIV n_pred_total AS precision_ppm",
+        )
+    )

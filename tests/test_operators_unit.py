@@ -436,3 +436,50 @@ def test_curation_funnel_report_is_monotone_and_consistent(spark, sf_dir):
         assert cur.n_dropped == prev.n_docs - cur.n_docs
         assert cur.drop_ppm == (cur.n_dropped * 1_000_000) // prev.n_docs
     assert rows[0].n_dropped is None and rows[0].drop_ppm is None
+
+
+def test_embedding_quantile_normalize_ranks(spark, tmp_path):
+    rows = [(1, [0.3], 0), (2, [0.1], 0), (3, [0.2], 0)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from ai_metadata_lineage_pyspark_spark.operators.profile import (
+        embedding_quantile_normalize,
+    )
+
+    out = {r.vec_id: r for r in embedding_quantile_normalize(spark, str(tmp_path)).collect()}
+    assert [out[v].rnk for v in (2, 3, 1)] == [1, 2, 3]  # sorted by value
+    # midpoint quantiles of n=3: 1/6, 3/6, 5/6
+    assert [out[v].quantile_ppm for v in (2, 3, 1)] == [166666, 500000, 833333]
+
+
+def test_embedding_norm_outliers_flags_extreme_vector(spark, tmp_path):
+    rows = [(i, [1.0, 0.0], 0) for i in range(10)] + [(99, [100.0, 0.0], 0)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from ai_metadata_lineage_pyspark_spark.operators.profile import (
+        embedding_norm_outliers,
+    )
+
+    out = {r.vec_id: r for r in embedding_norm_outliers(spark, str(tmp_path)).collect()}
+    assert out[99].is_outlier and out[99].norm_micro == 100_000_000
+    assert not out[0].is_outlier and out[0].norm_micro == 1_000_000
+
+
+def test_langid_confusion_matrix_marginals(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.text import langid_confusion_matrix
+
+    rows = langid_confusion_matrix(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == 500
+    for r in rows:
+        assert r.n <= r.n_actual_total and r.n <= r.n_pred_total
+        assert r.recall_ppm <= 1_000_000 and r.precision_ppm <= 1_000_000
+    # marginal re-aggregation consistency
+    from collections import defaultdict
+
+    actual = defaultdict(int)
+    for r in rows:
+        actual[r.lang_actual] += r.n
+    for r in rows:
+        assert actual[r.lang_actual] == r.n_actual_total
