@@ -371,10 +371,11 @@ _SIMHASH_SUMS = (
 )
 
 
-@register(
-    "simhash",
-    oracle="""
-    WITH tok AS (
+# CTE chain ending in `ints` (doc_id, simhash_int) — shared by the simhash
+# oracle and the simhash_hamming_pairs oracle so candidate generation and
+# verification run over EXACTLY the rendered fingerprints.
+_SIMHASH_INT_CTES = """
+    tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
       FROM documents
     ),
@@ -389,7 +390,14 @@ _SIMHASH_SUMS = (
     ints AS (
       SELECT doc_id, SUM(CAST(b AS BIGINT) << (31 - bit_index)) AS simhash_int
       FROM bitvals GROUP BY doc_id
-    ),
+    )
+"""
+
+
+@register(
+    "simhash",
+    oracle=f"""
+    WITH {_SIMHASH_INT_CTES},
     digits AS (
       SELECT doc_id, bit_index // 4 AS j, SUM(b * (1 << (3 - bit_index % 4))) AS d
       FROM bitvals GROUP BY doc_id, bit_index // 4
@@ -1685,4 +1693,91 @@ def minhash_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         " ELSE (n_verified * 1000000) DIV n_candidates END AS precision_ppm",
         "CASE WHEN n_true = 0 THEN CAST(NULL AS BIGINT)"
         " ELSE (n_verified * 1000000) DIV n_true END AS recall_ppm",
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs — Manku et al. (WWW'07) near-dup detection over the
+# 32-bit SimHash: split each fingerprint into 4 byte blocks; any pair
+# within Hamming distance <= 3 differs in at most 3 blocks, so it MUST
+# agree exactly on at least one block at the same position — candidates
+# are pairs sharing a (position, block byte), verification is exact
+# bit_count(xor). The pigeonhole guarantee makes the candidate set a
+# provable superset of every qualifying pair (no recall loss, unlike
+# probabilistic LSH banding).
+# ---------------------------------------------------------------------------
+
+_HAM_T = 3  # max Hamming distance (<= 4 blocks - 1 by pigeonhole)
+
+
+@register(
+    "simhash_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH_INT_CTES},
+    blocks AS (
+      SELECT doc_id, j.j AS blk,
+        (simhash_int >> (8 * j.j)) & 255 AS blk_val
+      FROM ints, range(4) j(j)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.blk_val = b.blk_val
+      WHERE a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(ia.simhash_int, ib.simhash_int)) AS BIGINT)
+          AS hamming_distance
+      FROM cand c
+      JOIN ints ia ON ia.doc_id = c.doc_a
+      JOIN ints ib ON ib.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming_distance
+    FROM verified
+    WHERE hamming_distance <= {_HAM_T}
+    """,
+)
+def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: byte-block candidates + exact Hamming verify.
+
+    Plan: the fingerprint projection (zero-shuffle in-row fold, see
+    simhash) explodes to 4 (position, byte) keys per doc; candidate
+    generation is the family's ONE band-keyed groupBy with sorted-bucket
+    clique emission, verification a doc-keyed join back to the
+    fingerprints and a bit_count(xor) filter. At 100 TB the 8-bit block
+    alphabet (256 values per position) makes bucket skew the dominant
+    concern — real deployments use 64-bit fingerprints split into 6-7
+    blocks (~10-bit alphabets) plus the lsh_pairs_capped star topology for
+    hot blocks; the plan shape is unchanged, only the block arithmetic
+    widens. Integer-exact end to end.
+    """
+    fp = simhash(spark, sf_dir).select("doc_id", "simhash_int")
+    blocks = fp.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, 3),"
+        " j -> struct(j AS blk, shiftright(simhash_int, 8 * j) & 255 AS blk_val)))"
+        " AS b",
+    ).select("doc_id", "b.blk", "b.blk_val")
+    cand = (
+        blocks.groupBy("blk", "blk_val")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
+    )
+    return (
+        cand.join(fp.selectExpr("doc_id AS doc_a", "simhash_int AS ha"), "doc_a")
+        .join(fp.selectExpr("doc_id AS doc_b", "simhash_int AS hb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming_distance",
+        )
+        .filter(F.col("hamming_distance") <= _HAM_T)
     )
