@@ -276,3 +276,142 @@ def _bloom_decontam(spark: SparkSession, sf_dir: str, m: int) -> DataFrame:
             (F.col("n_bloom_hits") - F.col("n_exact_hits")).alias("n_false_positives"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# decontam_ngram_sweep — contamination rate as a function of shingle
+# length: the calibration sweep behind every decontamination threshold
+# choice (GPT-3's appendix picked 13-gram exact overlap after exactly this
+# curve; short n-grams flag everything, long n-grams flag nothing). One
+# row per n in {2, 3, 5}: how many train docs share at least one n-token
+# shingle with the eval slice, against the population of train docs long
+# enough to carry such a shingle.
+# ---------------------------------------------------------------------------
+
+_SWEEP_NS = (2, 3, 5)
+
+
+def _sweep_shingle_sql(n: int) -> str:
+    gram = " || ' ' || ".join(f"t[i + {k + 1}]" for k in range(n))
+    return (
+        f"SELECT doc_id, {n} AS ngram_n,"
+        f" unnest(list_distinct(list_transform(range(len(t) - {n - 1}),"
+        f" i -> {gram}))) AS shingle"
+        f" FROM toks WHERE len(t) >= {n}"
+    )
+
+
+def _sweep_shingle_spark(n: int) -> str:
+    return (
+        f"explode(array_distinct(transform(sequence(0, size(t) - {n}),"
+        f" i -> concat_ws(' ', slice(t, i + 1, {n}))))) AS shingle"
+    )
+
+
+@register(
+    "decontam_ngram_sweep",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    sh AS (
+      {" UNION ALL ".join(_sweep_shingle_sql(n) for n in _SWEEP_NS)}
+    ),
+    eval_sh AS (
+      SELECT DISTINCT ngram_n, shingle FROM sh WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    contam AS (
+      SELECT t.ngram_n, t.doc_id
+      FROM sh t JOIN eval_sh e
+        ON t.ngram_n = e.ngram_n AND t.shingle = e.shingle
+      WHERE t.doc_id % {_EVAL_MOD} <> 0
+      GROUP BY t.ngram_n, t.doc_id
+    ),
+    pop AS (
+      SELECT n.n AS ngram_n,
+        CAST(COUNT(*) FILTER (WHERE doc_id % {_EVAL_MOD} <> 0) AS BIGINT)
+          AS n_train_docs,
+        CAST(COUNT(*) FILTER (WHERE doc_id % {_EVAL_MOD} = 0) AS BIGINT)
+          AS n_eval_docs
+      FROM toks CROSS JOIN (SELECT unnest([{", ".join(map(str, _SWEEP_NS))}]) AS n) n
+      WHERE len(t) >= n.n
+      GROUP BY n.n
+    ),
+    ev AS (
+      SELECT ngram_n, CAST(COUNT(*) AS BIGINT) AS n_eval_shingles
+      FROM eval_sh GROUP BY ngram_n
+    ),
+    ct AS (
+      SELECT ngram_n, CAST(COUNT(*) AS BIGINT) AS n_contaminated
+      FROM contam GROUP BY ngram_n
+    )
+    SELECT CAST(p.ngram_n AS BIGINT) AS ngram_n,
+      p.n_train_docs, p.n_eval_docs,
+      COALESCE(e.n_eval_shingles, 0) AS n_eval_shingles,
+      COALESCE(c.n_contaminated, 0) AS n_contaminated,
+      (COALESCE(c.n_contaminated, 0) * 1000000) // p.n_train_docs AS contam_ppm
+    FROM pop p
+    LEFT JOIN ev e ON p.ngram_n = e.ngram_n
+    LEFT JOIN ct c ON p.ngram_n = c.ngram_n
+    """,
+)
+def decontam_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-rate curve over shingle lengths 2/3/5.
+
+    Plan: ONE tokenization pass feeds three unioned distinct-shingle
+    streams tagged with their n (Catalyst runs them as one scan per
+    branch over cached file listings; the distinct is in-row, so no
+    pre-join shuffle); the eval side stays benchmark-sized at every n and
+    broadcasts, so the train side is never shuffled — the
+    benchmark_decontam scale argument, swept. Census joins are over a
+    3-row dimension. Integer-exact throughout.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    toks = docs.selectExpr("doc_id", f"{_TOKENS} AS t")
+    sh = None
+    for n in _SWEEP_NS:
+        s = toks.filter(F.expr(f"size(t) >= {n}")).selectExpr(
+            "doc_id", f"{n} AS ngram_n", _sweep_shingle_spark(n)
+        )
+        sh = s if sh is None else sh.unionAll(s)
+    eval_sh = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .select("ngram_n", "shingle")
+        .distinct()
+    )
+    contam = (
+        sh.filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .join(F.broadcast(eval_sh), ["ngram_n", "shingle"])
+        .select("ngram_n", "doc_id")
+        .distinct()
+    )
+    ns = ", ".join(map(str, _SWEEP_NS))
+    pop = (
+        toks.selectExpr("doc_id", "size(t) AS sz")
+        .selectExpr("doc_id", "sz", f"explode(array({ns})) AS ngram_n")
+        .filter("sz >= ngram_n")
+        .groupBy("ngram_n")
+        .agg(
+            F.expr(f"CAST(COUNT(IF(doc_id % {_EVAL_MOD} <> 0, 1, NULL)) AS BIGINT)").alias(
+                "n_train_docs"
+            ),
+            F.expr(f"CAST(COUNT(IF(doc_id % {_EVAL_MOD} = 0, 1, NULL)) AS BIGINT)").alias(
+                "n_eval_docs"
+            ),
+        )
+    )
+    ev = eval_sh.groupBy("ngram_n").agg(F.count(F.lit(1)).alias("n_eval_shingles"))
+    ct = contam.groupBy("ngram_n").agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        pop.join(ev, "ngram_n", "left")
+        .join(ct, "ngram_n", "left")
+        .selectExpr(
+            "CAST(ngram_n AS BIGINT) AS ngram_n",
+            "n_train_docs",
+            "n_eval_docs",
+            "COALESCE(n_eval_shingles, CAST(0 AS BIGINT)) AS n_eval_shingles",
+            "COALESCE(n_contaminated, CAST(0 AS BIGINT)) AS n_contaminated",
+            "(COALESCE(n_contaminated, CAST(0 AS BIGINT)) * 1000000) DIV n_train_docs"
+            " AS contam_ppm",
+        )
+    )

@@ -483,3 +483,39 @@ def test_langid_confusion_matrix_marginals(spark, sf_dir):
         actual[r.lang_actual] += r.n
     for r in rows:
         assert actual[r.lang_actual] == r.n_actual_total
+
+
+def test_simhash_hamming_pairs_identical_docs(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 30),
+        (2, "alpha beta gamma delta epsilon", 30),  # identical -> distance 0
+        (3, "zq wx kv jm plo ytr bnc", 23),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import simhash_hamming_pairs
+
+    pairs = {(r.doc_a, r.doc_b): r.hamming_distance for r in simhash_hamming_pairs(
+        spark, str(tmp_path)
+    ).collect()}
+    assert pairs[(1, 2)] == 0
+    assert all(d <= 3 for d in pairs.values())
+    assert all(a < b for a, b in pairs)
+
+
+def test_decontam_ngram_sweep_monotone_in_n(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.decontam import (
+        decontam_ngram_sweep,
+    )
+
+    rows = {r.ngram_n: r for r in decontam_ngram_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {2, 3, 5}
+    # sharing a 5-gram implies sharing its constituent 2/3-grams with the
+    # same eval doc, so contamination is non-increasing in n
+    assert (
+        rows[2].n_contaminated >= rows[3].n_contaminated >= rows[5].n_contaminated
+    )
+    for r in rows.values():
+        assert r.n_contaminated <= r.n_train_docs
+        assert r.contam_ppm == (r.n_contaminated * 1_000_000) // r.n_train_docs
