@@ -356,3 +356,146 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"abs(CAST(norm_micro AS DOUBLE) - {mean})"
         f" > CAST(2 AS DOUBLE) * {sd} AS is_outlier",
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_power_iteration — the top principal direction of the embedding
+# cloud via distributed power iteration: v_{k+1} ∝ Σ_i x_i (x_i · v_k),
+# i.e. repeated application of the Gram matrix WITHOUT materializing it
+# (X^T X is d², but X^T(Xv) is two linear passes). This is the PCA/
+# spectral building block a vector pipeline runs for drift detection and
+# whitening; three fixed iterations demonstrate the convergent structure
+# (the kmeans_iterate / bpe_train_merges recursion-as-CTEs model).
+#
+# Engine-exact fixed-point schedule (no float accumulation anywhere):
+#   x, v in integer micro-units; per-vector dots are exact BIGINT sums;
+#   dots rescale by floor(double/1e9) (explicit floor — Spark DIV and
+#   DuckDB // both truncate, so neither is used on signed values);
+#   per-dim re-projections are exact BIGINT sums; the norm squares in
+#   DECIMAL(38,0) (w² overflows BIGINT) and the only doubles are
+#   single-expression IEEE chains over exact integers, identical in both
+#   engines.
+# ---------------------------------------------------------------------------
+
+_PI_ITERS = 3
+_PI_DOT_SCALE = 1_000_000_000
+_PI_DIMS = 64
+
+
+def _pi_oracle() -> str:
+    ctes = [
+        """x AS (
+      SELECT vec_id, CAST(dim AS BIGINT) AS dim,
+        CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x_micro
+      FROM (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS dim,
+          unnest(embedding) AS v
+        FROM embeddings
+      )
+    )""",
+        f"""v0 AS (
+      SELECT CAST(d AS BIGINT) AS dim, CAST(125000 AS BIGINT) AS v_micro
+      FROM generate_series(1, {_PI_DIMS}) t(d)
+    )""",
+    ]
+    for k in range(1, _PI_ITERS + 1):
+        ctes.append(f"""dots{k} AS (
+      SELECT x.vec_id,
+        CAST(floor(CAST(SUM(x.x_micro * v.v_micro) AS DOUBLE)
+             / {_PI_DOT_SCALE}) AS BIGINT) AS dot_s
+      FROM x JOIN v{k - 1} v ON x.dim = v.dim
+      GROUP BY x.vec_id
+    )""")
+        ctes.append(f"""w{k} AS (
+      SELECT x.dim, CAST(SUM(x.x_micro * d.dot_s) AS BIGINT) AS w
+      FROM x JOIN dots{k} d ON x.vec_id = d.vec_id
+      GROUP BY x.dim
+    )""")
+        ctes.append(f"""n{k} AS (
+      SELECT CAST(floor(sqrt(CAST(SUM(CAST(w AS DECIMAL(38,0))
+             * CAST(w AS DECIMAL(38,0))) AS DOUBLE))) AS BIGINT) AS nrm
+      FROM w{k}
+    )""")
+        ctes.append(f"""v{k} AS (
+      SELECT dim,
+        CAST(floor(CAST(w AS DOUBLE) * 1000000 / CAST(nrm AS DOUBLE))
+          AS BIGINT) AS v_micro
+      FROM w{k} CROSS JOIN n{k}
+    )""")
+    union = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS iteration, dim, v_micro FROM v{k}"
+        for k in range(1, _PI_ITERS + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + union
+
+
+@register("embedding_power_iteration", oracle=_pi_oracle())
+def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three power-iteration steps toward the top principal direction.
+
+    Plan per iteration: dot pass = broadcast the 64-row direction onto the
+    exploded (vec_id, dim, x_micro) stream (scoped-persisted once, reused
+    by all iterations), groupBy(vec_id) with map-side combine; projection
+    pass = vec_id-keyed join to the per-vector dots, groupBy(dim) into 64
+    combined groups; norm = a one-row aggregate broadcast back. At 100 TB
+    each iteration is two linear shuffles (vector-keyed, then dim-keyed,
+    the second pre-combined to 64 x partitions rows) — the Gram matrix
+    never exists, which is the entire point of the X^T(Xv) factoring.
+    Every iteration's direction is persisted to cut the growing lineage
+    (the kmeans_iterate precedent). Zero-norm input (all-zero corpus)
+    would divide by zero; real corpora cannot produce it from the uniform
+    start, and the operator documents rather than masks that edge.
+    """
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
+    release_persisted()  # drop any prior invocation's cached intermediates
+
+    x = scoped_persist(
+        load(spark, sf_dir, "embeddings")
+        .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
+        .selectExpr(
+            "vec_id",
+            "CAST(pos + 1 AS BIGINT) AS dim",
+            "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x_micro",
+        )
+    )
+    v = spark.range(1, _PI_DIMS + 1).selectExpr(
+        "id AS dim", "CAST(125000 AS BIGINT) AS v_micro"
+    )
+    outs = []
+    for k in range(1, _PI_ITERS + 1):
+        dots = (
+            x.join(F.broadcast(v), "dim")
+            .groupBy("vec_id")
+            .agg(F.expr("SUM(x_micro * v_micro)").alias("dot"))
+            .selectExpr(
+                "vec_id",
+                f"CAST(floor(CAST(dot AS DOUBLE) / {_PI_DOT_SCALE}) AS BIGINT)"
+                " AS dot_s",
+            )
+        )
+        w = (
+            x.join(dots, "vec_id")
+            .groupBy("dim")
+            .agg(F.expr("CAST(SUM(x_micro * dot_s) AS BIGINT)").alias("w"))
+        )
+        norm = w.agg(
+            F.expr(
+                "CAST(floor(sqrt(CAST(SUM(CAST(w AS DECIMAL(38,0))"
+                " * CAST(w AS DECIMAL(38,0))) AS DOUBLE))) AS BIGINT)"
+            ).alias("nrm")
+        )
+        v = scoped_persist(
+            w.crossJoin(F.broadcast(norm)).selectExpr(
+                "dim",
+                "CAST(floor(CAST(w AS DOUBLE) * 1000000 / CAST(nrm AS DOUBLE))"
+                " AS BIGINT) AS v_micro",
+            )
+        )
+        outs.append(
+            v.selectExpr(f"CAST({k} AS BIGINT) AS iteration", "dim", "v_micro")
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out

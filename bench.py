@@ -266,6 +266,21 @@ def main() -> None:
         "pq_recall_eval",
         "streaming_scd2_history",
         "bm25_search_topk",
+        # continuation-session batches (4th-7th): span-dedup w/ reconstruction,
+        # best-source dedup, CCNet terciles, vector profiling/normalization,
+        # LSH + decontam calibration sweeps, SimHash pairs, funnel census
+        "chunk_dedup_reconstruct",
+        "source_priority_dedup",
+        "lm_quality_buckets",
+        "embedding_dim_stats",
+        "minhash_band_sweep",
+        "curation_funnel_report",
+        "token_simpson_diversity",
+        "embedding_quantile_normalize",
+        "embedding_norm_outliers",
+        "langid_confusion_matrix",
+        "simhash_hamming_pairs",
+        "decontam_ngram_sweep",
     ]
     extras8_timings: dict[str, float] = {}
     extras8_steady: dict[str, float] = {}

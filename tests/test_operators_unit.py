@@ -519,3 +519,33 @@ def test_decontam_ngram_sweep_monotone_in_n(spark, sf_dir):
     for r in rows.values():
         assert r.n_contaminated <= r.n_train_docs
         assert r.contam_ppm == (r.n_contaminated * 1_000_000) // r.n_train_docs
+
+
+def test_embedding_power_iteration_finds_dominant_axis(spark, tmp_path):
+    # All variance on axis 0 -> the estimated direction concentrates there.
+    rows = [
+        (1, [2.0] + [0.0] * 63, 0),
+        (2, [1.5] + [0.0] * 63, 0),
+        (3, [1.0] + [0.01] * 63, 0),
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.parquet(str(tmp_path / "embeddings.parquet"))
+    from ai_metadata_lineage_pyspark_spark.operators.profile import (
+        embedding_power_iteration,
+    )
+
+    out = embedding_power_iteration(spark, str(tmp_path)).collect()
+    assert len(out) == 64 * 3
+    final = {r.dim: r.v_micro for r in out if r.iteration == 3}
+    # dominant component carries (almost) the whole unit norm
+    assert abs(final[1]) > 990_000
+    assert all(abs(final[d]) < 20_000 for d in range(2, 65))
+    # every iteration's direction is (floor-rounded) unit length
+    import collections
+
+    norms = collections.defaultdict(int)
+    for r in out:
+        norms[r.iteration] += r.v_micro * r.v_micro
+    for k, n2 in norms.items():
+        assert 0.99e12 < n2 <= 1.000001e12, (k, n2)
