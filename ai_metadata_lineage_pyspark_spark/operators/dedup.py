@@ -1745,14 +1745,19 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     simhash) explodes to 4 (position, byte) keys per doc; candidate
     generation is the family's ONE band-keyed groupBy with sorted-bucket
     clique emission, verification a doc-keyed join back to the
-    fingerprints and a bit_count(xor) filter. At 100 TB the 8-bit block
-    alphabet (256 values per position) makes bucket skew the dominant
-    concern — real deployments use 64-bit fingerprints split into 6-7
-    blocks (~10-bit alphabets) plus the lsh_pairs_capped star topology for
-    hot blocks; the plan shape is unchanged, only the block arithmetic
-    widens. Integer-exact end to end.
+    fingerprints and a bit_count(xor) filter. The fingerprint table is
+    scoped-persisted: it feeds three consumers (block stream + both sides
+    of the verify join) and the per-token md5 fold is the dominant compute
+    — without the persist the 10x probe's wall clock was ~3x one
+    fingerprint pass. At 100 TB the 8-bit block alphabet (256 values per
+    position) makes bucket skew the dominant concern — real deployments
+    use 64-bit fingerprints split into 6-7 blocks (~10-bit alphabets) plus
+    the lsh_pairs_capped star topology for hot blocks
+    (simhash_hamming_pairs_capped below); the plan shape is unchanged,
+    only the block arithmetic widens. Integer-exact end to end.
     """
-    fp = simhash(spark, sf_dir).select("doc_id", "simhash_int")
+    release_persisted()  # drop any prior invocation's cached intermediates
+    fp = scoped_persist(simhash(spark, sf_dir).select("doc_id", "simhash_int"))
     blocks = fp.selectExpr(
         "doc_id",
         "explode(transform(sequence(0, 3),"
@@ -1771,6 +1776,118 @@ def simhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    return (
+        cand.join(fp.selectExpr("doc_id AS doc_a", "simhash_int AS ha"), "doc_a")
+        .join(fp.selectExpr("doc_id AS doc_b", "simhash_int AS hb"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming_distance",
+        )
+        .filter(F.col("hamming_distance") <= _HAM_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash_hamming_pairs_capped — the 100 TB shape of the SimHash pair
+# generator. The 10x probe (ARTIFACTS/r08_scaling_probe_batch789.md)
+# measured the exact variant's fixed-geometry quadratic: 17.6x shuffle and
+# ~9 GB spill at 10x docs, because a 32-bit fingerprint's 8-bit blocks
+# give a 256-value alphabet whose buckets grow linearly with the corpus
+# and whose cliques grow quadratically. Production SimHash (Manku §4)
+# widens the fingerprint; within any fingerprint width the bucket cap is
+# the load-bounding device — oversized (position, byte) buckets emit O(k)
+# star edges against the bucket's min doc instead of the O(k²) clique,
+# exactly the lsh_pairs_capped topology. Star edges are a subset of the
+# clique's, so near-dup recall can only drop for pairs whose ONLY shared
+# block is an oversized one — and identical-fingerprint pairs (the bulk
+# of Hamming<=3 mass) always share all four blocks.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "simhash_hamming_pairs_capped",
+    oracle=f"""
+    WITH {_SIMHASH_INT_CTES},
+    blocks AS (
+      SELECT doc_id, j.j AS blk,
+        (simhash_int >> (8 * j.j)) & 255 AS blk_val
+      FROM ints, range(4) j(j)
+    ),
+    buckets AS (
+      SELECT blk, blk_val, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM blocks GROUP BY blk, blk_val
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    small AS (
+      SELECT blk, blk_val, unnest(ids) AS d
+      FROM buckets WHERE len(ids) <= {_BUCKET_CAP}
+    ),
+    clique_c AS (
+      SELECT x.d AS doc_a, y.d AS doc_b
+      FROM small x JOIN small y
+        ON x.blk = y.blk AND x.blk_val = y.blk_val AND x.d < y.d
+    ),
+    star_c AS (
+      SELECT ids[1] AS doc_a, unnest(ids[2:]) AS doc_b
+      FROM buckets WHERE len(ids) > {_BUCKET_CAP}
+    ),
+    cand AS (
+      SELECT DISTINCT doc_a, doc_b
+      FROM (SELECT * FROM clique_c UNION ALL SELECT * FROM star_c)
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(ia.simhash_int, ib.simhash_int)) AS BIGINT)
+          AS hamming_distance
+      FROM cand c
+      JOIN ints ia ON ia.doc_id = c.doc_a
+      JOIN ints ib ON ib.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming_distance
+    FROM verified
+    WHERE hamming_distance <= {_HAM_T}
+    """,
+)
+def simhash_hamming_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped SimHash pairs: cliques for normal blocks, stars past the cap.
+
+    Same fingerprints, same exact Hamming verification as
+    simhash_hamming_pairs; only candidate emission changes for buckets
+    past {cap} members. The oracle replays the identical capped semantics
+    (the _capped_components_oracle model), so the star branch is
+    hash-checked by the driver, not just pytest-pinned. At 100 TB this
+    bounds every bucket's contribution to O(k) while the exact variant's
+    measured quadratic pays O(k²) — pair volume becomes corpus-linear in
+    the number of oversized buckets. Fingerprints scoped-persisted for the
+    same three-consumer reason as the exact variant.
+    """
+    release_persisted()  # drop any prior invocation's cached intermediates
+    fp = scoped_persist(simhash(spark, sf_dir).select("doc_id", "simhash_int"))
+    blocks = fp.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, 3),"
+        " j -> struct(j AS blk, shiftright(simhash_int, 8 * j) & 255 AS blk_val)))"
+        " AS b",
+    ).select("doc_id", "b.blk", "b.blk_val")
+    buckets = (
+        blocks.groupBy("blk", "blk_val")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    clique = (
+        buckets.filter(F.size("ids") <= _BUCKET_CAP)
+        .selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    star = buckets.filter(F.size("ids") > _BUCKET_CAP).selectExpr(
+        "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
+    )
+    cand = clique.union(star).distinct()
     return (
         cand.join(fp.selectExpr("doc_id AS doc_a", "simhash_int AS ha"), "doc_a")
         .join(fp.selectExpr("doc_id AS doc_b", "simhash_int AS hb"), "doc_b")

@@ -549,3 +549,30 @@ def test_embedding_power_iteration_finds_dominant_axis(spark, tmp_path):
         norms[r.iteration] += r.v_micro * r.v_micro
     for k, n2 in norms.items():
         assert 0.99e12 < n2 <= 1.000001e12, (k, n2)
+
+
+def test_simhash_hamming_pairs_capped_equals_exact_under_cap(spark, tmp_path):
+    # Fixture buckets are far below the cap, so star never triggers and
+    # the capped generator must reproduce the exact pair set.
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 30),
+        (2, "alpha beta gamma delta epsilon", 30),
+        (3, "alpha beta gamma delta zeta", 27),
+        (4, "totally unrelated words qqq www eee", 35),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        simhash_hamming_pairs,
+        simhash_hamming_pairs_capped,
+    )
+
+    exact = {(r.doc_a, r.doc_b, r.hamming_distance) for r in simhash_hamming_pairs(
+        spark, str(tmp_path)
+    ).collect()}
+    capped = {(r.doc_a, r.doc_b, r.hamming_distance) for r in simhash_hamming_pairs_capped(
+        spark, str(tmp_path)
+    ).collect()}
+    assert capped == exact
+    assert (1, 2, 0) in exact
