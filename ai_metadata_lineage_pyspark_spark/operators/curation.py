@@ -414,3 +414,111 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
               ELSE ((n2 - n3) * 1000000) DIV n2 END
         ) AS (stage, stage_name, n_docs, total_chars, n_dropped, drop_ppm)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_score_rank_correlation — integer-exact Spearman rank correlation
+# between the engine's two document-quality signals: the rule-based
+# quality score (corpus_curation's 5-point gate) and the corpus-statistics
+# LM score (lm_bigram_doc_score). A curation stack runs exactly this
+# check before trusting a cheap signal as a proxy for an expensive one —
+# if the ranks disagree, the gates are measuring different things.
+# Spearman's rho = 1 - 6*sum(d^2)/(n(n^2-1)) is integer-exact given
+# total-ordered ranks (row_number with doc_id tie-breaks; the dense/
+# average-rank tie variant is a documented alternative, not used, so both
+# engines rank identically).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "quality_score_rank_correlation",
+    oracle=_LM_SCORE_CTES
+    + f"""
+    , qsig AS (
+      SELECT doc_id, n_chars,
+        len({_SQL_TOKENS}) AS n_tokens,
+        len(list_distinct({_SQL_TOKENS})) AS n_unique,
+        length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+        length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+      FROM documents
+    ),
+    q AS (
+      SELECT doc_id, {_QSCORE_SQL} AS qscore FROM qsig
+    ),
+    j AS (
+      SELECT q.doc_id, q.qscore, s.avg_bigram_count
+      FROM q JOIN lm_scores s ON q.doc_id = s.doc_id
+    ),
+    r AS (
+      SELECT doc_id,
+        CAST(row_number() OVER (ORDER BY qscore ASC, doc_id ASC) AS BIGINT) AS r1,
+        CAST(row_number() OVER (ORDER BY avg_bigram_count ASC, doc_id ASC)
+          AS BIGINT) AS r2
+      FROM j
+    ),
+    agg AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT) AS sum_d2
+      FROM r
+    )
+    SELECT n_docs, sum_d2,
+      1000000 - (6000000 * sum_d2) // (n_docs * (n_docs * n_docs - 1))
+        AS spearman_ppm
+    FROM agg
+    """,
+)
+def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho (integer ppm) between the rule and LM quality signals.
+
+    Plan: the two per-doc signal streams join on doc_id, then two global
+    row_number ranks feed one exact integer aggregate. The global windows
+    run over the per-document SCORE table (one row per doc, not per
+    token) — corpus-row-count-sized, the same cardinality every rank
+    statistic fundamentally needs; the 100 TB variant range-partitions by
+    score with per-range offsets (the distributed-sort rank documented in
+    embedding_quantile_normalize). Output is one row; everything before
+    the windows is map-side or doc-keyed.
+    """
+    from .search import lm_bigram_doc_score  # noqa: PLC0415
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    qsig = docs.selectExpr("doc_id", "n_chars", "text", f"{_TOKENS} AS toks").select(
+        "doc_id",
+        "n_chars",
+        F.expr("size(toks)").alias("n_tokens"),
+        F.expr("size(array_distinct(toks))").alias("n_unique"),
+        F.length(F.regexp_replace(F.lower(F.col("text")), r"[a-z0-9\s]", "")).alias(
+            "n_punct"
+        ),
+        F.length(F.regexp_replace(F.col("text"), r"[^0-9]", "")).alias("n_digit"),
+    )
+    qscore = (
+        F.when(F.col("n_tokens").between(10, 100000), 1).otherwise(0)
+        + F.when(F.col("n_punct").cast("double") / F.col("n_chars") < 0.1, 1).otherwise(0)
+        + F.when(F.col("n_digit").cast("double") / F.col("n_chars") < 0.2, 1).otherwise(0)
+        + F.when(F.col("n_unique").cast("double") / F.col("n_tokens") > 0.3, 1).otherwise(0)
+        + F.when(F.col("n_chars") >= 100, 1).otherwise(0)
+    )
+    q = qsig.select("doc_id", qscore.alias("qscore"))
+    lm = lm_bigram_doc_score(spark, sf_dir).select("doc_id", "avg_bigram_count")
+    j = q.join(lm, "doc_id")
+    r = j.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.asc("qscore"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("avg_bigram_count"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr("CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT)").alias("sum_d2"),
+    ).selectExpr(
+        "n_docs",
+        "sum_d2",
+        "1000000 - (6000000 * sum_d2) DIV (n_docs * (n_docs * n_docs - 1))"
+        " AS spearman_ppm",
+    )

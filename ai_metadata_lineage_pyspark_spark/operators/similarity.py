@@ -1667,3 +1667,203 @@ def ivf_pq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return adc.withColumn("rank", F.row_number().over(wq)).filter(
         F.col("rank") <= _TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# ivf_nprobe_sweep — the IVF tuning curve: recall@10 and scan cost as a
+# function of nprobe (1 / 2 / 4 probed cells). This is the dial every IVF
+# deployment turns (FAISS nprobe): more probed cells buy recall linearly
+# in scan cost; the sweep measures both ends so the operating point is a
+# table lookup, not a guess. Completes the engine's calibration-sweep
+# family (minhash_band_sweep for LSH banding, decontam_ngram_sweep for
+# contamination thresholds).
+# ---------------------------------------------------------------------------
+
+_NPROBES = (1, 2, 4)
+
+
+def _nprobe_cfg_ctes() -> str:
+    blocks = []
+    for p in _NPROBES:
+        blocks.append(f"""probes_{p} AS (
+      SELECT vec_id AS query_id, cent_id AS cell FROM ranked_cells
+      WHERE vec_id % {_QUERY_MOD} = 0 AND rn <= {p}
+    ),
+    cand_{p} AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes_{p} p JOIN assigned a ON p.cell = a.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored_{p} AS (
+      SELECT c.query_id, c.neighbor_id,
+        list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cosine
+      FROM cand_{p} c
+      JOIN embeddings q ON q.vec_id = c.query_id
+      JOIN embeddings n ON n.vec_id = c.neighbor_id
+    ),
+    top_{p} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+          ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM scored_{p}
+      ) WHERE rank <= {_TOP_K}
+    ),
+    stats_{p} AS (
+      SELECT {p} AS nprobe,
+        CAST(COUNT(DISTINCT e.query_id) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_exact,
+        CAST(COUNT(t.neighbor_id) AS BIGINT) AS n_hits,
+        CAST((SELECT COUNT(*) FROM cand_{p}) AS BIGINT) AS n_candidates
+      FROM exact_topk e
+      LEFT JOIN top_{p} t
+        ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+    )""")
+    return ",\n    ".join(blocks)
+
+
+@register(
+    "ivf_nprobe_sweep",
+    oracle=f"""
+    WITH {_EXACT_TOPK_CTES},
+    cent AS (
+      SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
+      WHERE vec_id % {_IVF_CENT_MOD} = 0
+    ),
+    ivf_scored AS (
+      SELECT e.vec_id, cent.cent_id,
+        list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) AS cos
+      FROM embeddings e, cent
+    ),
+    ranked_cells AS (
+      SELECT vec_id, cent_id,
+        ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
+      FROM ivf_scored
+    ),
+    assigned AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rn = 1),
+    n_corpus AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM embeddings),
+    {_nprobe_cfg_ctes()},
+    all_stats AS (
+      {" UNION ALL ".join(f"SELECT * FROM stats_{p}" for p in _NPROBES)}
+    )
+    SELECT CAST(s.nprobe AS BIGINT) AS nprobe,
+      s.n_queries, s.n_exact, s.n_hits,
+      (s.n_hits * 1000000) // s.n_exact AS recall_ppm,
+      s.n_candidates,
+      (s.n_candidates * 1000000) // (s.n_queries * (c.n_total - 1))
+        AS scan_share_ppm
+    FROM all_stats s CROSS JOIN n_corpus c
+    """,
+)
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 / scan-cost curve over nprobe in {1, 2, 4}.
+
+    Plan: ONE centroid-scoring pass (broadcast centroids) serves all
+    configs — the per-vector cell ranking is computed once and persisted;
+    each config's probe set is a filter (rn <= nprobe) on that ranking
+    crossed with a 3-value literal, so the sweep adds zero extra scoring
+    passes over the corpus. Candidates re-rank per (nprobe, query) and
+    join the cosine_topk ground truth; all censuses are integer floor-ppm.
+    At 100 TB the cand join is the same cell-partition-pruned probe as
+    ivf_topk, run once per config over candidate sets that grow linearly
+    in nprobe — which is exactly the tradeoff the sweep prices.
+    """
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
+    release_persisted()
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = emb.join(cent).select(
+        "vec_id",
+        "embedding",
+        "norm",
+        "cent_id",
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias(
+            "cos"
+        ),
+    )
+    w_cell = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    ranked_cells = scoped_persist(
+        scored.withColumn("rn", F.row_number().over(w_cell)).select(
+            "vec_id", "embedding", "norm", "cent_id", "rn"
+        )
+    )
+    assigned = ranked_cells.filter("rn = 1").select(
+        "vec_id", F.col("cent_id").alias("cell"), "embedding", "norm"
+    )
+    max_p = max(_NPROBES)
+    probes = (
+        ranked_cells.filter(
+            (F.col("vec_id") % _QUERY_MOD == 0) & (F.col("rn") <= max_p)
+        )
+        .selectExpr(
+            "vec_id AS query_id",
+            "cent_id AS cell",
+            "rn",
+            "embedding AS q_embedding",
+            "norm AS q_norm",
+            f"explode(array({', '.join(map(str, _NPROBES))})) AS nprobe",
+        )
+        .filter(F.col("rn") <= F.col("nprobe"))
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assigned, "cell")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "nprobe",
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr(
+                cosine_from_norms_expr("q_embedding", "embedding", "q_norm", "norm")
+            ).alias("cosine"),
+        )
+    )
+    cand = scoped_persist(cand)
+    n_cand = cand.groupBy("nprobe").agg(F.count(F.lit(1)).alias("n_candidates"))
+    w = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    top = (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("nprobe", "query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    exact = cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    exact_cfg = exact.selectExpr(
+        "query_id", "neighbor_id",
+        f"explode(array({', '.join(map(str, _NPROBES))})) AS nprobe",
+    )
+    stats = (
+        exact_cfg.join(top, ["nprobe", "query_id", "neighbor_id"], "left")
+        .groupBy("nprobe")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("hit").alias("n_hits"),
+        )
+    )
+    n_total = emb.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        stats.join(n_cand, "nprobe")
+        .crossJoin(F.broadcast(n_total))
+        .selectExpr(
+            "CAST(nprobe AS BIGINT) AS nprobe",
+            "n_queries",
+            "n_exact",
+            "n_hits",
+            "(n_hits * 1000000) DIV n_exact AS recall_ppm",
+            "n_candidates",
+            "(n_candidates * 1000000) DIV (n_queries * (n_total - 1))"
+            " AS scan_share_ppm",
+        )
+    )

@@ -576,3 +576,31 @@ def test_simhash_hamming_pairs_capped_equals_exact_under_cap(spark, tmp_path):
     ).collect()}
     assert capped == exact
     assert (1, 2, 0) in exact
+
+
+def test_ivf_nprobe_sweep_monotone(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.similarity import ivf_nprobe_sweep
+
+    rows = {r.nprobe: r for r in ivf_nprobe_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 4}
+    # probing more cells can only add candidates and hits
+    assert rows[1].n_candidates <= rows[2].n_candidates <= rows[4].n_candidates
+    assert rows[1].n_hits <= rows[2].n_hits <= rows[4].n_hits
+    for r in rows.values():
+        assert 0 <= r.recall_ppm <= 1_000_000
+        assert 0 < r.scan_share_ppm <= 1_000_000
+        assert r.n_exact == rows[1].n_exact  # ground truth is config-free
+
+
+def test_quality_score_rank_correlation_bounds(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.curation import (
+        quality_score_rank_correlation,
+    )
+
+    (row,) = quality_score_rank_correlation(spark, sf_dir).collect()
+    assert row.n_docs > 0
+    # rho in [-1, 1] (ppm); the floor-div identity ties the three columns
+    assert -1_000_000 <= row.spearman_ppm <= 1_000_000
+    assert row.spearman_ppm == 1_000_000 - (6_000_000 * row.sum_d2) // (
+        row.n_docs * (row.n_docs * row.n_docs - 1)
+    )
