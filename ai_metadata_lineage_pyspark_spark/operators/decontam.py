@@ -415,3 +415,188 @@ def decontam_ngram_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS contam_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom_m_sweep — the Bloom-filter sizing curve: measured false-positive
+# rate of the 3-hash eval-set filter as the bit-array width m sweeps
+# 1024 -> 65536. This is the calibration every Bloom deployment does
+# before fixing m (the two registered decontam filters sit at the curve's
+# ends: m=2048 "small" saturates, m=2^20 never false-fires on this eval
+# set); measuring instead of trusting (1-e^{-kn/m})^k catches the
+# double-hashing and fill-ratio effects the formula idealizes away.
+# One md5 per (shingle, hash-slot) TOTAL: positions for every m derive
+# from the same 32-bit base hash by modulo, so the sweep adds no hashing.
+# ---------------------------------------------------------------------------
+
+_SWEEP_MS = (1024, 4096, 16384, 65536)
+
+
+@register(
+    "bloom_m_sweep",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    eval_sh AS (
+      SELECT DISTINCT shingle FROM x WHERE doc_id % {_EVAL_MOD} = 0
+    ),
+    train_sh AS (
+      SELECT DISTINCT shingle FROM x WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    eb AS (
+      SELECT shingle,
+        ('0x' || substr(md5('b0:' || shingle), 1, 8))::BIGINT AS b0,
+        ('0x' || substr(md5('b1:' || shingle), 1, 8))::BIGINT AS b1,
+        ('0x' || substr(md5('b2:' || shingle), 1, 8))::BIGINT AS b2
+      FROM eval_sh
+    ),
+    tb AS (
+      SELECT shingle,
+        ('0x' || substr(md5('b0:' || shingle), 1, 8))::BIGINT AS b0,
+        ('0x' || substr(md5('b1:' || shingle), 1, 8))::BIGINT AS b1,
+        ('0x' || substr(md5('b2:' || shingle), 1, 8))::BIGINT AS b2
+      FROM train_sh
+    ),
+    ms AS (SELECT unnest([{", ".join(map(str, _SWEEP_MS))}]) AS m),
+    slots AS (SELECT unnest([0, 1, 2]) AS i),
+    eval_pos AS (
+      SELECT DISTINCT m.m,
+        (CASE s.i WHEN 0 THEN e.b0 WHEN 1 THEN e.b1 ELSE e.b2 END) % m.m AS p
+      FROM eb e CROSS JOIN ms m CROSS JOIN slots s
+    ),
+    probe AS (
+      SELECT m.m, t.shingle, s.i,
+        (CASE s.i WHEN 0 THEN t.b0 WHEN 1 THEN t.b1 ELSE t.b2 END) % m.m AS p
+      FROM tb t CROSS JOIN ms m CROSS JOIN slots s
+    ),
+    matched AS (
+      SELECT pr.m, pr.shingle, COUNT(*) AS k_hit
+      FROM probe pr JOIN eval_pos e ON e.m = pr.m AND e.p = pr.p
+      GROUP BY pr.m, pr.shingle
+    ),
+    flags AS (
+      SELECT m.m, t.shingle,
+        COALESCE(mt.k_hit, 0) = {_BLOOM_K} AS bloom_pos,
+        ev.shingle IS NOT NULL AS truth
+      FROM train_sh t
+      CROSS JOIN ms m
+      LEFT JOIN matched mt ON mt.m = m.m AND mt.shingle = t.shingle
+      LEFT JOIN eval_sh ev ON ev.shingle = t.shingle
+    ),
+    fill AS (
+      SELECT m, CAST(COUNT(*) AS BIGINT) AS n_set_bits FROM eval_pos GROUP BY m
+    ),
+    agg AS (
+      SELECT m,
+        CAST(COUNT(*) AS BIGINT) AS n_train_shingles,
+        CAST(COUNT(*) FILTER (WHERE bloom_pos) AS BIGINT) AS n_bloom_positive,
+        CAST(COUNT(*) FILTER (WHERE truth) AS BIGINT) AS n_true_members,
+        CAST(COUNT(*) FILTER (WHERE bloom_pos AND NOT truth) AS BIGINT)
+          AS n_false_positives
+      FROM flags GROUP BY m
+    )
+    SELECT CAST(a.m AS BIGINT) AS m,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM eval_sh) AS n_eval_shingles,
+      f.n_set_bits,
+      (f.n_set_bits * 1000000) // a.m AS fill_ppm,
+      a.n_train_shingles, a.n_bloom_positive, a.n_true_members,
+      a.n_false_positives,
+      (a.n_false_positives * 1000000)
+        // (a.n_train_shingles - a.n_true_members) AS fp_ppm
+    FROM agg a JOIN fill f ON a.m = f.m
+    """,
+)
+def bloom_m_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured Bloom false-positive curve over m in {1k, 4k, 16k, 64k}.
+
+    Plan: distinct eval and train shingle sets are hashed ONCE into three
+    32-bit base values (in-row md5, no shuffle); every m's positions are
+    base % m, so the 4-config sweep is a literal cross join, not extra
+    hash passes. The eval position set stays tiny at every m (<= 3 x eval
+    shingles) and broadcasts to the train probes; censuses group by m
+    with map-side combine. At 100 TB the train side is one scan + one
+    broadcast-join + a 4-group aggregate — the bloom_decontam scale
+    argument, swept. Integer-exact floor-ppm outputs.
+    """
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    x = (
+        docs.selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"explode({_SHINGLES_FROM_TOKS}) AS shingle")
+    )
+    base = (
+        "cast(conv(substr(md5(concat('b{i}:', shingle)), 1, 8), 16, 10) as bigint)"
+    )
+    def bases(df):
+        return df.selectExpr(
+            "shingle",
+            f"{base.format(i=0)} AS b0",
+            f"{base.format(i=1)} AS b1",
+            f"{base.format(i=2)} AS b2",
+        )
+
+    eval_sh = x.filter(F.col("doc_id") % _EVAL_MOD == 0).select("shingle").distinct()
+    train_sh = x.filter(F.col("doc_id") % _EVAL_MOD != 0).select("shingle").distinct()
+    ms = ", ".join(map(str, _SWEEP_MS))
+    eval_pos = (
+        bases(eval_sh)
+        .selectExpr(f"explode(array({ms})) AS m", "b0", "b1", "b2")
+        .selectExpr("m", "explode(array(b0, b1, b2)) AS b")
+        .selectExpr("m", "pmod(b, m) AS p")
+        .distinct()
+    )
+    probe = (
+        bases(train_sh)
+        .selectExpr("shingle", f"explode(array({ms})) AS m", "b0", "b1", "b2")
+        .selectExpr("shingle", "m", "explode(array(b0, b1, b2)) AS b")
+        .selectExpr("shingle", "m", "pmod(b, m) AS p")
+    )
+    matched = (
+        probe.join(F.broadcast(eval_pos), ["m", "p"])
+        .groupBy("m", "shingle")
+        .agg(F.count(F.lit(1)).alias("k_hit"))
+    )
+    flags = (
+        train_sh.selectExpr("shingle", f"explode(array({ms})) AS m")
+        .join(matched, ["m", "shingle"], "left")
+        .join(
+            F.broadcast(eval_sh.withColumn("truth", F.lit(True))), "shingle", "left"
+        )
+        .select(
+            "m",
+            (F.coalesce(F.col("k_hit"), F.lit(0)) == _BLOOM_K).alias("bloom_pos"),
+            F.col("truth").isNotNull().alias("truth"),
+        )
+    )
+    fill = eval_pos.groupBy("m").agg(F.count(F.lit(1)).alias("n_set_bits"))
+    agg = flags.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_train_shingles"),
+        F.expr("CAST(COUNT(IF(bloom_pos, 1, NULL)) AS BIGINT)").alias(
+            "n_bloom_positive"
+        ),
+        F.expr("CAST(COUNT(IF(truth, 1, NULL)) AS BIGINT)").alias("n_true_members"),
+        F.expr(
+            "CAST(COUNT(IF(bloom_pos AND NOT truth, 1, NULL)) AS BIGINT)"
+        ).alias("n_false_positives"),
+    )
+    n_eval = eval_sh.agg(F.count(F.lit(1)).alias("n_eval_shingles"))
+    return (
+        agg.join(fill, "m")
+        .crossJoin(F.broadcast(n_eval))
+        .selectExpr(
+            "CAST(m AS BIGINT) AS m",
+            "n_eval_shingles",
+            "n_set_bits",
+            "(n_set_bits * 1000000) DIV m AS fill_ppm",
+            "n_train_shingles",
+            "n_bloom_positive",
+            "n_true_members",
+            "n_false_positives",
+            "(n_false_positives * 1000000) DIV (n_train_shingles - n_true_members)"
+            " AS fp_ppm",
+        )
+    )

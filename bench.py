@@ -280,7 +280,11 @@ def main() -> None:
         "embedding_norm_outliers",
         "langid_confusion_matrix",
         "simhash_hamming_pairs",
+        "simhash_hamming_pairs_capped",
         "decontam_ngram_sweep",
+        "embedding_power_iteration",
+        "ivf_nprobe_sweep",
+        "quality_score_rank_correlation",
     ]
     extras8_timings: dict[str, float] = {}
     extras8_steady: dict[str, float] = {}

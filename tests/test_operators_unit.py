@@ -604,3 +604,21 @@ def test_quality_score_rank_correlation_bounds(spark, sf_dir):
     assert row.spearman_ppm == 1_000_000 - (6_000_000 * row.sum_d2) // (
         row.n_docs * (row.n_docs * row.n_docs - 1)
     )
+
+
+def test_bloom_m_sweep_monotone_for_nested_m(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.decontam import bloom_m_sweep
+
+    rows = {r.m: r for r in bloom_m_sweep(spark, sf_dir).collect()}
+    assert set(rows) == {1024, 4096, 16384, 65536}
+    # powers of two nest: a positive at larger m projects to a positive at
+    # every smaller m (p % small == (p % large) % small), so positives and
+    # false positives are monotone non-increasing in m
+    ms = [1024, 4096, 16384, 65536]
+    for small, large in zip(ms, ms[1:]):
+        assert rows[small].n_bloom_positive >= rows[large].n_bloom_positive
+        assert rows[small].n_false_positives >= rows[large].n_false_positives
+        assert rows[small].fill_ppm >= rows[large].fill_ppm
+    for r in rows.values():
+        assert r.n_true_members <= r.n_bloom_positive  # no false negatives
+        assert r.n_bloom_positive - r.n_true_members == r.n_false_positives
