@@ -499,3 +499,97 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+# ---------------------------------------------------------------------------
+# winsorized_group_stats — robust per-group pricing stats: clip
+# l_extendedprice to its group's [p05, p95] before averaging, reporting
+# how much was clipped on each side. The outlier-resistant mean every
+# metrics pipeline publishes next to the raw mean when a few extreme rows
+# (bad feeds, fat-finger prices) would otherwise move it. Exactness:
+# prices become integer cents, percentile bounds floor to integer cents
+# (any deterministic rule works; floor is pinned), clipping and summation
+# stay in exact BIGINT, and only the final means are doubles over exact
+# integer sums.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "winsorized_group_stats",
+    oracle="""
+    WITH c AS (
+      SELECT l_returnflag, CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_returnflag,
+        CAST(COUNT(*) AS BIGINT) AS n_rows,
+        CAST(SUM(cents) AS BIGINT) AS sum_cents,
+        CAST(floor(quantile_cont(cents, 0.05)) AS BIGINT) AS p05_cents,
+        CAST(floor(quantile_cont(cents, 0.95)) AS BIGINT) AS p95_cents
+      FROM c GROUP BY l_returnflag
+    ),
+    w AS (
+      SELECT c.l_returnflag,
+        CAST(SUM(LEAST(GREATEST(c.cents, b.p05_cents), b.p95_cents)) AS BIGINT)
+          AS wsum_cents,
+        CAST(COUNT(*) FILTER (WHERE c.cents < b.p05_cents) AS BIGINT)
+          AS n_clipped_low,
+        CAST(COUNT(*) FILTER (WHERE c.cents > b.p95_cents) AS BIGINT)
+          AS n_clipped_high
+      FROM c JOIN b ON c.l_returnflag = b.l_returnflag
+      GROUP BY c.l_returnflag
+    )
+    SELECT b.l_returnflag, b.n_rows, b.p05_cents, b.p95_cents,
+      w.n_clipped_low, w.n_clipped_high,
+      CAST(b.sum_cents AS DOUBLE) / b.n_rows AS raw_mean_cents,
+      CAST(w.wsum_cents AS DOUBLE) / b.n_rows AS winsorized_mean_cents
+    FROM b JOIN w ON b.l_returnflag = w.l_returnflag
+    """,
+)
+def winsorized_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (p05/p95-clipped) mean price per return flag.
+
+    Plan: pass 1 computes per-group exact percentiles + raw sums (one
+    groupBy over integer cents; `percentile` is bit-matched to DuckDB's
+    quantile_cont — table_profile's verified property — and at 100 TB
+    swaps to approx_percentile with the same contract); the 3-row bounds
+    table broadcasts back onto the fact stream for the clipped re-sum.
+    Two scans, one tiny broadcast, exact integer arithmetic everywhere
+    but the final double divisions.
+    """
+    c = load(spark, sf_dir, "lineitem").selectExpr(
+        "l_returnflag", "CAST(floor(l_extendedprice * 100) AS BIGINT) AS cents"
+    )
+    b = c.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("cents").alias("sum_cents"),
+        F.expr("CAST(floor(percentile(cents, 0.05)) AS BIGINT)").alias("p05_cents"),
+        F.expr("CAST(floor(percentile(cents, 0.95)) AS BIGINT)").alias("p95_cents"),
+    )
+    w = (
+        c.join(F.broadcast(b.select("l_returnflag", "p05_cents", "p95_cents")),
+               "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "CAST(SUM(LEAST(GREATEST(cents, p05_cents), p95_cents)) AS BIGINT)"
+            ).alias("wsum_cents"),
+            F.expr("CAST(COUNT(IF(cents < p05_cents, 1, NULL)) AS BIGINT)").alias(
+                "n_clipped_low"
+            ),
+            F.expr("CAST(COUNT(IF(cents > p95_cents, 1, NULL)) AS BIGINT)").alias(
+                "n_clipped_high"
+            ),
+        )
+    )
+    return b.join(w, "l_returnflag").selectExpr(
+        "l_returnflag",
+        "n_rows",
+        "p05_cents",
+        "p95_cents",
+        "n_clipped_low",
+        "n_clipped_high",
+        "CAST(sum_cents AS DOUBLE) / n_rows AS raw_mean_cents",
+        "CAST(wsum_cents AS DOUBLE) / n_rows AS winsorized_mean_cents",
+    )

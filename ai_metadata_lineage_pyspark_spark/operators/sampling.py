@@ -459,3 +459,51 @@ def token_budget_waterfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("allocation"),
         F.expr("rn <= j").alias("fully_funded"),
     )
+
+
+# ---------------------------------------------------------------------------
+# stratified_topk_sample — EXACT-k per-stratum sampling: each language
+# keeps its k=20 docs with the smallest md5(doc_id) — the fixed-size eval
+# set builder (rate-based stratified_sample gives proportional but
+# variable-size samples; benchmarks and human-review queues need exactly
+# k per stratum). Hash-ranked, so the selection is a deterministic
+# function of doc_id alone: stable under reordering, re-partitioning, and
+# corpus growth that doesn't touch the chosen ids' hash order.
+# ---------------------------------------------------------------------------
+
+_STRAT_K = 20
+
+
+@register(
+    "stratified_topk_sample",
+    oracle=f"""
+    SELECT lang, doc_id, n_chars, sample_rank FROM (
+      SELECT lang, doc_id, n_chars,
+        CAST(row_number() OVER (
+          PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+        ) AS BIGINT) AS sample_rank
+      FROM documents
+    ) WHERE sample_rank <= {_STRAT_K}
+    """,
+)
+def stratified_topk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly k=20 hash-selected docs per language stratum.
+
+    Plan: ONE lang-partitioned window (row_number over the md5 order).
+    At 100 TB per-stratum sorts are the cost; the production swap keeps
+    the same contract with a per-partition top-k pre-prune (Spark's
+    WindowGroupLimit pushes rank<=k below the exchange, so each map task
+    ships at most k rows per stratum — the top_parts_per_segment
+    property, plan-asserted there). Selection depends only on doc_id, so
+    it is reproducible across runs and engines.
+    """
+    from pyspark.sql import Window  # noqa: PLC0415
+
+    docs = load(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.asc("doc_id")
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("sample_rank") <= _STRAT_K)
+    )

@@ -622,3 +622,32 @@ def test_bloom_m_sweep_monotone_for_nested_m(spark, sf_dir):
     for r in rows.values():
         assert r.n_true_members <= r.n_bloom_positive  # no false negatives
         assert r.n_bloom_positive - r.n_true_members == r.n_false_positives
+
+
+def test_winsorized_mean_between_bounds_and_damped(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.profile import (
+        winsorized_group_stats,
+    )
+
+    for r in winsorized_group_stats(spark, sf_dir).collect():
+        assert r.p05_cents <= r.winsorized_mean_cents <= r.p95_cents
+        assert r.n_clipped_low + r.n_clipped_high < r.n_rows
+        # clipping both tails at symmetric counts moves the mean by less
+        # than the clipped span itself
+        assert abs(r.winsorized_mean_cents - r.raw_mean_cents) < (
+            r.p95_cents - r.p05_cents
+        )
+
+
+def test_stratified_topk_sample_exact_k(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    df = stratified_topk_sample(spark, sf_dir)
+    import pyspark.sql.functions as SF
+
+    per = {r.lang: r.n for r in df.groupBy("lang").agg(SF.count("*").alias("n")).collect()}
+    assert all(n == 20 for n in per.values())
+    ranks = {r.lang: r.mx for r in df.groupBy("lang").agg(SF.max("sample_rank").alias("mx")).collect()}
+    assert all(mx == 20 for mx in ranks.values())
