@@ -91,6 +91,7 @@ def _ensure_loaded() -> None:
     from .lineage import queries as lineage_queries  # noqa: F401
     from .sources import pydatasource  # noqa: F401
     from .sources import sinks  # noqa: F401
+    from .streaming import gates as streaming_gates  # noqa: F401
     from .streaming import joins as streaming_joins  # noqa: F401
     from .streaming import sessions  # noqa: F401
     from .streaming import upsert as streaming_upsert  # noqa: F401

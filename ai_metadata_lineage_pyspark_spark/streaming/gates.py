@@ -1,0 +1,143 @@
+"""Ingest-time streaming gates: stateless document filters that run inside
+a Structured Streaming pipeline as data arrives, rather than as batch
+passes after landing.
+
+`streaming_decontam_gate` is the production shape of benchmark
+decontamination at ingest: the eval set's Bloom bitmap is BUILT once
+batch-side (m=2048 bits — 256 bytes — the whole point of a Bloom filter is
+that this ships everywhere for free) and evaluated per incoming document as
+a zero-state row-local expression; contaminated docs surface immediately,
+no stateful operator, no watermark, no shuffle in the stream. availableNow
+replay over the fixture reproduces the batch filter's census exactly, so
+the SAME relational oracle hash-checks the streaming path (the
+streaming_scd2_history model).
+
+Reference parity: the reference has no streaming surface (SURVEY §2,
+README "Streaming lineage ingestion" is listed as future); this extends
+the engine's streaming family alongside sessions.py/joins.py/upsert.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.io import ensure_engine_confs
+from ..operators.decontam import _BLOOM_K, _BLOOM_M_SMALL, _EVAL_MOD, _bloom_pos_duck
+from ..operators.dedup import _SHINGLES_FROM_TOKS, _SQL_SHINGLES, _SQL_TOKENS, _TOKENS
+from ..registry import register
+from .sessions import run_to_memory
+
+
+def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the documents fixture (schema pinned from a
+    batch read; glob form for the file source's basePath derivation)."""
+    ensure_engine_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    return spark.readStream.schema(schema).parquet(f"{sf_dir}/documents*.parquet")
+
+
+def _bloom_bits(spark: SparkSession, sf_dir: str) -> str:
+    """Batch-build the eval slice's m=2048 Bloom bitmap as a '0'/'1' string.
+
+    This is the filter FIT step (bounded by m, not by the corpus): the
+    positions are collected once and the bitmap is embedded in the
+    streaming expression — the broadcast-tiny-state pattern a real ingest
+    gate uses. Collect volume <= 3 x eval shingles, output exactly m chars.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos_exprs = ", ".join(
+        f"pmod(cast(conv(substr(md5(concat('b{i}:', shingle)), 1, 8), 16, 10)"
+        f" as bigint), {_BLOOM_M_SMALL})"
+        for i in range(_BLOOM_K)
+    )
+    rows = (
+        docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+        .selectExpr(f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr(f"explode({_SHINGLES_FROM_TOKS}) AS shingle")
+        .selectExpr(f"explode(array({pos_exprs})) AS p")
+        .distinct()
+        .collect()
+    )
+    bits = ["0"] * _BLOOM_M_SMALL
+    for r in rows:
+        bits[r.p] = "1"
+    return "".join(bits)
+
+
+@register(
+    "streaming_decontam_gate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS shingles
+      FROM documents
+      WHERE len({_SQL_TOKENS}) >= 3
+    ),
+    x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
+    eval_pos AS (
+      SELECT DISTINCT p FROM (
+        SELECT unnest([{_bloom_pos_duck(0, _BLOOM_M_SMALL)},
+                       {_bloom_pos_duck(1, _BLOOM_M_SMALL)},
+                       {_bloom_pos_duck(2, _BLOOM_M_SMALL)}]) AS p
+        FROM (SELECT DISTINCT shingle FROM x WHERE doc_id % {_EVAL_MOD} = 0)
+      )
+    ),
+    tr_pos AS (
+      SELECT doc_id, shingle,
+        unnest([{_bloom_pos_duck(0, _BLOOM_M_SMALL)},
+                {_bloom_pos_duck(1, _BLOOM_M_SMALL)},
+                {_bloom_pos_duck(2, _BLOOM_M_SMALL)}]) AS p
+      FROM x WHERE doc_id % {_EVAL_MOD} <> 0
+    ),
+    matched AS (
+      SELECT t.doc_id, t.shingle, COUNT(*) AS k_hit
+      FROM tr_pos t JOIN eval_pos e ON e.p = t.p
+      GROUP BY t.doc_id, t.shingle
+    ),
+    hits AS (
+      SELECT doc_id,
+        CAST(COUNT(*) FILTER (WHERE k_hit = {_BLOOM_K}) AS BIGINT)
+          AS n_bloom_hits
+      FROM matched GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+      CAST(len(s.shingles) AS BIGINT) AS n_shingles,
+      h.n_bloom_hits
+    FROM sh s JOIN hits h ON s.doc_id = h.doc_id
+    WHERE s.doc_id % {_EVAL_MOD} <> 0 AND h.n_bloom_hits > 0
+    """,
+)
+def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination as a stateless streaming ingest gate.
+
+    Plan: the m=2048 eval bitmap is fitted batch-side and inlined into a
+    row-local expression (3 md5s + 3 substr probes per shingle, all
+    inside the stream's stateless projection); the stream has NO stateful
+    operators — append mode, no watermark, no shuffle — so at 100 TB/day
+    ingest the gate adds zero state-store pressure and scales with source
+    parallelism alone. Flagged docs emit (doc_id, n_shingles,
+    n_bloom_hits); the availableNow replay over the fixture reproduces
+    the batch filter's census, hash-checked by the same relational
+    oracle as bloom_decontam_smallm's hit columns.
+    """
+    bits = _bloom_bits(spark, sf_dir)
+    hit = " AND ".join(
+        f"substr('{{bits}}', pmod(cast(conv(substr(md5(concat('b{i}:', s)), 1, 8),"
+        f" 16, 10) as bigint), {_BLOOM_M_SMALL}) + 1, 1) = '1'"
+        for i in range(_BLOOM_K)
+    ).format(bits=bits)
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .filter(F.col("doc_id") % _EVAL_MOD != 0)
+        .selectExpr("doc_id", f"{_TOKENS} AS toks")
+        .filter("size(toks) >= 3")
+        .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
+        .selectExpr(
+            "doc_id",
+            "CAST(size(shingles) AS BIGINT) AS n_shingles",
+            f"CAST(size(filter(shingles, s -> {hit})) AS BIGINT) AS n_bloom_hits",
+        )
+        .filter("n_bloom_hits > 0")
+    )
+    return run_to_memory(stream, "append")

@@ -276,3 +276,25 @@ def test_streaming_kmv_merge_across_real_micro_batches(spark):
         n <= _SKW_K
         for n in state["sketch"].groupBy("event_type").count().rdd.map(lambda r: r[1]).collect()
     )
+
+
+def test_streaming_decontam_gate_matches_batch_filter(spark, sf_dir):
+    """The availableNow replay of the ingest gate must reproduce the batch
+    Bloom filter's hit census (same bitmap, same semantics)."""
+    from ai_metadata_lineage_pyspark_spark.operators.decontam import (
+        bloom_decontam_smallm,
+    )
+    from ai_metadata_lineage_pyspark_spark.streaming.gates import (
+        streaming_decontam_gate,
+    )
+
+    got = {
+        (r.doc_id, r.n_shingles, r.n_bloom_hits)
+        for r in streaming_decontam_gate(spark, sf_dir).collect()
+    }
+    want = {
+        (r.doc_id, r.n_shingles, r.n_bloom_hits)
+        for r in bloom_decontam_smallm(spark, sf_dir).collect()
+        if r.n_bloom_hits > 0
+    }
+    assert got == want
