@@ -65,6 +65,20 @@ METAMORPHIC_QUERIES = [
     # documents table and must be invariant to its physical layout
     "hybrid_search_rrf",
     "bloom_decontam_smallm",
+    # r8 continuation additions: every one consumes documents and claims
+    # engine-exact determinism, so physical layout must not leak into values
+    "chunk_dedup_reconstruct",
+    "source_priority_dedup",
+    "lm_quality_buckets",
+    "minhash_band_sweep",
+    "curation_funnel_report",
+    "token_simpson_diversity",
+    "langid_confusion_matrix",
+    "simhash_hamming_pairs_capped",
+    "decontam_ngram_sweep",
+    "bloom_m_sweep",
+    "quality_score_rank_correlation",
+    "stratified_topk_sample",
 ]
 
 

@@ -452,3 +452,56 @@ def test_scd2_history_is_single_shuffle(q):
     df = q("scd2_user_state_history")
     assert I.shuffle_exchange_count(df) == 1
     assert I.physical_plan(df).count("Sort ") == 1
+
+
+# --- continuation-session (r8 batches 4-13) plan contracts ------------------
+
+
+def test_embedding_dim_stats_is_pure_map_side_combine(q):
+    df = q("embedding_dim_stats")
+    # one dim-keyed exchange fed by a partial aggregate; the scan must read
+    # ONLY the embedding column (the constant-1912-byte-shuffle property
+    # measured in ARTIFACTS/r08_scaling_probe_batch456.md)
+    assert I.partial_aggregate_count(df) >= 1
+    assert I.shuffle_exchange_count(df) == 1
+    assert all(cols == ["embedding"] for cols in I.scan_columns(df))
+
+
+def test_token_simpson_diversity_has_zero_shuffles(q):
+    # the entire Simpson fold is in-row: no exchange anywhere in the plan
+    assert I.shuffle_exchange_count(q("token_simpson_diversity")) == 0
+
+
+def test_stratified_topk_sample_prunes_below_the_window(q):
+    # rank<=k must compile to WindowGroupLimit (per-map-task top-k pre-prune)
+    assert "WindowGroupLimit" in I.physical_plan(q("stratified_topk_sample"))
+
+
+def test_source_priority_dedup_argmin_is_partial_combined(q):
+    # the packed-BIGINT MIN must partial-aggregate before the hash exchange
+    df = q("source_priority_dedup")
+    assert I.partial_aggregate_count(df) >= 1
+    assert I.cartesian_product_count(df) == 0
+
+
+def test_new_pair_generators_have_no_cartesian_products(q):
+    for name in [
+        "chunk_dedup_reconstruct",
+        "minhash_band_sweep",
+        "simhash_hamming_pairs",
+        "simhash_hamming_pairs_capped",
+        "decontam_ngram_sweep",
+        "bloom_m_sweep",
+        "curation_funnel_report",
+        "lm_quality_buckets",
+        "embedding_quantile_normalize",
+        "ivf_nprobe_sweep",
+        "winsorized_group_stats",
+        "quality_score_rank_correlation",
+    ]:
+        assert I.cartesian_product_count(q(name)) == 0, name
+
+
+def test_bloom_sweep_broadcasts_eval_positions(q):
+    # the train side must never shuffle: eval positions join is broadcast
+    assert I.broadcast_join_count(q("bloom_m_sweep")) >= 2
