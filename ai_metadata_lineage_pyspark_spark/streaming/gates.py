@@ -141,3 +141,52 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("n_bloom_hits > 0")
     )
     return run_to_memory(stream, "append")
+
+
+# ---------------------------------------------------------------------------
+# streaming_vocab_topk — the canonical streaming word count, done with the
+# determinism the batch registry demands: complete-output-mode aggregation
+# (the one output mode that permits sort+limit after a streaming agg) over
+# the document stream, emitting the top-50 tokens by occurrence with a
+# total-order tiebreak. Exercises the output-mode surface the other
+# streaming ops don't touch (sessions/joins run append or update).
+# ---------------------------------------------------------------------------
+
+_VOCAB_TOP_K = 50
+
+
+@register(
+    "streaming_vocab_topk",
+    oracle=f"""
+    WITH x AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS token
+      FROM documents
+    )
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM x
+    GROUP BY token
+    ORDER BY n_occurrences DESC, token ASC
+    LIMIT {_VOCAB_TOP_K}
+    """,
+)
+def streaming_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-{k} corpus tokens (complete mode + sort + limit).
+
+    Plan: stateless explode inside the stream, ONE streaming aggregation
+    keyed by token (state = one count per distinct token — vocabulary-
+    bounded, the same Zipf-skew envelope the batch wordcount documents),
+    then the complete-mode sort+limit that only this output mode allows.
+    No COUNT(DISTINCT) (unsupported in streaming aggs — the batch twin
+    corpus_vocabulary carries the per-token doc frequency instead).
+    availableNow replay equals the batch answer, hash-checked by the
+    same relational oracle with a (count DESC, token ASC) total order.
+    """
+    stream = (
+        read_documents_stream(spark, sf_dir)
+        .selectExpr(f"explode({_TOKENS}) AS token")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(_VOCAB_TOP_K)
+    )
+    return run_to_memory(stream, "complete")

@@ -298,3 +298,16 @@ def test_streaming_decontam_gate_matches_batch_filter(spark, sf_dir):
         if r.n_bloom_hits > 0
     }
     assert got == want
+
+
+def test_streaming_vocab_topk_matches_batch_counts(spark, sf_dir):
+    """Complete-mode streaming top-k must equal the batch wordcount's
+    occurrence counts on the availableNow replay."""
+    from ai_metadata_lineage_pyspark_spark.operators.profile import corpus_vocabulary
+    from ai_metadata_lineage_pyspark_spark.streaming.gates import streaming_vocab_topk
+
+    got = {(r.token, r.n_occurrences) for r in streaming_vocab_topk(spark, sf_dir).collect()}
+    want = {
+        (r.token, r.n_occurrences) for r in corpus_vocabulary(spark, sf_dir).collect()
+    }
+    assert got == want
