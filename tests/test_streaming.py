@@ -280,11 +280,11 @@ def test_streaming_kmv_merge_across_real_micro_batches(spark):
 
 def test_streaming_decontam_gate_matches_batch_filter(spark, sf_dir):
     """The availableNow replay of the ingest gate must reproduce the batch
-    Bloom filter's hit census (same bitmap, same semantics)."""
-    from ai_metadata_lineage_pyspark_spark.operators.decontam import (
-        bloom_decontam_smallm,
-    )
+    evaluation of the SAME gate frame (same fitted bitmap, same KM
+    probes) — streaming execution must not change the census."""
     from ai_metadata_lineage_pyspark_spark.streaming.gates import (
+        _bloom_bits,
+        _gate_frame,
         streaming_decontam_gate,
     )
 
@@ -292,12 +292,19 @@ def test_streaming_decontam_gate_matches_batch_filter(spark, sf_dir):
         (r.doc_id, r.n_shingles, r.n_bloom_hits)
         for r in streaming_decontam_gate(spark, sf_dir).collect()
     }
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     want = {
         (r.doc_id, r.n_shingles, r.n_bloom_hits)
-        for r in bloom_decontam_smallm(spark, sf_dir).collect()
-        if r.n_bloom_hits > 0
+        for r in _gate_frame(batch_docs, _bloom_bits(spark, sf_dir)).collect()
     }
     assert got == want
+    # every true contamination must be flagged (Bloom has no false negatives)
+    from ai_metadata_lineage_pyspark_spark.operators.decontam import (
+        benchmark_decontam,
+    )
+
+    truly_contaminated = {r.doc_id for r in benchmark_decontam(spark, sf_dir).collect()}
+    assert truly_contaminated <= {d for d, _, _ in got}
 
 
 def test_streaming_vocab_topk_matches_batch_counts(spark, sf_dir):
