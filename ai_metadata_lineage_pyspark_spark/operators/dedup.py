@@ -1898,3 +1898,106 @@ def simhash_hamming_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("hamming_distance") <= _HAM_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# dedup_cluster_size_histogram — the duplication census a curation run
+# publishes: how much of the corpus sits in near-dup clusters, and in what
+# cluster sizes (log2 buckets). Bucket 0 is the singleton mass (docs in no
+# near-dup pair — every component from the pair graph has size >= 2, so
+# the buckets cannot collide); the share columns answer "what fraction of
+# the corpus would dedup remove" directly.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE {_PAIRS_SQL_CTES},
+    e AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM e
+      UNION
+      SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a
+    ),
+    comp AS (
+      SELECT a AS doc_id, LEAST(a, MIN(b)) AS component_id
+      FROM reach GROUP BY a
+    ),
+    sizes AS (
+      SELECT component_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM comp GROUP BY component_id
+    ),
+    tot AS (
+      SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS total_docs,
+        CAST(COALESCE((SELECT SUM(c) FROM sizes), 0) AS BIGINT) AS in_docs
+    ),
+    hist AS (
+      SELECT CAST(floor(log2(c)) AS BIGINT) AS log2_bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_components,
+        CAST(SUM(c) AS BIGINT) AS n_docs,
+        CAST(MIN(c) AS BIGINT) AS min_size,
+        CAST(MAX(c) AS BIGINT) AS max_size
+      FROM sizes GROUP BY floor(log2(c))
+      UNION ALL
+      SELECT CAST(0 AS BIGINT), total_docs - in_docs, total_docs - in_docs,
+        CAST(1 AS BIGINT), CAST(1 AS BIGINT)
+      FROM tot
+    )
+    SELECT h.log2_bucket, h.n_components, h.n_docs, h.min_size, h.max_size,
+      (h.n_docs * 1000000) // t.total_docs AS docs_share_ppm
+    FROM hist h CROSS JOIN tot t
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log2 histogram of near-dup cluster sizes + singleton mass.
+
+    Plan: rides the memoized (doc_id, label) component table (the
+    neardup_components subgraph — computed once per session scope), so
+    the histogram itself is a label-keyed count, a <=handful-of-buckets
+    rollup with map-side combine, and two one-row censuses broadcast for
+    the singleton row and the ppm shares. At 100 TB everything past the
+    (already-priced) component pass is bounded by bucket count. The log2
+    bucket uses the key_skew_histogram convention (floor(log2(exact
+    integer)) — correctly-rounded in both engines, exact at powers of 2).
+    """
+    labels = _neardup_labels(spark, sf_dir)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("c"))
+    tot = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .agg(F.count(F.lit(1)).alias("total_docs"))
+        .crossJoin(F.broadcast(sizes.agg(
+            F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("in_docs")
+        )))
+    )
+    hist = sizes.groupBy(
+        F.expr("CAST(floor(log2(c)) AS BIGINT)").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.sum("c").alias("n_docs"),
+        F.min("c").alias("min_size"),
+        F.max("c").alias("max_size"),
+    )
+    singles = tot.selectExpr(
+        "CAST(0 AS BIGINT) AS log2_bucket",
+        "total_docs - in_docs AS n_components",
+        "total_docs - in_docs AS n_docs",
+        "CAST(1 AS BIGINT) AS min_size",
+        "CAST(1 AS BIGINT) AS max_size",
+    )
+    return (
+        hist.unionAll(singles)
+        .crossJoin(F.broadcast(tot.select("total_docs")))
+        .selectExpr(
+            "log2_bucket",
+            "n_components",
+            "n_docs",
+            "min_size",
+            "max_size",
+            "(n_docs * 1000000) DIV total_docs AS docs_share_ppm",
+        )
+    )

@@ -651,3 +651,21 @@ def test_stratified_topk_sample_exact_k(spark, sf_dir):
     assert all(n == 20 for n in per.values())
     ranks = {r.lang: r.mx for r in df.groupBy("lang").agg(SF.max("sample_rank").alias("mx")).collect()}
     assert all(mx == 20 for mx in ranks.values())
+
+
+def test_dedup_cluster_size_histogram_partitions_the_corpus(spark, sf_dir):
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        dedup_cluster_size_histogram,
+    )
+
+    rows = dedup_cluster_size_histogram(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == 500  # every doc in exactly one bucket
+    assert sum(r.docs_share_ppm for r in rows) <= 1_000_000  # floor-ppm sums under 1
+    for r in rows:
+        if r.log2_bucket == 0:
+            assert r.min_size == r.max_size == 1  # singleton mass
+        else:
+            assert r.min_size >= 2  # components from pairs are never singletons
+            assert (1 << r.log2_bucket) <= r.min_size <= r.max_size < (
+                1 << (r.log2_bucket + 1)
+            )
