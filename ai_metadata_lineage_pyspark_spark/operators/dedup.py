@@ -1463,7 +1463,8 @@ _PRIO_PACK = 1_000_000_000_000
         AS kept_doc_id,
       CAST(MIN(priority * {_PRIO_PACK} + doc_id) // {_PRIO_PACK} AS BIGINT)
         AS kept_priority,
-      'src' || CAST(MIN(priority * {_PRIO_PACK} + doc_id) // {_PRIO_PACK} AS VARCHAR)
+      substr(MIN(lpad(CAST(priority AS VARCHAR), 13, '0')
+                 || lpad(CAST(doc_id AS VARCHAR), 13, '0') || source), 27)
         AS kept_source
     FROM d
     GROUP BY text_hash
@@ -1479,15 +1480,28 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_dedup. COUNT(DISTINCT source) rewrites to a two-level expand on
     the same key; source cardinality is tiny so the expansion factor is
     bounded.
+
+    kept_source carries the winning row's ACTUAL source string (r9,
+    per-advice): a lexicographic MIN over a fixed-width zero-padded
+    '<priority><doc_id><source>' pack — the same total order as the
+    packed-BIGINT argmin (ASCII digit comparison == numeric on equal
+    width), still a plain map-side-combinable MIN, but immune to source-
+    format drift ('src03' reconstructing as 'src3' under the old
+    'src' || priority rebuild).
     """
     docs = fan_out(load(spark, sf_dir, "documents"))
     norm_hash = F.md5(F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")))
     packed = F.expr(f"CAST(substr(source, 4) AS BIGINT) * {_PRIO_PACK} + doc_id")
+    packed_src = F.expr(
+        "concat(lpad(CAST(CAST(substr(source, 4) AS BIGINT) AS STRING), 13, '0'),"
+        " lpad(CAST(doc_id AS STRING), 13, '0'), source)"
+    )
     return (
         docs.select(
             norm_hash.alias("text_hash"),
             "source",
             packed.alias("packed"),
+            packed_src.alias("packed_src"),
         )
         .groupBy("text_hash")
         .agg(
@@ -1497,9 +1511,7 @@ def source_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(MIN(packed) DIV {_PRIO_PACK} AS BIGINT)").alias(
                 "kept_priority"
             ),
-            F.expr(
-                f"concat('src', CAST(MIN(packed) DIV {_PRIO_PACK} AS STRING))"
-            ).alias("kept_source"),
+            F.expr("substr(MIN(packed_src), 27)").alias("kept_source"),
         )
     )
 
@@ -1897,6 +1909,196 @@ def simhash_hamming_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(bit_count(ha ^ hb) AS BIGINT) AS hamming_distance",
         )
         .filter(F.col("hamming_distance") <= _HAM_T)
+    )
+
+
+# ---------------------------------------------------------------------------
+# simhash64_hamming_pairs — the production-width SimHash (r9, closing the
+# 32-bit variants' own docstring note): 64-bit fingerprints split into
+# SIX blocks (11/11/10 + 11/11/10 bits), Hamming threshold 5 — a pair
+# within distance <= 5 differs in at most 5 blocks, so by pigeonhole it
+# agrees exactly on >= 1 of the 6 (same provable-superset guarantee as
+# the 32-bit/4-block variant, Manku WWW'07 §3). The wider ~11-bit block
+# alphabet (2048/1024 values per position vs 256) is what actually fixes
+# the 100 TB skew problem: expected bucket occupancy drops 4-8x at equal
+# corpus size, and the star cap bounds whatever skew remains.
+#
+# Engine exactness: a full 64-bit fingerprint in a signed BIGINT risks
+# sign-dependent shift semantics (Spark shiftright sign-extends), so the
+# fingerprint lives as TWO non-negative 32-bit halves (hi = md5 hex
+# digits 0-7 — bit-identical to the 32-bit family's simhash_int — and
+# lo = digits 8-15). Block values are plain >>/& on non-negative ints;
+# Hamming = bit_count(hi_a^hi_b) + bit_count(lo_a^lo_b). Nothing signed,
+# nothing float.
+# ---------------------------------------------------------------------------
+
+_HAM64_T = 5  # <= 6 blocks - 1 by pigeonhole
+
+# 6 blocks over (hi, lo): three per half, widths 11/11/10
+_BLK64_SQL = """CASE j.j
+          WHEN 0 THEN (hi >> 21) & 2047
+          WHEN 1 THEN (hi >> 10) & 2047
+          WHEN 2 THEN hi & 1023
+          WHEN 3 THEN (lo >> 21) & 2047
+          WHEN 4 THEN (lo >> 10) & 2047
+          ELSE lo & 1023
+        END"""
+
+_TOKEN_BITS64 = (
+    "transform(sequence(0, 63), k ->"
+    " 2 * ((instr('0123456789abcdef', substr(md5(t), k div 4 + 1, 1)) - 1)"
+    " div shiftleft(1, 3 - k % 4) % 2) - 1)"
+)
+_SIMHASH64_SUMS = (
+    f"aggregate({_TOKENS}, array_repeat(cast(0 as bigint), 64),"
+    f" (acc, t) -> zip_with(acc, {_TOKEN_BITS64}, (x, y) -> x + y))"
+)
+
+_SIMHASH64_INT_CTES = """
+    tok64 AS (
+      SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
+      FROM documents
+    ),
+    bits64 AS (
+      SELECT doc_id, (j.j * 4 + k.k) AS bit_index,
+        2 * (((strpos('0123456789abcdef', substr(md5(t), j.j + 1, 1)) - 1)
+              // (1 << (3 - k.k))) % 2) - 1 AS w
+      FROM tok64, range(16) j(j), range(4) k(k)
+    ),
+    sums64 AS (
+      SELECT doc_id, bit_index, SUM(w) AS s FROM bits64
+      GROUP BY doc_id, bit_index
+    ),
+    bitvals64 AS (
+      SELECT doc_id, bit_index, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b
+      FROM sums64
+    ),
+    ints64 AS (
+      SELECT doc_id,
+        SUM(CASE WHEN bit_index < 32
+                 THEN CAST(b AS BIGINT) << (31 - bit_index) ELSE 0 END) AS hi,
+        SUM(CASE WHEN bit_index >= 32
+                 THEN CAST(b AS BIGINT) << (63 - bit_index) ELSE 0 END) AS lo
+      FROM bitvals64 GROUP BY doc_id
+    )
+"""
+
+
+@register(
+    "simhash64_hamming_pairs",
+    oracle=f"""
+    WITH {_SIMHASH64_INT_CTES},
+    blocks64 AS (
+      SELECT doc_id, j.j AS blk,
+        {_BLK64_SQL} AS blk_val
+      FROM ints64, range(6) j(j)
+    ),
+    buckets64 AS (
+      SELECT blk, blk_val, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM blocks64 GROUP BY blk, blk_val
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    small64 AS (
+      SELECT blk, blk_val, unnest(ids) AS d
+      FROM buckets64 WHERE len(ids) <= {_BUCKET_CAP}
+    ),
+    clique64 AS (
+      SELECT x.d AS doc_a, y.d AS doc_b
+      FROM small64 x JOIN small64 y
+        ON x.blk = y.blk AND x.blk_val = y.blk_val AND x.d < y.d
+    ),
+    star64 AS (
+      SELECT ids[1] AS doc_a, unnest(ids[2:]) AS doc_b
+      FROM buckets64 WHERE len(ids) > {_BUCKET_CAP}
+    ),
+    cand64 AS (
+      SELECT DISTINCT doc_a, doc_b
+      FROM (SELECT * FROM clique64 UNION ALL SELECT * FROM star64)
+    ),
+    verified64 AS (
+      SELECT c.doc_a, c.doc_b,
+        CAST(bit_count(xor(ia.hi, ib.hi)) + bit_count(xor(ia.lo, ib.lo))
+             AS BIGINT) AS hamming_distance
+      FROM cand64 c
+      JOIN ints64 ia ON ia.doc_id = c.doc_a
+      JOIN ints64 ib ON ib.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, hamming_distance
+    FROM verified64
+    WHERE hamming_distance <= {_HAM64_T}
+    """,
+)
+def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit/6-block SimHash near-dup pairs (Hamming <= {_HAM64_T}),
+    capped star topology for hot buckets — the production-width variant
+    the 32-bit family's docstring names as the real deployment shape.
+
+    Plan: identical to simhash_hamming_pairs_capped — in-row fingerprint
+    fold (zero shuffle), 6 (position, block) keys per doc into ONE
+    band-keyed groupBy with sorted-bucket clique/star emission, doc-keyed
+    verify join over the scoped-persisted fingerprints — but each block
+    position now has a 2048/1024-value alphabet, so per-bucket occupancy
+    (the quantity the 8-bit variant's 10x probe showed going quadratic)
+    drops ~4-8x before the cap even engages. The oracle replays the
+    capped semantics exactly, star branch included.
+    """
+    release_persisted()  # drop any prior invocation's cached intermediates
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    fp = scoped_persist(
+        docs.selectExpr("doc_id", f"{_SIMHASH64_SUMS} AS bs").selectExpr(
+            "doc_id",
+            "aggregate(zip_with(slice(bs, 1, 32), sequence(0, 31),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 31 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS hi",
+            "aggregate(zip_with(slice(bs, 33, 32), sequence(32, 63),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 63 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS lo",
+        )
+    )
+    blk_exprs = ", ".join(
+        f"struct({j} AS blk, {expr} AS blk_val)"
+        for j, expr in enumerate(
+            [
+                "shiftright(hi, 21) & 2047",
+                "shiftright(hi, 10) & 2047",
+                "hi & 1023",
+                "shiftright(lo, 21) & 2047",
+                "shiftright(lo, 10) & 2047",
+                "lo & 1023",
+            ]
+        )
+    )
+    blocks = fp.selectExpr(
+        "doc_id", f"explode(array({blk_exprs})) AS b"
+    ).select("doc_id", "b.blk", "b.blk_val")
+    buckets = (
+        blocks.groupBy("blk", "blk_val")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    clique = (
+        buckets.filter(F.size("ids") <= _BUCKET_CAP)
+        .selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    star = buckets.filter(F.size("ids") > _BUCKET_CAP).selectExpr(
+        "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
+    )
+    cand = clique.union(star).distinct()
+    return (
+        cand.join(fp.selectExpr("doc_id AS doc_a", "hi AS ha_hi", "lo AS ha_lo"), "doc_a")
+        .join(fp.selectExpr("doc_id AS doc_b", "hi AS hb_hi", "lo AS hb_lo"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"
+            " AS BIGINT) AS hamming_distance",
+        )
+        .filter(F.col("hamming_distance") <= _HAM64_T)
     )
 
 

@@ -734,10 +734,16 @@ def _bpe_train_ctes(rounds: int) -> str:
     pairs (never intra-token substrings), and because SQL replace() is
     leftmost non-overlapping, 'aaaa' under merge (a,a) becomes [aa][aa] —
     the standard greedy-left BPE application. Words are restricted to
-    ^[a-z]+$ so '#' can never occur in a token."""
+    ^[a-z]+$ so '#' can never occur in a token.
+
+    Every chained CTE is MATERIALIZED (r9): DuckDB inlines plain CTEs per
+    reference and v{r}/b{r} are each referenced twice per round, so the
+    un-hinted chain re-expanded v0 EXPONENTIALLY (2^rounds scans of
+    `documents` — harmlessly wasteful at 6 rounds, fd-exhaustion-fatal at
+    the 24-round incremental fit)."""
     parts = [
         r"""
-    WITH w AS (
+    WITH w AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word
       FROM (
         SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
@@ -746,7 +752,7 @@ def _bpe_train_ctes(rounds: int) -> str:
       WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
       GROUP BY word
     ),
-    v0 AS (
+    v0 AS MATERIALIZED (
       SELECT '##' || regexp_replace(word, '(.)', '\1##', 'g') AS seq, n_word
       FROM w
     )"""
@@ -754,7 +760,7 @@ def _bpe_train_ctes(rounds: int) -> str:
     for r in range(1, rounds + 1):
         parts.append(
             f""",
-    p{r} AS (
+    p{r} AS MATERIALIZED (
       SELECT t.toks[u.i] AS left_tok, t.toks[u.i + 1] AS right_tok,
              CAST(SUM(t.n_word) AS BIGINT) AS n_occurrences
       FROM (
@@ -765,13 +771,13 @@ def _bpe_train_ctes(rounds: int) -> str:
       CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) u
       GROUP BY left_tok, right_tok
     ),
-    b{r} AS (
+    b{r} AS MATERIALIZED (
       SELECT CAST({r} AS BIGINT) AS round, left_tok, right_tok, n_occurrences
       FROM p{r}
       ORDER BY n_occurrences DESC, left_tok ASC, right_tok ASC
       LIMIT 1
     ),
-    v{r} AS (
+    v{r} AS MATERIALIZED (
       SELECT replace(v.seq, '#' || b.left_tok || '##' || b.right_tok || '#',
                      '#' || b.left_tok || b.right_tok || '#') AS seq,
              v.n_word
@@ -903,19 +909,27 @@ def _fitted_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a literal DataFrame (zero executor storage), and reused until
     `release_models()` — the fitted-tokenizer shape a production encode
     job uses. The trainer's scoped-persisted vocab rounds are released
-    immediately after materialization."""
+    immediately after materialization — and ONLY the trainer's own
+    (scope-marked, per-advice r9): a blanket release_persisted() here
+    also cleared the cross-query memo tier, so an encode running between
+    two consumers of the memoized neardup labels forced a full
+    MinHash->LSH->label-prop recompute."""
     from ..functions.cache import (  # noqa: PLC0415
         model_memo_get,
         model_memo_put,
-        release_persisted,
+        persist_scope_mark,
+        release_persisted_since,
     )
 
     key = ("bpe_merges", spark.sparkContext.applicationId, sf_dir)
     cached = model_memo_get(key)
     if cached is None:
+        mark = persist_scope_mark()
         fitted = bpe_train_merges(spark, sf_dir)
         rows = fitted.collect()
-        release_persisted()  # the trainer's vocab rounds are now dead weight
+        # the trainer's vocab rounds are now dead weight; earlier scopes
+        # and the _MEMO tier stay live
+        release_persisted_since(mark)
         cached = model_memo_put(
             key, spark.createDataFrame(rows, fitted.schema)
         )
@@ -1034,6 +1048,143 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(n_w * n_tok_after) * 1000000"
             " DIV SUM(n_w * length(word)) AS BIGINT)"
         ).alias("tokens_per_mchar"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges_incremental — the PRODUCTION-fit BPE recurrence (r9,
+# closing bpe_train_merges' own honesty note): a ~30k-merge vocabulary
+# cannot re-count every adjacent pair of every word each round. The classic
+# heap-based trainers maintain the pair-count table INCREMENTALLY — after
+# merging (L, R) only the words that actually contain '#L##R#' can change
+# any count, so the per-round delta is
+#     delta = pairs(affected words, after merge) - pairs(them, before)
+# folded into the persisted count table by a full-outer join. Re-counting
+# the affected words wholesale (rather than patching neighbors in place)
+# keeps the recurrence EXACT under overlap subtleties ('aaaa' + merge
+# (a,a)), so after R rounds the table is bit-identical to a full recount —
+# which is precisely what the oracle checks: DuckDB replays the R-round
+# full-recount chain, and a hash match PROVES the incremental recurrence
+# equals the specification.
+#
+# Per-round cost: one codegen contains()-filter + replace() scan over the
+# vocabulary (same as the full trainer's apply stage) + a pair explode of
+# the AFFECTED words only + a pair-vocabulary-sized outer merge — vs the
+# full trainer's per-round explode of EVERY token of EVERY word through a
+# shuffle. Affected-word mass shrinks as merges specialize, so per-round
+# cost flattens where the full recount stays corpus-vocabulary-sized.
+# Iteration state (vocab, counts) is localCheckpoint'd each round: plan
+# depth stays constant over 24 rounds instead of nesting 24 outer joins.
+# ---------------------------------------------------------------------------
+
+_BPE_INC_ROUNDS = 24
+
+
+@register(
+    "bpe_train_merges_incremental",
+    oracle=_bpe_train_oracle(_BPE_INC_ROUNDS),
+)
+def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_BPE_INC_ROUNDS}-round BPE fit with incremental pair-count
+    maintenance (module note above). Identical merge semantics to
+    bpe_train_merges — greedy-left '#'-string replace, ties
+    (count DESC, left ASC, right ASC) — but the per-round pair shuffle
+    carries only the delta from words containing the merged pair. The
+    oracle replays a {_BPE_INC_ROUNDS}-round FULL-RECOUNT chain, so the
+    driver's hash check is the proof that the incremental recurrence
+    reproduces the specification exactly."""
+    words = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select(F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"))
+        .where("word rlike '^[a-z]+$' AND length(word) >= 2")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    vocab = (
+        words.select(
+            F.expr("'##' || regexp_replace(word, '(.)', '$1##')").alias("seq"),
+            "n_word",
+        )
+        .localCheckpoint()
+    )
+
+    def _pairs(df: DataFrame, weight_expr: str, seq_col: str = "seq") -> DataFrame:
+        return (
+            df.withColumn(
+                "toks", F.expr(f"filter(split({seq_col}, '##'), x -> x <> '')")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(toks, 1, size(toks) - 1),"
+                        " slice(toks, 2, size(toks) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok))"
+                    )
+                ).alias("pair"),
+                F.expr(weight_expr).alias("w"),
+            )
+            .select("pair.left_tok", "pair.right_tok", "w")
+        )
+
+    # base fit: ONE full pair count (the only corpus-vocabulary-sized
+    # explode in the whole fit)
+    counts = (
+        _pairs(vocab, "n_word")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.sum("w").alias("n"))
+        .localCheckpoint()
+    )
+    merges: list[DataFrame] = []
+    for r in range(1, _BPE_INC_ROUNDS + 1):
+        best = (
+            counts.orderBy(
+                F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
+            )
+            .limit(1)
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "left_tok",
+                "right_tok",
+                F.col("n").alias("n_occurrences"),
+            )
+            .localCheckpoint()
+        )
+        merges.append(best)
+        pat = "'#' || left_tok || '##' || right_tok || '#'"
+        rep = "'#' || left_tok || right_tok || '#'"
+        tagged = vocab.crossJoin(F.broadcast(best)).select(
+            "seq", "n_word", F.expr(f"instr(seq, {pat}) > 0").alias("hit"),
+            F.expr(f"replace(seq, {pat}, {rep})").alias("new_seq"),
+        )
+        affected = tagged.filter("hit")
+        delta = (
+            _pairs(affected, "-n_word")
+            .unionAll(_pairs(affected, "n_word", "new_seq"))
+            .groupBy("left_tok", "right_tok")
+            .agg(F.sum("w").alias("d"))
+        )
+        counts = (
+            counts.join(delta, ["left_tok", "right_tok"], "full_outer")
+            .select(
+                "left_tok",
+                "right_tok",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("n"),
+            )
+            .filter("n > 0")
+            .localCheckpoint()
+        )
+        vocab = tagged.select(
+            F.col("new_seq").alias("seq"), "n_word"
+        ).localCheckpoint()
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out.select(
+        "round",
+        "left_tok",
+        "right_tok",
+        F.expr("left_tok || right_tok").alias("merged"),
+        "n_occurrences",
     )
 
 
@@ -1238,13 +1389,19 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy, one doc-keyed join of two doc-cardinality tables — linear
     end to end, no bigram-level join against the corpus."""
     docs = fan_out(load(spark, sf_dir, "documents"))
+    # Short-doc guard: on a 1-token doc Spark's sequence(1, size-1) is
+    # sequence(1, 0) = [1, 0] (DESCENDING), yielding a bogus [NULL] bigram
+    # array where DuckDB's generate_series(1, 0) is empty — so gate the
+    # build on size >= 2 (same guard pattern as the 3-token shingle floor).
     b = docs.select(
         "doc_id",
         F.expr(
-            "array_distinct(transform("
-            " sequence(1, size(split(lower(text), '\\\\s+')) - 1),"
-            " i -> concat(split(lower(text), '\\\\s+')[i - 1], ' ',"
-            "             split(lower(text), '\\\\s+')[i])))"
+            "CASE WHEN size(split(lower(text), '\\\\s+')) >= 2 THEN"
+            " array_distinct(transform("
+            "  sequence(1, size(split(lower(text), '\\\\s+')) - 1),"
+            "  i -> concat(split(lower(text), '\\\\s+')[i - 1], ' ',"
+            "              split(lower(text), '\\\\s+')[i])))"
+            " ELSE array() END"
         ).alias("bis"),
     )
     per_doc = b.select("doc_id", F.size("bis").cast("long").alias("n_bigrams"))

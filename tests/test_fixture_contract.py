@@ -118,3 +118,19 @@ def test_normalizer_rejects_unknown_dtype(spark):
     df = spark.range(1).select(F.col("id").cast("string").alias("ts"))
     with pytest.raises(TypeError, match="unsupported dtype"):
         normalize_events_ts(df)
+
+
+def test_documents_source_format_contract(spark, sf_dir):
+    """source_priority_dedup parses priority as CAST(substr(source, 4) AS
+    BIGINT): the fixture contract is source = 'src<unpadded integer>'.
+    A non-numeric or zero-padded suffix would NULL / misparse the
+    priority silently — fail loudly on drift instead (r9 advice)."""
+    bad = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(
+            "source IS NULL OR source NOT RLIKE '^src(0|[1-9][0-9]*)$'"
+        )
+        .limit(5)
+        .collect()
+    )
+    assert not bad, f"source format drift: {[r.source for r in bad]}"

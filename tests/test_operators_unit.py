@@ -669,3 +669,117 @@ def test_dedup_cluster_size_histogram_partitions_the_corpus(spark, sf_dir):
             assert (1 << r.log2_bucket) <= r.min_size <= r.max_size < (
                 1 << (r.log2_bucket + 1)
             )
+
+
+def test_simhash64_hi_half_matches_32bit_fingerprint(spark, tmp_path):
+    # the 64-bit fingerprint's hi half is md5 hex digits 0-7 — by
+    # construction bit-identical to the 32-bit family's simhash_int
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 30),
+        (2, "alpha beta gamma delta epsilon", 30),
+        (3, "zq wx kv jm plo ytr bnc", 23),
+        (4, "alpha beta gamma delta zeta", 27),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        _SIMHASH64_SUMS,
+        simhash,
+    )
+    from ai_metadata_lineage_pyspark_spark.functions.io import fan_out
+
+    docs = spark.read.parquet(str(tmp_path / "documents.parquet"))
+    fp64 = {
+        r.doc_id: (r.hi, r.lo)
+        for r in docs.selectExpr("doc_id", f"{_SIMHASH64_SUMS} AS bs")
+        .selectExpr(
+            "doc_id",
+            "aggregate(zip_with(slice(bs, 1, 32), sequence(0, 31),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 31 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS hi",
+            "aggregate(zip_with(slice(bs, 33, 32), sequence(32, 63),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 63 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS lo",
+        )
+        .collect()
+    }
+    fp32 = {
+        r.doc_id: r.simhash_int for r in simhash(spark, str(tmp_path)).collect()
+    }
+    for d, (hi, lo) in fp64.items():
+        assert hi == fp32[d]
+        assert 0 <= hi < 2**32 and 0 <= lo < 2**32
+
+
+def test_simhash64_hamming_pairs_pigeonhole_and_blocks(spark, tmp_path):
+    rows = [
+        (1, "alpha beta gamma delta epsilon", 30),
+        (2, "alpha beta gamma delta epsilon", 30),  # identical -> distance 0
+        (3, "alpha beta gamma delta zeta", 27),
+        (4, "totally unrelated words qqq www eee", 35),
+    ]
+    spark.createDataFrame(rows, ["doc_id", "text", "n_chars"]).write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        simhash64_hamming_pairs,
+    )
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming_distance
+        for r in simhash64_hamming_pairs(spark, str(tmp_path)).collect()
+    }
+    assert pairs[(1, 2)] == 0
+    assert all(d <= 5 for d in pairs.values())
+    assert all(a < b for a, b in pairs)
+    # pigeonhole completeness: brute-force 64-bit Hamming <= 5 pairs must
+    # all be present (block candidates are a provable superset)
+    import hashlib
+
+    def fp64(text):
+        sums = [0] * 64
+        for t in text.lower().split():
+            h = hashlib.md5(t.encode()).hexdigest()
+            for k in range(64):
+                bit = (int(h[k // 4], 16) >> (3 - k % 4)) & 1
+                sums[k] += 1 if bit else -1
+        hi = sum(1 << (31 - k) for k in range(32) if sums[k] > 0)
+        lo = sum(1 << (63 - k) for k in range(32, 64) if sums[k] > 0)
+        return hi, lo
+
+    fps = {d: fp64(t) for d, t, _ in rows}
+    for a in fps:
+        for b in fps:
+            if a < b:
+                ham = bin(fps[a][0] ^ fps[b][0]).count("1") + bin(
+                    fps[a][1] ^ fps[b][1]
+                ).count("1")
+                if ham <= 5:
+                    assert pairs.get((a, b)) == ham
+
+
+def test_bpe_incremental_prefix_equals_full_trainer(spark, sf_dir):
+    # the incremental recurrence must reproduce the full-recount trainer's
+    # merge table exactly on their shared 6-round prefix (same corpus, same
+    # tie-breaks); rounds 7-24 are covered by the registry oracle, which
+    # replays a 24-round full recount in DuckDB
+    from ai_metadata_lineage_pyspark_spark.operators.search import (
+        _BPE_ROUNDS,
+        bpe_train_merges,
+        bpe_train_merges_incremental,
+    )
+
+    full = {
+        r.round: (r.left_tok, r.right_tok, r.merged, r.n_occurrences)
+        for r in bpe_train_merges(spark, sf_dir).collect()
+    }
+    inc = {
+        r.round: (r.left_tok, r.right_tok, r.merged, r.n_occurrences)
+        for r in bpe_train_merges_incremental(spark, sf_dir).collect()
+    }
+    assert len(inc) == 24
+    for k in range(1, _BPE_ROUNDS + 1):
+        assert inc[k] == full[k], k
+    # merges are strictly consumptive: each round's count is positive
+    assert all(v[3] > 0 for v in inc.values())

@@ -307,6 +307,31 @@ def test_streaming_decontam_gate_matches_batch_filter(spark, sf_dir):
     assert truly_contaminated <= {d for d, _, _ in got}
 
 
+def test_gate_vectorized_probe_equals_hof_variant(spark, sf_dir):
+    """The vectorized mapInPandas probe (the default) and the pure-
+    expression HOF-lambda variant must produce an identical census —
+    the KM h1/h2 extraction from md5 digest bytes must be byte-identical
+    to the conv(substr(md5(..))) expression."""
+    from ai_metadata_lineage_pyspark_spark.streaming.gates import (
+        _bloom_bits,
+        _gate_frame,
+        _gate_frame_hof,
+    )
+
+    bits = _bloom_bits(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        (r.doc_id, r.n_shingles, r.n_bloom_hits)
+        for r in _gate_frame(docs, bits).collect()
+    }
+    want = {
+        (r.doc_id, r.n_shingles, r.n_bloom_hits)
+        for r in _gate_frame_hof(docs, bits).collect()
+    }
+    assert got == want
+    assert got  # non-vacuous: the fixture has contaminated docs
+
+
 def test_streaming_vocab_topk_matches_batch_counts(spark, sf_dir):
     """Complete-mode streaming top-k must equal the batch wordcount's
     occurrence counts on the availableNow replay."""
