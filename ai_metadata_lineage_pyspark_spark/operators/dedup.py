@@ -412,7 +412,27 @@ _SIMHASH_INT_CTES = """
     """,
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints. Default path is the vectorized
+    Arrow-batched probe (`_simhash_fp_pandas`, r9 HOF audit): SimHash bit
+    sums are INTEGERS (+-1 per token), so summation order cannot matter
+    and a numpy accumulation is bit-identical to the expression fold —
+    unlike the float cosine folds, which stay expression-side because
+    their cross-engine equality is summation-order-pinned. The fold
+    variant is kept as `_simhash_expr` (equality-pinned in tests); the
+    vectorized path also pays ONE md5 per DISTINCT token per batch
+    instead of one per occurrence."""
     docs = fan_out(load(spark, sf_dir, "documents"))
+    return _simhash_fp_pandas(docs, 32).selectExpr(
+        "doc_id", "simhash_int", "simhash_hex"
+    )
+
+
+def _simhash_expr(docs: DataFrame) -> DataFrame:
+    """Expression-fold 32-bit fingerprint (the original shape): kept as
+    the zero-Python-worker variant and as the equality pin for the
+    vectorized default. HOF lambdas are interpreted, and the fold pays
+    one md5 per token OCCURRENCE — measured share in
+    ARTIFACTS/r09_hof_lambda_audit.md."""
     return docs.selectExpr(
         "doc_id",
         f"{_SIMHASH_SUMS} AS bit_sums",
@@ -428,6 +448,87 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + if(bit_sums[j * 4 + 2] > 0, 2, 0) + if(bit_sums[j * 4 + 3] > 0, 1, 0)),"
         " '', (acc, d) -> concat(acc, substr('0123456789abcdef', d + 1, 1))) AS simhash_hex",
     )
+
+
+def _simhash_fp_pandas(docs: DataFrame, n_bits: int) -> DataFrame:
+    """Vectorized SimHash fingerprints over an Arrow-batched mapInPandas.
+
+    Tokenization replicates Spark's split(lower(text), '\\\\s+') exactly
+    (re.split keeps leading/trailing empty strings just like Java
+    split(regex, -1) and DuckDB regexp_split_to_array — the empty token
+    contributes its own md5 weight in all three engines). Each batch
+    computes one +-1 weight row per DISTINCT token (md5 -> unpackbits),
+    accumulates integer bit sums per doc, and packs sign bits. 32-bit
+    output: (doc_id, simhash_int, simhash_hex); 64-bit: (doc_id, hi, lo)
+    — the two unsigned halves simhash64_hamming_pairs blocks on.
+    """
+    n_bytes = n_bits // 8
+
+    def probe(batches):
+        import hashlib
+        import re
+
+        import numpy as np
+        import pandas as pd
+
+        ws = re.compile(r"\s+")
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            tok_lists = [ws.split(t.lower()) for t in pdf["text"]]
+            vocab: dict[str, int] = {}
+            for toks in tok_lists:
+                for t in toks:
+                    if t not in vocab:
+                        vocab[t] = len(vocab)
+            weights = np.empty((len(vocab), n_bits), dtype=np.int64)
+            for t, i in vocab.items():
+                d = hashlib.md5(t.encode("utf-8")).digest()[:n_bytes]
+                bits = np.unpackbits(np.frombuffer(d, dtype=np.uint8))
+                weights[i] = 2 * bits.astype(np.int64) - 1
+            out_bits = np.empty((len(pdf), n_bits), dtype=np.uint8)
+            for row, toks in enumerate(tok_lists):
+                idx = np.fromiter(
+                    (vocab[t] for t in toks), dtype=np.int64, count=len(toks)
+                )
+                sums = weights[idx].sum(axis=0)
+                out_bits[row] = (sums > 0).astype(np.uint8)
+            packed = np.packbits(out_bits, axis=1)
+            if n_bits == 32:
+                ints = [
+                    int.from_bytes(packed[r].tobytes(), "big")
+                    for r in range(len(pdf))
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "simhash_int": np.array(ints, dtype=np.int64),
+                        "simhash_hex": [f"{v:08x}" for v in ints],
+                    }
+                )
+            else:
+                his = [
+                    int.from_bytes(packed[r, :4].tobytes(), "big")
+                    for r in range(len(pdf))
+                ]
+                los = [
+                    int.from_bytes(packed[r, 4:8].tobytes(), "big")
+                    for r in range(len(pdf))
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf["doc_id"].to_numpy(),
+                        "hi": np.array(his, dtype=np.int64),
+                        "lo": np.array(los, dtype=np.int64),
+                    }
+                )
+
+    schema = (
+        "doc_id bigint, simhash_int bigint, simhash_hex string"
+        if n_bits == 32
+        else "doc_id bigint, hi bigint, lo bigint"
+    )
+    return docs.select("doc_id", "text").mapInPandas(probe, schema)
 
 
 # ---------------------------------------------------------------------------
@@ -2044,17 +2145,9 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_persisted()  # drop any prior invocation's cached intermediates
     docs = fan_out(load(spark, sf_dir, "documents"))
-    fp = scoped_persist(
-        docs.selectExpr("doc_id", f"{_SIMHASH64_SUMS} AS bs").selectExpr(
-            "doc_id",
-            "aggregate(zip_with(slice(bs, 1, 32), sequence(0, 31),"
-            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 31 - k),"
-            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS hi",
-            "aggregate(zip_with(slice(bs, 33, 32), sequence(32, 63),"
-            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 63 - k),"
-            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS lo",
-        )
-    )
+    # vectorized fingerprint (integer-exact; see simhash's docstring) —
+    # the expression-fold equivalent is pinned equal in tests
+    fp = scoped_persist(_simhash_fp_pandas(docs, 64))
     blk_exprs = ", ".join(
         f"struct({j} AS blk, {expr} AS blk_val)"
         for j, expr in enumerate(

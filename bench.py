@@ -314,6 +314,19 @@ def main() -> None:
         )
     release_models()
 
+    # round-9 additions (full record only)
+    extras9_suite = [
+        "simhash64_hamming_pairs",
+        "bpe_train_merges_incremental",
+    ]
+    extras9_timings: dict[str, float] = {}
+    extras9_steady: dict[str, float] = {}
+    for name in extras9_suite:
+        extras9_timings[name], extras9_steady[name] = timed_pair(
+            registry[name].fn, f"extras9 {name}"
+        )
+    release_models()
+
     total = round(sum(timings.values()), 3)
     full_record = {
         "metric": "headline_query_wall_clock_total",
@@ -365,6 +378,14 @@ def main() -> None:
             "queries": extras8_timings,
             "queries_steady": extras8_steady,
             "steady_total": round(sum(extras8_steady.values()), 3),
+        },
+        "extras9_suite": {
+            "metric": "round9_additions_total",
+            "value": round(sum(extras9_timings.values()), 3),
+            "unit": "sec",
+            "queries": extras9_timings,
+            "queries_steady": extras9_steady,
+            "steady_total": round(sum(extras9_steady.values()), 3),
         },
         # r9 protocol: the three raw steady samples behind every median,
         # keyed by the run label — the audit trail for host-variance claims

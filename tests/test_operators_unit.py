@@ -783,3 +783,42 @@ def test_bpe_incremental_prefix_equals_full_trainer(spark, sf_dir):
         assert inc[k] == full[k], k
     # merges are strictly consumptive: each round's count is positive
     assert all(v[3] > 0 for v in inc.values())
+
+
+def test_simhash_vectorized_equals_expression_fold(spark, sf_dir):
+    # the vectorized mapInPandas fingerprint (r9 default) must reproduce
+    # the expression fold bit-for-bit at BOTH widths: integer +-1 sums are
+    # order-independent, so any mismatch is a tokenization/hash bug
+    from ai_metadata_lineage_pyspark_spark.functions.io import fan_out, load
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        _SIMHASH64_SUMS,
+        _simhash_expr,
+        _simhash_fp_pandas,
+    )
+
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    vec32 = {
+        r.doc_id: (r.simhash_int, r.simhash_hex)
+        for r in _simhash_fp_pandas(docs, 32).collect()
+    }
+    exp32 = {
+        r.doc_id: (r.simhash_int, r.simhash_hex)
+        for r in _simhash_expr(docs).collect()
+    }
+    assert vec32 == exp32
+    vec64 = {r.doc_id: (r.hi, r.lo) for r in _simhash_fp_pandas(docs, 64).collect()}
+    exp64 = {
+        r.doc_id: (r.hi, r.lo)
+        for r in docs.selectExpr("doc_id", f"{_SIMHASH64_SUMS} AS bs")
+        .selectExpr(
+            "doc_id",
+            "aggregate(zip_with(slice(bs, 1, 32), sequence(0, 31),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 31 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS hi",
+            "aggregate(zip_with(slice(bs, 33, 32), sequence(32, 63),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 63 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS lo",
+        )
+        .collect()
+    }
+    assert vec64 == exp64
