@@ -173,31 +173,31 @@ _JACCARD_T = 0.5
 # shared by the minhash_lsh_pairs oracle and the neardup_components oracle
 # (which computes connected components over the same pair set).
 _PAIRS_SQL_CTES = f"""
-    sh AS (
+    sh AS MATERIALIZED (
       SELECT doc_id, {_SQL_SHINGLES} AS shingles
       FROM documents
       WHERE len({_SQL_TOKENS}) >= 3
     ),
-    hp AS (
+    hp AS MATERIALIZED (
       SELECT doc_id, shingles, {_HASH_PAIRS_SQL} AS hp FROM sh
     ),
-    sigs AS (
+    sigs AS MATERIALIZED (
       SELECT doc_id, shingles,
         {_sig_exprs_sql()}
       FROM hp
     ),
-    bands AS (
+    bands AS MATERIALIZED (
       SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR) AS band_key FROM sigs
       UNION ALL SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR) FROM sigs
       UNION ALL SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR) FROM sigs
       UNION ALL SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR) FROM sigs
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
       WHERE a.doc_id < b.doc_id
     ),
-    scored AS (
+    scored AS MATERIALIZED (
       SELECT c.doc_a, c.doc_b,
         len(list_intersect(sa.shingles, sb.shingles)) AS i,
         len(sa.shingles) + len(sb.shingles) AS ab
@@ -205,7 +205,7 @@ _PAIRS_SQL_CTES = f"""
       JOIN sh sa ON sa.doc_id = c.doc_a
       JOIN sh sb ON sb.doc_id = c.doc_b
     ),
-    pairs AS (
+    pairs AS MATERIALIZED (
       SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ab - i) AS jaccard
       FROM scored
       WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
@@ -375,19 +375,19 @@ _SIMHASH_SUMS = (
 # oracle and the simhash_hamming_pairs oracle so candidate generation and
 # verification run over EXACTLY the rendered fingerprints.
 _SIMHASH_INT_CTES = """
-    tok AS (
+    tok AS MATERIALIZED (
       SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
       FROM documents
     ),
-    bits AS (
+    bits AS MATERIALIZED (
       SELECT doc_id, (j.j * 4 + k.k) AS bit_index,
         2 * (((strpos('0123456789abcdef', substr(md5(t), j.j + 1, 1)) - 1)
               // (1 << (3 - k.k))) % 2) - 1 AS w
       FROM tok, range(8) j(j), range(4) k(k)
     ),
-    sums AS (SELECT doc_id, bit_index, SUM(w) AS s FROM bits GROUP BY doc_id, bit_index),
-    bitvals AS (SELECT doc_id, bit_index, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM sums),
-    ints AS (
+    sums AS MATERIALIZED (SELECT doc_id, bit_index, SUM(w) AS s FROM bits GROUP BY doc_id, bit_index),
+    bitvals AS MATERIALIZED (SELECT doc_id, bit_index, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b FROM sums),
+    ints AS MATERIALIZED (
       SELECT doc_id, SUM(CAST(b AS BIGINT) << (31 - bit_index)) AS simhash_int
       FROM bitvals GROUP BY doc_id
     )
@@ -412,27 +412,26 @@ _SIMHASH_INT_CTES = """
     """,
 )
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints. Default path is the vectorized
-    Arrow-batched probe (`_simhash_fp_pandas`, r9 HOF audit): SimHash bit
-    sums are INTEGERS (+-1 per token), so summation order cannot matter
-    and a numpy accumulation is bit-identical to the expression fold —
-    unlike the float cosine folds, which stay expression-side because
-    their cross-engine equality is summation-order-pinned. The fold
-    variant is kept as `_simhash_expr` (equality-pinned in tests); the
-    vectorized path also pays ONE md5 per DISTINCT token per batch
-    instead of one per occurrence."""
-    docs = fan_out(load(spark, sf_dir, "documents"))
-    return _simhash_fp_pandas(docs, 32).selectExpr(
-        "doc_id", "simhash_int", "simhash_hex"
-    )
+    """32-bit SimHash fingerprints via the in-row expression fold.
+
+    r9 HOF-audit verdict (ARTIFACTS/r09_hof_lambda_audit.md): the fold IS
+    interpreted (HOF lambda), but its per-element cost — one md5 plus
+    integer bit arithmetic per token — is small enough that the measured
+    A/B put the Arrow-batched vectorized twin SLOWER at this corpus shape
+    (0.36s fold vs 0.55s mapInPandas at sf0.1: Arrow text serialization +
+    Python worker round-trip exceeds the interpretation tax). The
+    vectorized twin (`_simhash_fp_pandas` — integer +-1 sums are
+    order-free, so it is bit-exact and hash-safe, with one md5 per
+    DISTINCT token per batch) stays shipped and equality-pinned for the
+    corpus shapes where per-doc token mass is large enough to flip the
+    tradeoff; the gate's Bloom probe (3 positions x substr per shingle)
+    was ~10x the per-element cost and DID flip it — that is the audit's
+    dividing line."""
+    return _simhash_expr(fan_out(load(spark, sf_dir, "documents")))
 
 
 def _simhash_expr(docs: DataFrame) -> DataFrame:
-    """Expression-fold 32-bit fingerprint (the original shape): kept as
-    the zero-Python-worker variant and as the equality pin for the
-    vectorized default. HOF lambdas are interpreted, and the fold pays
-    one md5 per token OCCURRENCE — measured share in
-    ARTIFACTS/r09_hof_lambda_audit.md."""
+    """Expression-fold 32-bit fingerprint (the default; see simhash)."""
     return docs.selectExpr(
         "doc_id",
         f"{_SIMHASH_SUMS} AS bit_sums",
@@ -701,7 +700,7 @@ _MAX_CC_ITERS = 20
     "neardup_components",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_SQL_CTES},
-    e AS (
+    e AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs
@@ -812,7 +811,7 @@ def _capped_components_oracle(cap: int) -> str:
       SELECT doc_a, doc_b FROM scored_c
       WHERE CAST(i AS DOUBLE) / (ab - i) >= {_JACCARD_T}
     ),
-    e AS (
+    e AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs_c
       UNION
       SELECT doc_b, doc_a FROM pairs_c
@@ -946,7 +945,7 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "neardup_canonical_pick",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_SQL_CTES},
-    e AS (
+    e AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs
@@ -2056,25 +2055,25 @@ _SIMHASH64_SUMS = (
 )
 
 _SIMHASH64_INT_CTES = """
-    tok64 AS (
+    tok64 AS MATERIALIZED (
       SELECT doc_id, unnest(regexp_split_to_array(lower(text), '\\s+')) AS t
       FROM documents
     ),
-    bits64 AS (
+    bits64 AS MATERIALIZED (
       SELECT doc_id, (j.j * 4 + k.k) AS bit_index,
         2 * (((strpos('0123456789abcdef', substr(md5(t), j.j + 1, 1)) - 1)
               // (1 << (3 - k.k))) % 2) - 1 AS w
       FROM tok64, range(16) j(j), range(4) k(k)
     ),
-    sums64 AS (
+    sums64 AS MATERIALIZED (
       SELECT doc_id, bit_index, SUM(w) AS s FROM bits64
       GROUP BY doc_id, bit_index
     ),
-    bitvals64 AS (
+    bitvals64 AS MATERIALIZED (
       SELECT doc_id, bit_index, CASE WHEN s > 0 THEN 1 ELSE 0 END AS b
       FROM sums64
     ),
-    ints64 AS (
+    ints64 AS MATERIALIZED (
       SELECT doc_id,
         SUM(CASE WHEN bit_index < 32
                  THEN CAST(b AS BIGINT) << (31 - bit_index) ELSE 0 END) AS hi,
@@ -2145,9 +2144,20 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     release_persisted()  # drop any prior invocation's cached intermediates
     docs = fan_out(load(spark, sf_dir, "documents"))
-    # vectorized fingerprint (integer-exact; see simhash's docstring) —
-    # the expression-fold equivalent is pinned equal in tests
-    fp = scoped_persist(_simhash_fp_pandas(docs, 64))
+    # expression-fold fingerprint (the audit-measured default — see
+    # simhash's docstring); _simhash_fp_pandas(docs, 64) is the pinned-
+    # equal vectorized alternative for heavier per-doc token mass
+    fp = scoped_persist(
+        docs.selectExpr("doc_id", f"{_SIMHASH64_SUMS} AS bs").selectExpr(
+            "doc_id",
+            "aggregate(zip_with(slice(bs, 1, 32), sequence(0, 31),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 31 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS hi",
+            "aggregate(zip_with(slice(bs, 33, 32), sequence(32, 63),"
+            " (s, k) -> if(s > 0, shiftleft(cast(1 as bigint), 63 - k),"
+            " cast(0 as bigint))), cast(0 as bigint), (a, v) -> a + v) AS lo",
+        )
+    )
     blk_exprs = ", ".join(
         f"struct({j} AS blk, {expr} AS blk_val)"
         for j, expr in enumerate(
@@ -2209,7 +2219,7 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_cluster_size_histogram",
     oracle=f"""
     WITH RECURSIVE {_PAIRS_SQL_CTES},
-    e AS (
+    e AS MATERIALIZED (
       SELECT doc_a AS a, doc_b AS b FROM pairs
       UNION
       SELECT doc_b, doc_a FROM pairs

@@ -111,12 +111,12 @@ def bfs_closure(
     "event_chain_closure",
     bench=True,
     oracle="""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE edges AS MATERIALIZED (
       SELECT event_id AS src,
              LEAD(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS dst
       FROM events
     ),
-    e AS (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
+    e AS MATERIALIZED (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
     seeds AS (SELECT event_id AS seed FROM events WHERE event_id % 97 = 0),
     closure AS (
       SELECT s.seed, s.seed AS node, 0 AS depth FROM seeds s
@@ -284,12 +284,12 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     "event_chain_leads",
     bench=True,
     oracle="""
-    WITH RECURSIVE edges AS (
+    WITH RECURSIVE edges AS MATERIALIZED (
       SELECT event_id AS src,
              LEAD(event_id) OVER (PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP)) ASC, event_id ASC) AS dst
       FROM events
     ),
-    e AS (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
+    e AS MATERIALIZED (SELECT src, dst FROM edges WHERE dst IS NOT NULL),
     seeds AS (SELECT event_id AS seed FROM events WHERE event_id % 97 = 0),
     closure AS (
       SELECT s.seed, s.seed AS node, 0 AS depth FROM seeds s

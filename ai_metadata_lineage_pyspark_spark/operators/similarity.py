@@ -45,13 +45,13 @@ _PANEL_PRED_SQL = f"vec_id % {_QUERY_MOD} = 0 AND vec_id < {_PANEL_CAP}"
 
 # exact top-k over the fixed panel — the linear-at-scale ground-truth chain
 _EXACT_TOPK_PANEL_CTES = f"""
-    exp_q AS (SELECT vec_id, embedding FROM embeddings WHERE {_PANEL_PRED_SQL}),
-    exp_scored AS (
+    exp_q AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE {_PANEL_PRED_SQL}),
+    exp_scored AS MATERIALIZED (
       SELECT exp_q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_cosine_similarity(exp_q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
       FROM exp_q JOIN embeddings c ON exp_q.vec_id <> c.vec_id
     ),
-    exact_topk_panel AS (
+    exact_topk_panel AS MATERIALIZED (
       SELECT query_id, neighbor_id, cosine, rank FROM (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                      ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -67,18 +67,18 @@ def _panel_pred_col() -> F.Column:
 # exact brute-force top-k CTE chain, shared by the cosine_topk oracle and
 # the ann_recall_eval oracle (which uses it as ground truth)
 _EXACT_TOPK_CTES = f"""
-    ex_q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
-    ex_scored AS (
+    ex_q AS MATERIALIZED (SELECT vec_id, embedding FROM embeddings WHERE vec_id % {_QUERY_MOD} = 0),
+    ex_scored AS MATERIALIZED (
       SELECT ex_q.vec_id AS query_id, c.vec_id AS neighbor_id,
         list_cosine_similarity(ex_q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS cosine
       FROM ex_q JOIN embeddings c ON ex_q.vec_id <> c.vec_id
     ),
-    ex_ranked AS (
+    ex_ranked AS MATERIALIZED (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM ex_scored
     ),
-    exact_topk AS (
+    exact_topk AS MATERIALIZED (
       SELECT query_id, neighbor_id, cosine, rank FROM ex_ranked WHERE rank <= {_TOP_K}
     )
 """
@@ -206,43 +206,43 @@ _NPROBE = 2
 # IVF ANN CTE chain, shared by the ivf_topk oracle and the ann_recall_eval
 # oracle (which measures its recall against the exact chain)
 _IVF_TOPK_CTES = f"""
-    cent AS (
+    cent AS MATERIALIZED (
       SELECT vec_id AS cent_id, embedding AS c_emb FROM embeddings
       WHERE vec_id % {_IVF_CENT_MOD} = 0
     ),
-    ivf_scored AS (
+    ivf_scored AS MATERIALIZED (
       SELECT e.vec_id, cent.cent_id,
         list_cosine_similarity(e.embedding::DOUBLE[], cent.c_emb::DOUBLE[]) AS cos
       FROM embeddings e, cent
     ),
-    ranked_cells AS (
+    ranked_cells AS MATERIALIZED (
       SELECT vec_id, cent_id,
         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn
       FROM ivf_scored
     ),
-    assigned AS (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rn = 1),
-    probes AS (
+    assigned AS MATERIALIZED (SELECT vec_id, cent_id AS cell FROM ranked_cells WHERE rn = 1),
+    probes AS MATERIALIZED (
       SELECT vec_id AS query_id, cent_id AS cell FROM ranked_cells
       WHERE vec_id % {_QUERY_MOD} = 0 AND rn <= {_NPROBE}
     ),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT p.query_id, a.vec_id AS neighbor_id, a.cell AS cell
       FROM probes p JOIN assigned a ON p.cell = a.cell
       WHERE a.vec_id <> p.query_id
     ),
-    pair_scores AS (
+    pair_scores AS MATERIALIZED (
       SELECT c.query_id, c.neighbor_id, c.cell,
         list_cosine_similarity(q.embedding::DOUBLE[], n.embedding::DOUBLE[]) AS cosine
       FROM cand c
       JOIN embeddings q ON q.vec_id = c.query_id
       JOIN embeddings n ON n.vec_id = c.neighbor_id
     ),
-    ivf_ranked AS (
+    ivf_ranked AS MATERIALIZED (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, neighbor_id ASC) AS rank
       FROM pair_scores
     ),
-    ivf_topk_res AS (
+    ivf_topk_res AS MATERIALIZED (
       SELECT query_id, neighbor_id, cell, cosine, rank
       FROM ivf_ranked WHERE rank <= {_TOP_K}
     )

@@ -60,7 +60,14 @@ def test_oracle_references_only_known_tables():
         # string literals (golden VALUES rows) may contain prose like
         # "derive from temp_c" — drop them before scanning for table refs
         sql = re.sub(r"'[^']*'", "''", q.oracle)
-        ctes = set(re.findall(r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?\s+AS\s*\(", sql, re.I))
+        ctes = set(
+            re.findall(
+                r"(?:WITH|,)\s*(?:RECURSIVE\s+)?(\w+)\s*(?:\([\w,\s]*\))?"
+                r"\s+AS\s*(?:MATERIALIZED\s*)?\(",
+                sql,
+                re.I,
+            )
+        )
         refs = set(re.findall(r"(?:FROM|JOIN)\s+(\w+)", sql, re.I))
         # table functions are valid FROM/JOIN targets, not tables
         unknown = refs - ALLOWED_TABLES - ctes - {"read_parquet", "generate_series", "read_text", "lateral", "LATERAL"}
