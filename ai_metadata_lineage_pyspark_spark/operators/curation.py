@@ -462,8 +462,18 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     )
     SELECT n_docs, sum_d2,
-      1000000 - (6000000 * sum_d2) // (n_docs * (n_docs * n_docs - 1))
-        AS spearman_ppm
+      -- floor(6e6*S/D) via two-digit long division (base 1000): 6*S can
+      -- reach ~2*D ~ 2*n^3 and D*1e6 overflows BIGINT past n ~ 20k (the
+      -- r9 sf1 sweep caught the overflow at n = 50k); each split term
+      -- stays <= D*1000 ~ 1e17
+      1000000 - (
+        1000000 * ((6 * sum_d2) // (n_docs * (n_docs * n_docs - 1)))
+        + 1000 * ((((6 * sum_d2) % (n_docs * (n_docs * n_docs - 1))) * 1000)
+                  // (n_docs * (n_docs * n_docs - 1)))
+        + (((((6 * sum_d2) % (n_docs * (n_docs * n_docs - 1))) * 1000)
+            % (n_docs * (n_docs * n_docs - 1))) * 1000)
+          // (n_docs * (n_docs * n_docs - 1))
+      ) AS spearman_ppm
     FROM agg
     """,
 )
@@ -513,12 +523,26 @@ def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("r2"),
     )
-    return r.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr("CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT)").alias("sum_d2"),
-    ).selectExpr(
-        "n_docs",
-        "sum_d2",
-        "1000000 - (6000000 * sum_d2) DIV (n_docs * (n_docs * n_docs - 1))"
-        " AS spearman_ppm",
+    # floor(6e6*S/D) in pure BIGINT via base-1000 long division: D = n(n^2-1)
+    # reaches 1.25e14 at n = 50k, so 6e6*S (or D*1e6) overflows 2^63 — the
+    # split keeps every term <= D*1000 (r9 sf1-sweep overflow fix; exact by
+    # the division algorithm since S, D >= 0)
+    return (
+        r.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.expr("CAST(SUM((r1 - r2) * (r1 - r2)) AS BIGINT)").alias("sum_d2"),
+        )
+        .selectExpr(
+            "n_docs",
+            "sum_d2",
+            "6 * sum_d2 AS a",
+            "n_docs * (n_docs * n_docs - 1) AS d",
+        )
+        .selectExpr(
+            "n_docs",
+            "sum_d2",
+            "1000000 - (1000000 * (a DIV d)"
+            " + 1000 * ((a % d) * 1000 DIV d)"
+            " + ((a % d) * 1000 % d) * 1000 DIV d) AS spearman_ppm",
+        )
     )

@@ -61,9 +61,10 @@ def _disc_price() -> Column:
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      CAST(CAST(FLOOR(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
                * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
-               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+               * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) * 100)
+           AS BIGINT) AS DOUBLE) / 100 AS sum_charge,
       CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
       CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / COUNT(*)       AS avg_disc,
@@ -89,7 +90,20 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(qty).cast("double").alias("sum_qty"),
             F.sum(ext).cast("double").alias("sum_base_price"),
             F.sum(ext * (_one() - disc)).cast("double").alias("sum_disc_price"),
-            F.sum(ext * (_one() - disc) * (_one() + tax)).cast("double").alias("sum_charge"),
+            # sum_charge is the one scale-6 money sum: at 10x-sf magnitude
+            # its exact decimal needs > 2^53 micro-units, so the bare
+            # decimal->double conversion can differ by 1 ulp between
+            # engines (caught by the r9 sf1 sweep: ...94159 vs ...941593).
+            # Derive the double from floored CENTS (< 2^53, exactly
+            # representable; /100 identical IEEE both sides). The scale-2/4
+            # sums stay bare: their unscaled ints fit 2^53 at any
+            # plausible SF.
+            (
+                F.floor(F.sum(ext * (_one() - disc) * (_one() + tax)) * 100)
+                .cast("bigint")
+                .cast("double")
+                / 100
+            ).alias("sum_charge"),
             (F.sum(qty).cast("double") / n).alias("avg_qty"),
             (F.sum(ext).cast("double") / n).alias("avg_price"),
             (F.sum(disc).cast("double") / n).alias("avg_disc"),
