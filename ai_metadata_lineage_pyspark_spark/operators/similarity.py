@@ -283,11 +283,21 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cent_id",
         F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
-    # nearest centroid: max over (cos, -cent_id) == cos DESC, cent_id ASC
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by("cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))).alias("cell"),
-        F.first("embedding").alias("embedding"),
-        F.first("norm").alias("norm"),
+    # nearest centroid: max over (cos, -cent_id) == cos DESC, cent_id ASC.
+    # The argmax runs NARROW (no vector columns through the aggregate —
+    # max_by/first are object aggregates whose sort-based fallback was the
+    # 30x probe's ~400 MB spill when 64-float embeddings rode the N*cells
+    # stream); vectors rejoin by vec_id afterwards, the payload-joined-
+    # back-by-key shape a 100 TB ranking always uses.
+    assigned = (
+        scored.select("vec_id", "cent_id", "cos")
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell")
+        )
+        .join(emb, "vec_id")
     )
     w_cell = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     probes = (
@@ -1806,11 +1816,12 @@ def _nprobe_cfg_ctes() -> str:
 def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 / scan-cost curve over nprobe in {1, 2, 4}.
 
-    Plan: ONE centroid-scoring pass (broadcast centroids) serves all
-    configs — the per-vector cell ranking is computed once and persisted;
-    each config's probe set is a filter (rn <= nprobe) on that ranking
-    crossed with a 3-value literal, so the sweep adds zero extra scoring
-    passes over the corpus. Candidates re-rank per (nprobe, query) and
+    Plan: ONE corpus-sized centroid-scoring pass (broadcast centroids)
+    feeds the map-side max_by cell assignment; the probe ranking is a
+    SECOND, panel-sized scoring pass (|panel| x cells rows — constant in
+    the corpus) whose rn <= nprobe filter crossed with a 3-value literal
+    yields every config's probe set, so the sweep adds zero extra
+    corpus-sized passes. Candidates re-rank per (nprobe, query) and
     join the exact ground truth; all censuses are integer floor-ppm.
 
     Query-panel scaling contract (r9): both the probe queries and the
@@ -1837,29 +1848,39 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("norm").alias("c_norm"),
         )
     )
-    scored = emb.join(cent).select(
-        "vec_id",
-        "embedding",
-        "norm",
-        "cent_id",
-        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias(
-            "cos"
-        ),
+    # Memory contract (r9, after the first 30x probe OOM'd): nothing
+    # N*cells-sized ever carries a vector. The r8 shape persisted the full
+    # (vec, cent) ranking WITH the 64-float embedding per row — O(N*cells)
+    # vectors ~ 11 GB at 30x since cells also grow with the corpus. Now
+    # cell ASSIGNMENT is ivf_topk's map-side max_by (vectors cross the agg
+    # once per vec), and the probe RANKING window runs over the fixed
+    # panel only (|panel| * cells rows).
+    scored_expr = F.expr(
+        cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
+    ).alias("cos")
+    # narrow argmax + vector rejoin (no object-aggregate fallback sort over
+    # vector-carrying rows — the ivf_topk note)
+    assigned = (
+        emb.join(cent)
+        .select("vec_id", "cent_id", scored_expr)
+        .groupBy("vec_id")
+        .agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell")
+        )
+        .join(emb, "vec_id")
     )
+    max_p = max(_NPROBES)
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cent_id").asc()
     )
-    ranked_cells = scoped_persist(
-        scored.withColumn("rn", F.row_number().over(w_cell)).select(
-            "vec_id", "embedding", "norm", "cent_id", "rn"
-        )
-    )
-    assigned = ranked_cells.filter("rn = 1").select(
-        "vec_id", F.col("cent_id").alias("cell"), "embedding", "norm"
-    )
-    max_p = max(_NPROBES)
     probes = (
-        ranked_cells.filter(_panel_pred_col() & (F.col("rn") <= max_p))
+        emb.filter(_panel_pred_col())
+        .join(cent)
+        .select("vec_id", "embedding", "norm", "cent_id", scored_expr)
+        .withColumn("rn", F.row_number().over(w_cell))
+        .filter(F.col("rn") <= max_p)
         .selectExpr(
             "vec_id AS query_id",
             "cent_id AS cell",
