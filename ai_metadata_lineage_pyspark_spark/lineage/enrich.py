@@ -96,6 +96,76 @@ def enrich_one(client: ModelClient, script_source: str, base_facts: dict) -> dic
     return merged
 
 
+def enrich_one_with_retry(
+    client: ModelClient,
+    script_source: str,
+    base_facts: dict,
+    max_retries: int = 2,
+    sleep=None,
+) -> dict:
+    """enrich_one under bounded retry with exponential backoff.
+
+    Transient client faults (timeouts, throttles) retry up to `max_retries`
+    times with 2^attempt-second backoff (`sleep` injectable for tests); a
+    still-failing call degrades to an EMPTY enrichment — never an exception
+    — because enrichment is advisory by contract ("LLMs assist
+    understanding — they never define lineage truth") and one flaky script
+    must not fail a corpus-sized batch job. Malformed/truncated model
+    output is not a fault at all: extract_json_object already degrades it
+    to {} inside enrich_one (A16)."""
+    if sleep is None:
+        import time as _time
+
+        sleep = _time.sleep
+    for attempt in range(max_retries + 1):
+        try:
+            return enrich_one(client, script_source, base_facts)
+        except Exception:  # noqa: BLE001 — any client fault is retryable
+            if attempt == max_retries:
+                merged = dict(base_facts)
+                merged["model_enrichment"] = {}
+                return merged
+            sleep(2**attempt)
+    raise AssertionError("unreachable")
+
+
+def enrich_scripts(scripts_df, client_factory, max_retries: int = 2):
+    """Arrow-batched corpus enrichment: the mapInPandas seam a real Bedrock
+    client plugs into (reference bedrock_enrich.py:169-248 run per script,
+    here per Arrow batch across executors).
+
+    `scripts_df` needs (script_path string, source string, base_facts_json
+    string); returns (script_path, enriched_json, enrich_ok). The client is
+    built ONCE per task from the picklable zero-arg `client_factory`
+    (connection reuse across a batch — never per row, never pickled
+    live). Fault semantics, pinned by tests/test_enrich_seam.py: a fault on
+    one row is contained to that row (retry -> empty-enrichment fallback via
+    enrich_one_with_retry), so neighbors in the same batch and every other
+    batch still enrich — per-batch isolation with per-ROW blast radius."""
+    import pandas as pd
+
+    def gen(batches):
+        client = client_factory()
+        for pdf in batches:
+            enriched, ok = [], []
+            for src, facts_json in zip(pdf["source"], pdf["base_facts_json"]):
+                base = json.loads(facts_json)
+                merged = enrich_one_with_retry(client, src, base, max_retries)
+                enriched.append(json.dumps(merged, sort_keys=True))
+                ok.append(bool(merged.get("model_enrichment")))
+            yield pd.DataFrame(
+                {
+                    "script_path": pdf["script_path"],
+                    "enriched_json": enriched,
+                    "enrich_ok": ok,
+                }
+            )
+
+    return scripts_df.mapInPandas(
+        gen, "script_path string, enriched_json string, enrich_ok boolean"
+    )
+
+
 def answer_question(client: ModelClient, question: str, evidence: str) -> str:
     """Constrained answer generation (qa/ask.py:82-113 contract)."""
     prompt = (

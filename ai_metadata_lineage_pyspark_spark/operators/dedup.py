@@ -539,6 +539,19 @@ def _simhash_fp_pandas(docs: DataFrame, n_bits: int) -> DataFrame:
 # (lang, length-band) candidate buckets. The bucket key turns the quadratic
 # all-pairs problem into bounded per-bucket joins; docs whose length bands
 # differ are (by design) never compared — that's the documented pruning.
+#
+# DEMOTED (r10): formally a <=sf0.1 ground-truth harness (max_sf=0.1, the
+# table_profile_approx precedent). Char-3-gram Jaccard at the 0.4 cut is
+# DENSE — same-language prose shares most common 3-grams, so the TRUE pair
+# set is itself quadratic in the corpus (~18 partners/doc measured at
+# sf0.1, growing with corpus size). No exact generator — prefix-filtered
+# or otherwise — can emit a quadratic-sized answer in linear time, and the
+# DuckDB oracle pays the same quadratic verify, so the query was excluded
+# from the sf1 sweep (>35 min per engine, ARTIFACTS/r09_oracle_sweep_sf1.md).
+# Its production twin is chargram_minhash_pairs (below): corpus-linear
+# banded MinHash-LSH with exact verify, sf1-green in 66s. This exact
+# variant remains registered as the precision/recall ground truth that the
+# twin's tests pin against, at the scales where ground truth is computable.
 # ---------------------------------------------------------------------------
 
 _CHAR_GRAMS = (
@@ -568,6 +581,7 @@ _NGRAM_T = 0.4
     FROM scored
     WHERE CAST(i AS DOUBLE) / (ab - i) >= {_NGRAM_T}
     """,
+    max_sf=0.1,
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     release_persisted()  # drop any prior invocation's cached intermediates
@@ -2270,6 +2284,25 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     capped semantics exactly, star branch included.
     """
     release_persisted()  # drop any prior invocation's cached intermediates
+    stages = _simhash64_stages(spark, sf_dir)
+    fp, cand = stages["fp"], stages["cand"]
+    return (
+        cand.join(fp.selectExpr("doc_id AS doc_a", "hi AS ha_hi", "lo AS ha_lo"), "doc_a")
+        .join(fp.selectExpr("doc_id AS doc_b", "hi AS hb_hi", "lo AS hb_lo"), "doc_b")
+        .selectExpr(
+            "doc_a",
+            "doc_b",
+            "CAST(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"
+            " AS BIGINT) AS hamming_distance",
+        )
+        .filter(F.col("hamming_distance") <= _HAM64_T)
+    )
+
+
+def _simhash64_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Fingerprint/bucket/candidate stages of simhash64_hamming_pairs,
+    exposed separately so the skew probe (tools/simhash_skew_probe.py) can
+    measure bucket occupancy and candidate volume stage-by-stage."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     # expression-fold fingerprint (the audit-measured default — see
     # simhash's docstring); _simhash_fp_pandas(docs, 64) is the pinned-
@@ -2319,17 +2352,7 @@ def simhash64_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
     )
     cand = clique.union(star).distinct()
-    return (
-        cand.join(fp.selectExpr("doc_id AS doc_a", "hi AS ha_hi", "lo AS ha_lo"), "doc_a")
-        .join(fp.selectExpr("doc_id AS doc_b", "hi AS hb_hi", "lo AS hb_lo"), "doc_b")
-        .selectExpr(
-            "doc_a",
-            "doc_b",
-            "CAST(bit_count(ha_hi ^ hb_hi) + bit_count(ha_lo ^ hb_lo)"
-            " AS BIGINT) AS hamming_distance",
-        )
-        .filter(F.col("hamming_distance") <= _HAM64_T)
-    )
+    return {"fp": fp, "buckets": buckets, "cand": cand}
 
 
 # ---------------------------------------------------------------------------

@@ -21,6 +21,10 @@ ties are engine-independent.
 
 from __future__ import annotations
 
+import json
+import os
+import time
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -558,10 +562,10 @@ _RRF_EXPR = (
 
 
 def _hybrid_oracle() -> str:
-    from .similarity import _EXACT_TOPK_CTES, _QUERY_MOD
+    from .similarity import _EXACT_TOPK_PANEL_CTES, _PANEL_CAP, _QUERY_MOD
 
     return f"""
-    WITH {_EXACT_TOPK_CTES},
+    WITH {_EXACT_TOPK_PANEL_CTES},
     toks AS (
       SELECT doc_id, regexp_split_to_array(lower(text), '\\s+') AS t
       FROM documents
@@ -585,7 +589,7 @@ def _hybrid_oracle() -> str:
           ROW_NUMBER() OVER (PARTITION BY b.doc_id
                              ORDER BY d.df ASC, b.bigram ASC) AS trn
         FROM bif b JOIN df d ON d.bigram = b.bigram
-        WHERE b.doc_id % {_QUERY_MOD} = 0
+        WHERE b.doc_id % {_QUERY_MOD} = 0 AND b.doc_id < {_PANEL_CAP}
       ) WHERE trn <= {_MLT_TERMS}
     ),
     lex_scored AS (
@@ -606,7 +610,7 @@ def _hybrid_oracle() -> str:
     ),
     dense_top AS (
       SELECT query_id, neighbor_id AS doc_id, rank AS dense_rank
-      FROM exact_topk WHERE rank <= {_HY_DEPTH}
+      FROM exact_topk_panel WHERE rank <= {_HY_DEPTH}
     ),
     fused AS (
       SELECT COALESCE(l.query_id, d.query_id) AS query_id,
@@ -639,15 +643,21 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     with differing division semantics), so fusion scores and the fused
     ranking are bit-identical across engines.
 
-    Scale shape: the lexical side probes the bigram postings with each
+    Scale shape (r10, verdict #6): BOTH rankers run over the FIXED query
+    panel (doc_id % 50 == 0 AND doc_id < 2000 — identical to the dense
+    panel since vec_id ≡ doc_id), so |Q| is constant under corpus
+    scale-up. The lexical side probes the bigram postings with each
     query's {12} RAREST features only (see _MLT_TERMS — the Lucene
     MoreLikeThis rule), so per-query candidate cost is K bounded postings
     lists, never a corpus-sized stop-token fan-out; the dense side is
-    the registered exact-KNN (the IVF/LSH paths swap in transparently at
-    scale since only (query_id, doc_id, rank) crosses the fusion join);
-    the fusion itself is a full outer join of two top-k lists — |Q|·k
-    rows, trivially broadcastable."""
-    from .similarity import _QUERY_MOD, cosine_topk
+    cosine_topk_panel — the corpus-LINEAR bounded-panel exact KNN (the
+    |Q|∝corpus cosine_topk baseline stays registered for recall evals;
+    IVF/LSH swap in transparently since only (query_id, doc_id, rank)
+    crosses the fusion join); the fusion itself is a full outer join of
+    two top-k lists — |panel|·k rows, trivially broadcastable. At the
+    registered SFs the panel covers every query id, so results are
+    unchanged from the pre-panel registration."""
+    from .similarity import _PANEL_CAP, _QUERY_MOD, cosine_topk_panel
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
@@ -675,9 +685,9 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # be huge on real text; the query-feature list is |Q|·features rows)
     qsel = (
         F.broadcast(
-            bif.filter(F.col("doc_id") % _QUERY_MOD == 0).select(
-                F.col("doc_id").alias("query_id"), "bigram"
-            )
+            bif.filter(
+                (F.col("doc_id") % _QUERY_MOD == 0) & (F.col("doc_id") < _PANEL_CAP)
+            ).select(F.col("doc_id").alias("query_id"), "bigram")
         )
         .join(df, "bigram")
         .withColumn("trn", F.row_number().over(wq))
@@ -700,7 +710,7 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "doc_id", "lex_rank")
     )
     dense_top = (
-        cosine_topk(spark, sf_dir)
+        cosine_topk_panel(spark, sf_dir)
         .filter(F.col("rank") <= _HY_DEPTH)
         .select("query_id", F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("dense_rank"))
     )
@@ -1073,11 +1083,33 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 # full trainer's per-round explode of EVERY token of EVERY word through a
 # shuffle. Affected-word mass shrinks as merges specialize, so per-round
 # cost flattens where the full recount stays corpus-vocabulary-sized.
-# Iteration state (vocab, counts) is localCheckpoint'd each round: plan
-# depth stays constant over 24 rounds instead of nesting 24 outer joins.
+# Iteration state (vocab, counts) is RELIABLY checkpoint'd each round (r10,
+# verdict #3/#4): plan depth stays constant over the rounds instead of
+# nesting R outer joins, and — unlike the r9 localCheckpoint design — the
+# materialization is on the checkpoint filesystem, so an executor loss
+# mid-fit recomputes from the last round's files instead of killing the
+# job. The 1-row best-pair frame is COLLECTED: the merge table is the
+# model being fitted, and holding it on the driver (exactly where every
+# production BPE trainer keeps its merge list) makes the returned
+# DataFrame a pure literal — independent of any executor or checkpoint
+# state. Round count is env-overridable (SPARK_GRAFT_BPE_INC_ROUNDS) so
+# the >=100-round durability evidence runs against the same oracle
+# recurrence without bloating the registered sweep; per-round wall times
+# stream to SPARK_GRAFT_BPE_TIMINGS when set (the flat-cost artifact).
+#
+# 30k-vocabulary frontier (documented, not yet registered): one merge per
+# round floors a 30k-merge fit at 30k sequential driver round-trips. The
+# production path is MULTI-MERGE BATCHING — take the top-B counted pairs
+# whose tokens are pairwise non-adjacent-conflicting (no pair's right_tok
+# is another's left_tok and no token appears twice), apply all B replaces
+# in one vocabulary scan, and fold one combined delta; greedy-equivalence
+# holds for non-conflicting pairs because their occurrence sets cannot
+# overlap, and conflicting pairs are deferred to the next round. That
+# turns 30k rounds into ~30k/B scans at the same exactness contract.
 # ---------------------------------------------------------------------------
 
-_BPE_INC_ROUNDS = 24
+_BPE_INC_ROUNDS = int(os.environ.get("SPARK_GRAFT_BPE_INC_ROUNDS", "24"))
+_VOCAB_CKPT_EVERY = 6  # rounds between vocab lineage cuts (see fit body)
 
 
 @register(
@@ -1092,7 +1124,16 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries only the delta from words containing the merged pair. The
     oracle replays a {_BPE_INC_ROUNDS}-round FULL-RECOUNT chain, so the
     driver's hash check is the proof that the incremental recurrence
-    reproduces the specification exactly."""
+    reproduces the specification exactly.
+
+    Durability (r10): vocab/counts round state goes through RELIABLE
+    `DataFrame.checkpoint()` (module note above); the fitted merge table
+    accumulates on the driver, so the returned DataFrame is a literal —
+    replayable from nothing but the merge list itself."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    timings_path = os.environ.get("SPARK_GRAFT_BPE_TIMINGS")
     words = (
         fan_out(load(spark, sf_dir, "documents"))
         .select(F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"))
@@ -1105,7 +1146,7 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("'##' || regexp_replace(word, '(.)', '$1##')").alias("seq"),
             "n_word",
         )
-        .localCheckpoint()
+        .checkpoint()
     )
 
     def _pairs(df: DataFrame, weight_expr: str, seq_col: str = "seq") -> DataFrame:
@@ -1132,27 +1173,24 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .localCheckpoint()
+        .checkpoint()
     )
-    merges: list[DataFrame] = []
+    merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_INC_ROUNDS + 1):
-        best = (
-            counts.orderBy(
-                F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
-            )
-            .limit(1)
-            .select(
-                F.lit(r).cast("long").alias("round"),
-                "left_tok",
-                "right_tok",
-                F.col("n").alias("n_occurrences"),
-            )
-            .localCheckpoint()
-        )
-        merges.append(best)
-        pat = "'#' || left_tok || '##' || right_tok || '#'"
-        rep = "'#' || left_tok || right_tok || '#'"
-        tagged = vocab.crossJoin(F.broadcast(best)).select(
+        t0 = time.time()
+        # 1-row argmax: collected, not checkpointed — the merge table IS
+        # the fitted model and lives on the driver (see module note)
+        best = counts.orderBy(
+            F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
+        ).first()
+        if best is None:
+            break
+        left, right = best["left_tok"], best["right_tok"]
+        merges.append((r, left, right, int(best["n"])))
+        # tokens match ^[a-z]+$, so inlining them as SQL literals is safe
+        pat = f"'#{left}##{right}#'"
+        rep = f"'#{left}{right}#'"
+        tagged = vocab.select(
             "seq", "n_word", F.expr(f"instr(seq, {pat}) > 0").alias("hit"),
             F.expr(f"replace(seq, {pat}, {rep})").alias("new_seq"),
         )
@@ -1163,6 +1201,9 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("left_tok", "right_tok")
             .agg(F.sum("w").alias("d"))
         )
+        # round state is vocabulary-sized (tens of kB here, ~MBs at 100 TB):
+        # coalesce before the checkpoint write so each round materializes a
+        # handful of files instead of 32 near-empty tasks ×2 frames ×R rounds
         counts = (
             counts.join(delta, ["left_tok", "right_tok"], "full_outer")
             .select(
@@ -1171,14 +1212,25 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                 (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("n"),
             )
             .filter("n > 0")
-            .localCheckpoint()
+            .coalesce(4)
+            .checkpoint()
         )
-        vocab = tagged.select(
-            F.col("new_seq").alias("seq"), "n_word"
-        ).localCheckpoint()
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionAll(m)
+        # vocab needs lineage-cutting only for PLAN DEPTH, not for shuffle
+        # reuse: between checkpoints it is a chain of narrow replace()
+        # projections (pure codegen, no shuffle), so materializing it every
+        # round would buy nothing but a job's latency. Checkpoint every
+        # _VOCAB_CKPT_EVERY rounds: plan depth stays bounded, failure
+        # recovery replays at most that many narrow scans, and the fit does
+        # ~2 jobs/round instead of 3.
+        vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
+        if r % _VOCAB_CKPT_EVERY == 0:
+            vocab = vocab.coalesce(4).checkpoint()
+        if timings_path:
+            with open(timings_path, "a") as fh:
+                fh.write(json.dumps({"round": r, "sec": round(time.time() - t0, 3)}) + "\n")
+    out = spark.createDataFrame(
+        merges, "round bigint, left_tok string, right_tok string, n_occurrences bigint"
+    )
     return out.select(
         "round",
         "left_tok",

@@ -100,6 +100,29 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _exact_topk(spark, sf_dir, panel_only=False)
 
 
+@register(
+    "cosine_topk_panel",
+    oracle=f"""
+    WITH {_EXACT_TOPK_PANEL_CTES}
+    SELECT query_id, neighbor_id, cosine, rank FROM exact_topk_panel
+    """,
+)
+def cosine_topk_panel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN over the FIXED query panel — the production dense-retrieval
+    contract (r10, verdict #6). `cosine_topk` keeps |Q| proportional to the
+    corpus (vec_id % {_QUERY_MOD} == 0), which makes its total cost |Q|·N =
+    quadratic — the right ground-truth baseline for recall evals, the wrong
+    shape to actually serve at 100 TB. This variant pins the query side to
+    the constant panel (vec_id % {_QUERY_MOD} == 0 AND vec_id < {_PANEL_CAP},
+    the same panel every scaling probe uses), so total cost is |panel|·N =
+    corpus-linear and the broadcast side is O(1)-sized by construction.
+    At the registered SFs the panel covers every query id (max fixture
+    vec_id 1999), so this equals cosine_topk there; under 10×/30×
+    replication the panel stays fixed while cosine_topk's query set grows.
+    hybrid_search_rrf fuses THIS ranking as its dense side."""
+    return _exact_topk(spark, sf_dir, panel_only=True)
+
+
 def _exact_topk(spark: SparkSession, sf_dir: str, panel_only: bool) -> DataFrame:
     """Broadcast-|Q| exact KNN; `panel_only` restricts the query side to the
     fixed panel (constant |Q| -> linear total cost), the shape recall

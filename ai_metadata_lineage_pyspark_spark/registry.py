@@ -33,14 +33,27 @@ class RegisteredQuery:
     fn: SparkQuery
     oracle: str | None
     bench: bool = False  # include in bench.py headline timings
+    # Largest scale factor this query is CONTRACTED to run at, or None for
+    # unbounded. A non-None value formally demotes the query to a bounded
+    # ground-truth harness (e.g. an exact-quadratic baseline whose true
+    # output is itself quadratic in the corpus): sweep tooling skips it —
+    # with an explicit SKIP line, never silently — at any larger scale.
+    max_sf: float | None = None
 
 
 _REGISTRY: dict[str, RegisteredQuery] = {}
 
 
-def register(name: str, oracle: str | None = None, bench: bool = False):
+def register(
+    name: str,
+    oracle: str | None = None,
+    bench: bool = False,
+    max_sf: float | None = None,
+):
     def deco(fn: SparkQuery) -> SparkQuery:
-        _REGISTRY[name] = RegisteredQuery(name=name, fn=fn, oracle=oracle, bench=bench)
+        _REGISTRY[name] = RegisteredQuery(
+            name=name, fn=fn, oracle=oracle, bench=bench, max_sf=max_sf
+        )
         return fn
 
     return deco

@@ -67,6 +67,14 @@ _TPCH_SUITE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # SPARK_GRAFT_BENCH_SUITES=headline[,tpch,...] runs a subset (r10: the
+    # sf1 anchor times the headline suite only); default runs everything
+    suites = set(
+        (
+            os.environ.get("SPARK_GRAFT_BENCH_SUITES")
+            or "headline,tpch,mining,retrieval,extras,extras8,extras9,extras10"
+        ).split(",")
+    )
     spark = get_spark("bench")
     # warm the JVM + parquet footers of every table the headline queries
     # touch, so per-query numbers measure the plan, not session startup or
@@ -184,8 +192,9 @@ def main() -> None:
     queries = {n: q for n, q in sorted(all_queries().items()) if q.bench}
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
-    for name, q in queries.items():
-        timings[name], steady[name] = timed_pair(q.fn, name)
+    if "headline" in suites:
+        for name, q in queries.items():
+            timings[name], steady[name] = timed_pair(q.fn, name)
 
     # TPC-H power run: all 22 suite queries sequentially (single stream),
     # the classic power-test shape. A second self-relative metric so a
@@ -196,11 +205,12 @@ def main() -> None:
     registry = all_queries()
     tpch_timings: dict[str, float] = {}
     tpch_steady: dict[str, float] = {}
-    for qnum, name in _TPCH_SUITE:
-        key = f"q{qnum:02d}_{name}"
-        tpch_timings[key], tpch_steady[key] = timed_pair(
-            registry[name].fn, f"tpch {key}"
-        )
+    if "tpch" in suites:
+        for qnum, name in _TPCH_SUITE:
+            key = f"q{qnum:02d}_{name}"
+            tpch_timings[key], tpch_steady[key] = timed_pair(
+                registry[name].fn, f"tpch {key}"
+            )
 
     # Mining/curation suite (round-5 additions): timed as a SEPARATE metric
     # so the headline total stays comparable round-over-round against the
@@ -217,10 +227,11 @@ def main() -> None:
     ]
     mining_timings: dict[str, float] = {}
     mining_steady: dict[str, float] = {}
-    for name in mining_suite:
-        mining_timings[name], mining_steady[name] = timed_pair(
-            registry[name].fn, f"mining {name}"
-        )
+    if "mining" in suites:
+        for name in mining_suite:
+            mining_timings[name], mining_steady[name] = timed_pair(
+                registry[name].fn, f"mining {name}"
+            )
 
     # Retrieval/profiling suite (round-6 additions): again a separate
     # metric so the headline and mining totals stay comparable to their
@@ -235,10 +246,11 @@ def main() -> None:
     ]
     retr_timings: dict[str, float] = {}
     retr_steady: dict[str, float] = {}
-    for name in retrieval_suite:
-        retr_timings[name], retr_steady[name] = timed_pair(
-            registry[name].fn, f"retrieval {name}"
-        )
+    if "retrieval" in suites:
+        for name in retrieval_suite:
+            retr_timings[name], retr_steady[name] = timed_pair(
+                registry[name].fn, f"retrieval {name}"
+            )
 
     # Round-7 additions, recorded in the FULL artifact only (the compact
     # driver line keeps its fixed four-suite shape for round-over-round
@@ -256,10 +268,11 @@ def main() -> None:
     ]
     extras_timings: dict[str, float] = {}
     extras_steady: dict[str, float] = {}
-    for name in extras_suite:
-        extras_timings[name], extras_steady[name] = timed_pair(
-            registry[name].fn, f"extras {name}"
-        )
+    if "extras" in suites:
+        for name in extras_suite:
+            extras_timings[name], extras_steady[name] = timed_pair(
+                registry[name].fn, f"extras {name}"
+            )
     # Fitted-model artifacts (the BPE merge table) are scoped to the suite:
     # bpe_apply_encode's FIRST run prices fit+encode, its steady run prices
     # encode against the fitted model — the production shape — and the
@@ -308,10 +321,11 @@ def main() -> None:
     ]
     extras8_timings: dict[str, float] = {}
     extras8_steady: dict[str, float] = {}
-    for name in extras8_suite:
-        extras8_timings[name], extras8_steady[name] = timed_pair(
-            registry[name].fn, f"extras8 {name}"
-        )
+    if "extras8" in suites:
+        for name in extras8_suite:
+            extras8_timings[name], extras8_steady[name] = timed_pair(
+                registry[name].fn, f"extras8 {name}"
+            )
     release_models()
 
     # round-9 additions (full record only)
@@ -322,10 +336,24 @@ def main() -> None:
     ]
     extras9_timings: dict[str, float] = {}
     extras9_steady: dict[str, float] = {}
-    for name in extras9_suite:
-        extras9_timings[name], extras9_steady[name] = timed_pair(
-            registry[name].fn, f"extras9 {name}"
-        )
+    if "extras9" in suites:
+        for name in extras9_suite:
+            extras9_timings[name], extras9_steady[name] = timed_pair(
+                registry[name].fn, f"extras9 {name}"
+            )
+    release_models()
+
+    # round-10 additions (full record only)
+    extras10_suite = [
+        "cosine_topk_panel",
+    ]
+    extras10_timings: dict[str, float] = {}
+    extras10_steady: dict[str, float] = {}
+    if "extras10" in suites:
+        for name in extras10_suite:
+            extras10_timings[name], extras10_steady[name] = timed_pair(
+                registry[name].fn, f"extras10 {name}"
+            )
     release_models()
 
     total = round(sum(timings.values()), 3)
@@ -388,6 +416,14 @@ def main() -> None:
             "queries_steady": extras9_steady,
             "steady_total": round(sum(extras9_steady.values()), 3),
         },
+        "extras10_suite": {
+            "metric": "round10_additions_total",
+            "value": round(sum(extras10_timings.values()), 3),
+            "unit": "sec",
+            "queries": extras10_timings,
+            "queries_steady": extras10_steady,
+            "steady_total": round(sum(extras10_steady.values()), 3),
+        },
         # r9 protocol: the three raw steady samples behind every median,
         # keyed by the run label — the audit trail for host-variance claims
         "steady_protocol": "median_of_3",
@@ -402,7 +438,7 @@ def main() -> None:
         for f in os.listdir(repo)
         if f.startswith("BENCH_r") and f.endswith(".json") and f[7:9].isdigit()
     ]
-    detail_path = os.path.join(
+    detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
         "ARTIFACTS", f"r{(max(rounds) + 1) if rounds else 0:02d}_bench_local.json"
     )
     try:

@@ -80,6 +80,29 @@ def test_bench_queries_are_registered():
     assert len(bench) >= 3
 
 
+def test_max_sf_demotions_are_the_documented_set():
+    """max_sf formally demotes a query to a bounded ground-truth harness —
+    the list must stay deliberate (r10: ngram_jaccard_pairs, whose TRUE
+    output is quadratic in the corpus; linear twin chargram_minhash_pairs
+    is unbounded). A new entry here needs a docstring demotion note."""
+    gated = {n: q.max_sf for n, q in all_queries().items() if q.max_sf is not None}
+    assert gated == {"ngram_jaccard_pairs": 0.1}
+
+
+def test_fixture_scale_gating():
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from check_oracle import fixture_scale
+
+    assert fixture_scale("/root/testdata/sf0.001") == 0.001
+    assert fixture_scale("/root/testdata/sf0.1/") == 0.1
+    assert fixture_scale("/tmp/testdata_sf1") == 1.0
+    # undeterminable -> None -> gating FAILS OPEN (query runs)
+    assert fixture_scale("/tmp/somereplica") is None
+
+
 def test_pyscripts_datasource_matches_text_source(spark):
     """The custom DataSource route and the built-in wholetext route must
     read the identical script corpus."""

@@ -30,6 +30,20 @@ TABLES = (
 )
 
 
+def fixture_scale(sf_dir: str) -> float | None:
+    """Best-effort scale factor of a fixture dir, for max_sf gating.
+
+    Parses the trailing ``sf<number>`` in the directory name (covers the
+    driver's /root/testdata/sf0.001..sf0.1 and replica dirs like
+    /tmp/testdata_sf1). Returns None when undeterminable — in which case
+    max_sf gating is NOT applied (fail open: run the query).
+    """
+    import re
+
+    m = re.search(r"sf_?([0-9]+(?:\.[0-9]+)?)/?$", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    return float(m.group(1)) if m else None
+
+
 def canon(v) -> str:
     if v is None:
         return "NULL"
@@ -75,8 +89,15 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failures = []
+    scale = fixture_scale(sf_dir)
     for name, q in sorted(all_queries().items()):
         if only and name not in only:
+            continue
+        if q.max_sf is not None and scale is not None and scale > q.max_sf:
+            print(
+                f"SKIP {name}: documented ground-truth harness, "
+                f"max_sf={q.max_sf} < fixture sf={scale}"
+            )
             continue
         t0 = time.time()
         try:

@@ -26,7 +26,7 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-from check_oracle import TABLES, table_hash  # noqa: E402
+from check_oracle import TABLES, fixture_scale, table_hash  # noqa: E402
 
 from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
@@ -50,9 +50,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     queries = all_queries()
+    scale = fixture_scale(sf_dir)
     failures = []
     for name in subset:
         q = queries[name]
+        if q.max_sf is not None and scale is not None and scale > q.max_sf:
+            print(f"SKIP {name}: ground-truth harness, max_sf={q.max_sf} < sf={scale}")
+            continue
         t0 = time.time()
         try:
             sdf = q.fn(spark, sf_dir)
