@@ -27,6 +27,7 @@ from ..functions.cache import memo_get, memo_put, release_persisted, scoped_pers
 from ..functions.io import fan_out, load
 from ..functions.vectors import cosine_from_norms_expr, norm_expr
 from ..registry import register
+from ..session import iter_checkpoint
 
 # ---------------------------------------------------------------------------
 # Shared shingling expressions (Spark SQL expr strings / DuckDB SQL).
@@ -1001,23 +1002,22 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Iterative min-label propagation over an undirected pair list."""
     # undirected edge list, materialized once (it is consumed every round)
-    edges = (
-        pairs.union(pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")))
-        .toDF("src", "dst")
-        .localCheckpoint()
+    edges = iter_checkpoint(
+        pairs.union(
+            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        ).toDF("src", "dst")
     )
     # hop 0 folds the identity labeling in: with symmetric edges every node
     # appears as dst, so "adopt min(own id, neighbors' ids)" is ONE
     # aggregation — no distinct-nodes shuffle, no labels join, one fewer
     # checkpoint barrier than seeding labels=identity and looping
-    labels = (
+    labels = iter_checkpoint(
         edges.groupBy(F.col("dst").alias("doc_id"))
         .agg(F.min("src").alias("nbr_label"))
         .select(
             "doc_id",
             F.least(F.col("doc_id"), F.col("nbr_label")).alias("label"),
         )
-        .localCheckpoint()
     )
     for _ in range(_MAX_CC_ITERS):
         # each node adopts the min of its own label and its neighbors' labels
@@ -1035,7 +1035,7 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # REJECTED: LSH near-dup components are clique-shaped, so hop-0
         # already converges and the loop runs exactly one verification
         # round — the jump join was pure overhead on every SF probed.)
-        flagged = (
+        flagged = iter_checkpoint(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
@@ -1046,7 +1046,6 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                     F.col("nbr_label") < F.col("label"), F.lit(False)
                 ).alias("lowered"),
             )
-            .localCheckpoint()
         )
         changed = flagged.where("lowered").count()
         labels = flagged.select("doc_id", "label")

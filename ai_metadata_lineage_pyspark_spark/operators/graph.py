@@ -9,8 +9,11 @@ the lineage-engine column/script closures in `..lineage.graphqa`.
 
 Scale notes: each hop is one shuffle join keyed on the edge source; the
 frontier is deduplicated per hop so work is proportional to newly reached
-nodes. For deep graphs, `localCheckpoint` every few hops truncates the
-lineage chain (plan growth is the classic iterative-Spark failure mode).
+nodes. For deep graphs, a per-hop lineage cut (`session.iter_checkpoint`:
+localCheckpoint by default, reliable checkpoint under
+SPARK_GRAFT_RELIABLE_CKPT=1 for executor-loss replayability on a cluster)
+truncates the plan (plan growth is the classic iterative-Spark failure
+mode).
 """
 
 from __future__ import annotations
@@ -20,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.io import load
 from ..registry import register
+from ..session import iter_checkpoint
 
 
 def bfs_closure(
@@ -38,21 +42,21 @@ def bfs_closure(
 
     Iteration discipline (the classic iterative-Spark failure modes, both
     handled here):
-    * the edge list is localCheckpoint-ed ONCE up front — otherwise every hop
+    * the edge list is lineage-cut (iter_checkpoint) ONCE up front — otherwise every hop
       re-executes the full upstream plan that produced it (for lineage
       closures that plan includes the AST-extraction UDF; for event chains a
       window over the whole table);
-    * each frontier is localCheckpoint-ed — the emptiness probe and the next
+    * each frontier is lineage-cut — the emptiness probe and the next
       hop's join then read materialized partitions instead of recursively
       recomputing join(join(join(...))), which otherwise grows the lineage
       (and runtime) exponentially with depth.
     """
-    edges = edges.select(
-        F.col(src).alias("__bfs_src"), F.col(dst).alias("__bfs_dst")
-    ).localCheckpoint(eager=True)
-    frontier = seeds.select(
-        F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth")
-    ).localCheckpoint(eager=True)
+    edges = iter_checkpoint(
+        edges.select(F.col(src).alias("__bfs_src"), F.col(dst).alias("__bfs_dst"))
+    )
+    frontier = iter_checkpoint(
+        seeds.select(F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth"))
+    )
     # the checkpointed frontier's exact row count is a one-scan probe (it
     # doubles as the emptiness check), so the hop join can be given an
     # explicit size-based broadcast hint instead of hoping AQE's runtime
@@ -94,10 +98,9 @@ def bfs_closure(
             .distinct()
         )
         # keep only newly discovered (seed, node) pairs -> min-depth semantics
-        nxt = (
+        nxt = iter_checkpoint(
             nxt.join(reached.select("seed", "node"), ["seed", "node"], "left_anti")
             .select("seed", "node", F.lit(depth).alias("depth"))
-            .localCheckpoint(eager=True)
         )
         n_frontier = nxt.count()
         if n_frontier == 0:
@@ -153,7 +156,7 @@ def event_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Iterative fixed-point computation is the operator class Spark is usually
 # said to need GraphX/Pregel for; expressed Spark-first it is a driver loop
 # of {edge join -> contribution agg -> rank update}, with every rank
-# frontier localCheckpoint-ed (the same iteration discipline as bfs_closure
+# frontier lineage-cut via iter_checkpoint (same discipline as bfs_closure
 # — no exponential lineage). Per iteration: ONE shuffle join keyed on the
 # edge source + one aggregation keyed on the destination; rank state is
 # node-cardinality, edges are aggregated once and reused every round.
@@ -249,7 +252,7 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out_w = edges.groupBy("src").agg(F.sum("w").alias("w_out"))
     # edge list with out-weights: built once, consumed every iteration
-    ew = edges.join(out_w, "src").localCheckpoint()
+    ew = iter_checkpoint(edges.join(out_w, "src"))
     nation = load(spark, sf_dir, "nation")
     nodes = nation.select(F.col("n_nationkey").alias("node"))
     ranks = nodes.select("node", F.lit(_PR_SCALE).cast("long").alias("rank"))
@@ -261,13 +264,11 @@ def pagerank_trade_network(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            nodes.join(inc, "node", "left")
-            .selectExpr(
+        ranks = iter_checkpoint(
+            nodes.join(inc, "node", "left").selectExpr(
                 "node",
                 f"cast({base} + (85 * coalesce(s, 0)) div 100 as bigint) AS rank",
             )
-            .localCheckpoint()
         )
     return ranks.join(nation, ranks.node == nation.n_nationkey).select(
         "node", "n_name", F.col("rank").alias("rank_fp")

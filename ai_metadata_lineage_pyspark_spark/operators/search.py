@@ -1241,6 +1241,272 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# bpe_train_merges_batched — MULTI-MERGE BATCHING, the 30k-vocabulary
+# production path the incremental fit's module note names (r10): one merge
+# per round floors a 30k-merge fit at 30k sequential driver round-trips;
+# batching applies B independent merges per vocabulary scan, cutting the
+# round count ~B×.
+#
+# The batch rule that keeps application EXACT: within a round, pairs are
+# picked greedily in count order (count DESC, left, right), and a pair is
+# admitted only if its token set {L, R, L||R} is disjoint from every
+# already-picked pair's set. Disjoint {L, R} means the '#L##R#' match
+# windows cannot overlap (token-bounded patterns overlap only by sharing a
+# full-token occurrence), and excluding the MERGED token L||R means no
+# pick can create or destroy occurrences of a later pick's pattern (the
+# only way a replace changes another pattern's match set is by minting its
+# L or R token). Conflicting pairs simply defer to the next round, where
+# they are re-counted against the updated vocabulary.
+#
+# Batched-greedy is a DIFFERENT (documented) training schedule from
+# strict sequential BPE — after batch round 1 the counts differ from what
+# three sequential recounts would see — which is exactly how production
+# trainers (SentencePiece-style batched updates) trade strict greediness
+# for throughput. The DuckDB oracle replays the SAME batched-greedy
+# specification — per round, B unrolled NOT-IN-filtered argmax CTEs over a
+# full recount, then one nested-replace application — so the driver's
+# hash check proves the Spark implementation (incremental deltas, driver-
+# side greedy over a doubling prefix) equals the spec exactly.
+# ---------------------------------------------------------------------------
+
+# env-overridable like the incremental fit, so large-round evidence runs
+# stay hash-checked against the same unrolled spec (registered default 6)
+_BPE_BATCH_ROUNDS = int(os.environ.get("SPARK_GRAFT_BPE_BATCH_ROUNDS", "6"))
+_BPE_BATCH_B = 4
+
+
+def _bpe_batched_ctes(rounds: int, b: int) -> str:
+    """Unrolled batched-greedy CTE chain. Pick k of round r filters the
+    recounted pair table by NOT IN the union of {left, right, merged}
+    tokens of picks 1..k-1 (NOT IN over an empty CTE is TRUE, so short
+    rounds degrade gracefully); application nests b replace()s whose
+    pattern falls back to chr(1) — a byte that cannot occur in an encoded
+    sequence — when a pick is empty."""
+    parts = [
+        r"""
+    WITH w AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS n_word
+      FROM (
+        SELECT unnest(regexp_split_to_array(lower(text), '\s+')) AS word
+        FROM documents
+      )
+      WHERE regexp_matches(word, '^[a-z]+$') AND len(word) >= 2
+      GROUP BY word
+    ),
+    bv0 AS MATERIALIZED (
+      SELECT '##' || regexp_replace(word, '(.)', '\1##', 'g') AS seq, n_word
+      FROM w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+    bp{r} AS MATERIALIZED (
+      SELECT t.toks[u.i] AS left_tok, t.toks[u.i + 1] AS right_tok,
+             CAST(SUM(t.n_word) AS BIGINT) AS n_occurrences
+      FROM (
+        SELECT list_filter(string_split(seq, '##'), x -> x <> '') AS toks,
+               n_word
+        FROM bv{r - 1}
+      ) t
+      CROSS JOIN LATERAL (SELECT unnest(range(1, len(t.toks))) AS i) u
+      GROUP BY left_tok, right_tok
+    )"""
+        )
+        for k in range(1, b + 1):
+            if k == 1:
+                cond = ""
+            else:
+                cond = f"""
+      WHERE left_tok NOT IN (SELECT t FROM btoks{r}_{k - 1})
+        AND right_tok NOT IN (SELECT t FROM btoks{r}_{k - 1})
+        AND (left_tok || right_tok) NOT IN (SELECT t FROM btoks{r}_{k - 1})"""
+            parts.append(
+                f""",
+    bc{r}_{k} AS MATERIALIZED (
+      SELECT left_tok, right_tok, n_occurrences FROM bp{r}{cond}
+      ORDER BY n_occurrences DESC, left_tok ASC, right_tok ASC
+      LIMIT 1
+    )"""
+            )
+            prev = f"SELECT t FROM btoks{r}_{k - 1} UNION " if k > 1 else ""
+            parts.append(
+                f""",
+    btoks{r}_{k} AS MATERIALIZED (
+      {prev}SELECT left_tok AS t FROM bc{r}_{k}
+      UNION SELECT right_tok FROM bc{r}_{k}
+      UNION SELECT left_tok || right_tok FROM bc{r}_{k}
+    )"""
+            )
+        apply_expr = "seq"
+        for k in range(1, b + 1):
+            pat = (
+                f"COALESCE((SELECT '#' || left_tok || '##' || right_tok || '#'"
+                f" FROM bc{r}_{k}), chr(1))"
+            )
+            rep = (
+                f"COALESCE((SELECT '#' || left_tok || right_tok || '#'"
+                f" FROM bc{r}_{k}), '')"
+            )
+            apply_expr = f"replace({apply_expr}, {pat}, {rep})"
+        parts.append(
+            f""",
+    bm{r} AS MATERIALIZED (
+      {" UNION ALL ".join(
+          f"SELECT CAST({r} AS BIGINT) AS round, CAST({k} AS BIGINT) AS pick,"
+          f" left_tok, right_tok, n_occurrences FROM bc{r}_{k}"
+          for k in range(1, b + 1)
+      )}
+    ),
+    bv{r} AS MATERIALIZED (
+      SELECT {apply_expr} AS seq, n_word FROM bv{r - 1}
+    )"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT round, pick, left_tok, right_tok,"
+        f" left_tok || right_tok AS merged, n_occurrences FROM bm{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + f"\n    {union}\n    "
+
+
+@register(
+    "bpe_train_merges_batched",
+    oracle=_bpe_batched_ctes(_BPE_BATCH_ROUNDS, _BPE_BATCH_B),
+)
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{_BPE_BATCH_ROUNDS}-round × up-to-{_BPE_BATCH_B}-merge batched BPE
+    fit (module note above): same incremental pair-count maintenance and
+    reliable-checkpoint durability as bpe_train_merges_incremental, but
+    each vocabulary scan applies every admitted pick of the round — the
+    throughput shape a 30k-merge production vocabulary needs.
+
+    The driver-side greedy works over a DOUBLING count-ordered prefix
+    (collect 64, re-collect 128... until {_BPE_BATCH_B} picks are admitted
+    or the pair table is exhausted), so its picks are EXACTLY the
+    specification's unbounded greedy — never a truncated approximation."""
+    from ..session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    words = (
+        fan_out(load(spark, sf_dir, "documents"))
+        .select(F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("word"))
+        .where("word rlike '^[a-z]+$' AND length(word) >= 2")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_word"))
+    )
+    vocab = (
+        words.select(
+            F.expr("'##' || regexp_replace(word, '(.)', '$1##')").alias("seq"),
+            "n_word",
+        )
+        .checkpoint()
+    )
+
+    def _pairs(df: DataFrame, weight_expr: str, seq_col: str = "seq") -> DataFrame:
+        return (
+            df.withColumn(
+                "toks", F.expr(f"filter(split({seq_col}, '##'), x -> x <> '')")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "zip_with(slice(toks, 1, size(toks) - 1),"
+                        " slice(toks, 2, size(toks) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok))"
+                    )
+                ).alias("pair"),
+                F.expr(weight_expr).alias("w"),
+            )
+            .select("pair.left_tok", "pair.right_tok", "w")
+        )
+
+    counts = (
+        _pairs(vocab, "n_word")
+        .groupBy("left_tok", "right_tok")
+        .agg(F.sum("w").alias("n"))
+        .checkpoint()
+    )
+    out_rows: list[tuple[int, int, str, str, int]] = []
+    for r in range(1, _BPE_BATCH_ROUNDS + 1):
+        ordered = counts.orderBy(
+            F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
+        )
+        picks: list[tuple[str, str, int]] = []
+        used: set[str] = set()
+        lim = 64
+        while True:
+            top = ordered.limit(lim).collect()
+            picks, used = [], set()
+            for row in top:
+                if len(picks) == _BPE_BATCH_B:
+                    break
+                toks = {
+                    row["left_tok"],
+                    row["right_tok"],
+                    row["left_tok"] + row["right_tok"],
+                }
+                if toks & used:
+                    continue
+                picks.append((row["left_tok"], row["right_tok"], int(row["n"])))
+                used |= toks
+            if len(picks) == _BPE_BATCH_B or len(top) < lim:
+                break  # greedy complete, or the whole pair table was scanned
+            lim *= 2
+        if not picks:
+            break
+        out_rows.extend(
+            (r, k + 1, left, right, n) for k, (left, right, n) in enumerate(picks)
+        )
+        # nested replace in pick order (matches the oracle's application)
+        new_seq = "seq"
+        hit_terms = []
+        for left, right, _ in picks:
+            pat, rep = f"'#{left}##{right}#'", f"'#{left}{right}#'"
+            hit_terms.append(f"instr(seq, {pat}) > 0")
+            new_seq = f"replace({new_seq}, {pat}, {rep})"
+        tagged = vocab.select(
+            "seq", "n_word",
+            F.expr(" OR ".join(hit_terms)).alias("hit"),
+            F.expr(new_seq).alias("new_seq"),
+        )
+        affected = tagged.filter("hit")
+        delta = (
+            _pairs(affected, "-n_word")
+            .unionAll(_pairs(affected, "n_word", "new_seq"))
+            .groupBy("left_tok", "right_tok")
+            .agg(F.sum("w").alias("d"))
+        )
+        counts = (
+            counts.join(delta, ["left_tok", "right_tok"], "full_outer")
+            .select(
+                "left_tok",
+                "right_tok",
+                (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("n"),
+            )
+            .filter("n > 0")
+            .coalesce(4)
+            .checkpoint()
+        )
+        vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
+        if r % _VOCAB_CKPT_EVERY == 0:
+            vocab = vocab.coalesce(4).checkpoint()
+    out = spark.createDataFrame(
+        out_rows,
+        "round bigint, pick bigint, left_tok string, right_tok string,"
+        " n_occurrences bigint",
+    )
+    return out.select(
+        "round",
+        "pick",
+        "left_tok",
+        "right_tok",
+        F.expr("left_tok || right_tok").alias("merged"),
+        "n_occurrences",
+    )
+
+
+# ---------------------------------------------------------------------------
 # sparse_cosine_doc_pairs — all-pairs sparse (TF-IDF) cosine similarity via
 # a posting-list self-join with signature pruning: the lexical twin of the
 # dense near-dup path (embedding_cosine_neardup / ann_lsh_topk), and the

@@ -56,3 +56,25 @@ def ensure_checkpoint_dir(spark: SparkSession) -> None:
             os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
             or tempfile.mkdtemp(prefix="spark-graft-ckpt-")
         )
+
+
+def iter_checkpoint(df, eager: bool = True):
+    """Lineage cut for ITERATIVE round state (BFS frontiers, label
+    propagation, pagerank weights, streaming upsert state).
+
+    Default is `localCheckpoint` — materialize to executor memory, the
+    fastest cut on local[N] where executors cannot be lost independently
+    of the whole JVM. Set SPARK_GRAFT_RELIABLE_CKPT=1 (a cluster deploy
+    would) to switch every iterative operator to reliable
+    `DataFrame.checkpoint()` on the checkpoint filesystem
+    (SPARK_GRAFT_CHECKPOINT_DIR → HDFS/S3), so an executor loss mid-
+    iteration replays from the last round's files instead of failing the
+    job. The incremental BPE fit uses reliable checkpoints UNCONDITIONALLY
+    (its round state is the model being fitted); everything else keeps the
+    local default because the swap is a deploy-time decision, not a
+    per-operator one.
+    """
+    if os.environ.get("SPARK_GRAFT_RELIABLE_CKPT") == "1":
+        ensure_checkpoint_dir(df.sparkSession)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)

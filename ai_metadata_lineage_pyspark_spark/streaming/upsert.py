@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..registry import register
+from ..session import iter_checkpoint
 from .sessions import read_events_stream
 
 # total-order tiebreak key (windows.py _MAXBY_ORD convention): fixed-width
@@ -96,7 +97,7 @@ def streaming_foreach_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = _reduce_latest(state["target"].unionByName(batch_state))
         # materialize: the next batch's merge must not re-execute this
         # batch's (already-consumed) streaming source plan
-        state["target"] = merged.localCheckpoint(eager=True)
+        state["target"] = iter_checkpoint(merged)
 
     q = (
         events.writeStream.foreachBatch(upsert)
@@ -195,7 +196,7 @@ def streaming_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             merged = batch_sketch
         else:
             merged = _reduce_kmv(state["sketch"].unionByName(batch_sketch))
-        state["sketch"] = merged.localCheckpoint(eager=True)
+        state["sketch"] = iter_checkpoint(merged)
 
     q = h.writeStream.foreachBatch(merge).trigger(availableNow=True).start()
     q.awaitTermination()

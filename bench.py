@@ -346,6 +346,7 @@ def main() -> None:
     # round-10 additions (full record only)
     extras10_suite = [
         "cosine_topk_panel",
+        "bpe_train_merges_batched",
     ]
     extras10_timings: dict[str, float] = {}
     extras10_steady: dict[str, float] = {}

@@ -36,3 +36,16 @@ def test_depth_cap(spark):
     got = closure_dict(spark, chain, ["0"], max_depth=3)
     assert set(got.values()) == {1, 2, 3}
     assert ("0", "4") not in got
+
+
+def test_reliable_checkpoint_path_same_closure(spark, monkeypatch):
+    """SPARK_GRAFT_RELIABLE_CKPT=1 swaps every iter_checkpoint to a
+    reliable on-disk DataFrame.checkpoint (the cluster deploy setting);
+    closure results must be identical to the localCheckpoint default."""
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("a", "d"), ("x", "y")]
+    base = closure_dict(spark, edges, ["a", "x"])
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", "1")
+    durable = closure_dict(spark, edges, ["a", "x"])
+    assert durable == base == {
+        ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 1, ("x", "y"): 1,
+    }
