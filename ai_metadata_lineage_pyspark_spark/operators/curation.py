@@ -546,3 +546,118 @@ def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFram
             " + ((a % d) * 1000 % d) * 1000 DIV d) AS spearman_ppm",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# domain_doc_cap — RefinedWeb-style per-domain document capping (r10): web
+# pretraining corpora cap how many documents any single domain may
+# contribute, keeping the highest-quality ones, so a crawl-heavy domain
+# cannot dominate the mixture. `source` plays the domain role here.
+#
+# 100 TB plan — the hot-domain problem and its exact two-phase answer: the
+# naive cap is ONE window (row_number over source), which shuffles every
+# document of a domain into a single partition — the classic top-N-per-key
+# skew collapse when one domain holds 10% of a 100 TB crawl. This plan
+# SALTS first: top-CAP per (source, doc_id % SALT) sub-window — a provable
+# SUPERSET of the global per-source top-CAP, because any row in a source's
+# true top-CAP beats, within its salt, only a subset of the rows it beats
+# globally, so its sub-window rank is <= its source rank <= CAP — then the
+# final window ranks only CAP x SALT survivors per source. The heavy
+# shuffle is keyed by (source, salt): a hot domain spreads over SALT
+# partitions, and the second window's input per source is bounded by
+# CAP x SALT rows regardless of domain size. The DuckDB oracle runs the
+# single-window specification; the hash match proves the salted plan
+# computes the identical cap.
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP = 15
+_DOMAIN_SALT = 4
+
+_DOC_QUALITY_SQL = """
+      SELECT doc_id, source, n_chars,
+        (CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.2 THEN 1 ELSE 0 END
+         + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens > 0.3 THEN 1 ELSE 0 END
+         + CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS quality_score
+      FROM (
+        SELECT doc_id, source, n_chars,
+          len(regexp_split_to_array(lower(text), '\\s+')) AS n_tokens,
+          len(list_distinct(regexp_split_to_array(lower(text), '\\s+'))) AS n_unique,
+          length(regexp_replace(lower(text), '[a-z0-9\\s]', '', 'g')) AS n_punct,
+          length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+        FROM documents
+      )
+"""
+
+
+@register(
+    "domain_doc_cap",
+    oracle=f"""
+    WITH q AS ({_DOC_QUALITY_SQL}),
+    ranked AS (
+      SELECT doc_id, source, n_chars, quality_score,
+        ROW_NUMBER() OVER (PARTITION BY source
+                           ORDER BY quality_score DESC, n_chars DESC,
+                                    doc_id ASC) AS source_rank
+      FROM q
+    )
+    SELECT doc_id, source, n_chars, CAST(quality_score AS BIGINT) AS quality_score,
+      CAST(source_rank AS BIGINT) AS source_rank
+    FROM ranked WHERE source_rank <= {_DOMAIN_CAP}
+    """,
+)
+def domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap: keep each source's top {_DOMAIN_CAP} documents by
+    (quality_score DESC, n_chars DESC, doc_id ASC) — RefinedWeb's
+    domain-frequency control, computed with the salted two-phase exact
+    top-N plan (module note above: sub-window per (source, doc_id %
+    {_DOMAIN_SALT}) emits a provable superset, the final window ranks
+    <= {_DOMAIN_CAP}x{_DOMAIN_SALT} rows per source, so no partition ever
+    holds a whole hot domain)."""
+    docs = fan_out(load(spark, sf_dir, "documents"))
+    q = docs.selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        "size(split(lower(text), '\\\\s+')) AS n_tokens",
+        "size(array_distinct(split(lower(text), '\\\\s+'))) AS n_unique",
+        "length(regexp_replace(lower(text), '[a-z0-9\\\\s]', '')) AS n_punct",
+        "length(regexp_replace(text, '[^0-9]', '')) AS n_digit",
+    ).selectExpr(
+        "doc_id",
+        "source",
+        "n_chars",
+        "(CASE WHEN n_tokens BETWEEN 10 AND 100000 THEN 1 ELSE 0 END"
+        " + CASE WHEN CAST(n_punct AS DOUBLE) / n_chars < 0.1D THEN 1 ELSE 0 END"
+        " + CASE WHEN CAST(n_digit AS DOUBLE) / n_chars < 0.2D THEN 1 ELSE 0 END"
+        " + CASE WHEN CAST(n_unique AS DOUBLE) / n_tokens > 0.3D THEN 1 ELSE 0 END"
+        " + CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END) AS quality_score",
+    )
+    order = [
+        F.col("quality_score").desc(),
+        F.col("n_chars").desc(),
+        F.col("doc_id").asc(),
+    ]
+    # phase 1: bounded sub-window per (source, salt) — the skew-proof pass
+    w_salt = Window.partitionBy("source", F.pmod("doc_id", F.lit(_DOMAIN_SALT))).orderBy(
+        *order
+    )
+    survivors = (
+        q.withColumn("salt_rank", F.row_number().over(w_salt))
+        .filter(F.col("salt_rank") <= _DOMAIN_CAP)
+        .drop("salt_rank")
+    )
+    # phase 2: exact rank over <= CAP*SALT rows per source
+    w = Window.partitionBy("source").orderBy(*order)
+    return (
+        survivors.withColumn("source_rank", F.row_number().over(w))
+        .filter(F.col("source_rank") <= _DOMAIN_CAP)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("quality_score").cast("bigint").alias("quality_score"),
+            F.col("source_rank").cast("bigint").alias("source_rank"),
+        )
+    )
