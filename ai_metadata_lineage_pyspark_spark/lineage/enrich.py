@@ -102,34 +102,47 @@ def enrich_one_with_retry(
     base_facts: dict,
     max_retries: int = 2,
     sleep=None,
-) -> dict:
+) -> tuple[dict, bool]:
     """enrich_one under bounded retry with exponential backoff.
 
-    Transient client faults (timeouts, throttles) retry up to `max_retries`
-    times with 2^attempt-second backoff (`sleep` injectable for tests); a
-    still-failing call degrades to an EMPTY enrichment — never an exception
-    — because enrichment is advisory by contract ("LLMs assist
-    understanding — they never define lineage truth") and one flaky script
-    must not fail a corpus-sized batch job. Malformed/truncated model
-    output is not a fault at all: extract_json_object already degrades it
-    to {} inside enrich_one (A16)."""
+    Returns ``(merged, faulted)``. Transient client faults (timeouts,
+    throttles) retry up to `max_retries` times with 2^attempt-second backoff
+    (`sleep` injectable for tests); a still-failing call degrades to an
+    EMPTY enrichment with ``faulted=True`` — never an exception — because
+    enrichment is advisory by contract ("LLMs assist understanding — they
+    never define lineage truth") and one flaky script must not fail a
+    corpus-sized batch job. Malformed/truncated model output is NOT a
+    fault: extract_json_object already degrades it to {} inside enrich_one
+    (A16), the model answered, and at temperature 0 a re-enqueue would get
+    the same reply — so ``faulted`` stays False. The explicit flag (r10
+    advice) makes a fault-degraded row distinguishable from a genuinely
+    empty model reply, so downstream re-enqueue logic never loops on
+    legitimately-empty enrichments."""
     if sleep is None:
         import time as _time
 
         sleep = _time.sleep
     for attempt in range(max_retries + 1):
         try:
-            return enrich_one(client, script_source, base_facts)
+            return enrich_one(client, script_source, base_facts), False
         except Exception:  # noqa: BLE001 — any client fault is retryable
             if attempt == max_retries:
                 merged = dict(base_facts)
                 merged["model_enrichment"] = {}
-                return merged
+                return merged, True
             sleep(2**attempt)
     raise AssertionError("unreachable")
 
 
-def enrich_scripts(scripts_df, client_factory, max_retries: int = 2):
+CIRCUIT_BREAK_AFTER = 25  # consecutive fault-degraded rows before fail-fast
+
+
+def enrich_scripts(
+    scripts_df,
+    client_factory,
+    max_retries: int = 2,
+    circuit_break_after: int = CIRCUIT_BREAK_AFTER,
+):
     """Arrow-batched corpus enrichment: the mapInPandas seam a real Bedrock
     client plugs into (reference bedrock_enrich.py:169-248 run per script,
     here per Arrow batch across executors).
@@ -141,18 +154,38 @@ def enrich_scripts(scripts_df, client_factory, max_retries: int = 2):
     live). Fault semantics, pinned by tests/test_enrich_seam.py: a fault on
     one row is contained to that row (retry -> empty-enrichment fallback via
     enrich_one_with_retry), so neighbors in the same batch and every other
-    batch still enrich — per-batch isolation with per-ROW blast radius."""
+    batch still enrich — per-batch isolation with per-ROW blast radius.
+    `enrich_ok` is the EXPLICIT fault flag from enrich_one_with_retry: False
+    means the client faulted through every retry, True means the model
+    answered (even if the answer degraded to {} via A16) — so a genuinely
+    empty enrichment is never confused with a dead client (r10 advice).
+
+    Circuit breaker (r10 advice): `circuit_break_after` consecutive
+    fault-degraded rows in one task means the client is dead, not flaky —
+    a bad credential or misconfiguration would otherwise pay
+    (max_retries+1) calls + ~3s backoff per row across a corpus-sized job
+    and crawl to a uniformly-empty result. The task fails fast with a
+    RuntimeError instead; a healthy row resets the streak."""
     import pandas as pd
 
     def gen(batches):
         client = client_factory()
+        streak = 0
         for pdf in batches:
             enriched, ok = [], []
             for src, facts_json in zip(pdf["source"], pdf["base_facts_json"]):
                 base = json.loads(facts_json)
-                merged = enrich_one_with_retry(client, src, base, max_retries)
+                merged, faulted = enrich_one_with_retry(client, src, base, max_retries)
+                streak = streak + 1 if faulted else 0
+                if streak >= circuit_break_after:
+                    raise RuntimeError(
+                        f"enrichment circuit breaker: {streak} consecutive rows "
+                        f"exhausted {max_retries} retries — client looks dead "
+                        "(bad credentials / misconfiguration), failing fast "
+                        "instead of degrading the whole corpus to empty"
+                    )
                 enriched.append(json.dumps(merged, sort_keys=True))
-                ok.append(bool(merged.get("model_enrichment")))
+                ok.append(not faulted)
             yield pd.DataFrame(
                 {
                     "script_path": pdf["script_path"],

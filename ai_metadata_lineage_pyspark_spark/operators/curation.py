@@ -615,6 +615,14 @@ def domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     {_DOMAIN_SALT}) emits a provable superset, the final window ranks
     <= {_DOMAIN_CAP}x{_DOMAIN_SALT} rows per source, so no partition ever
     holds a whole hot domain)."""
+    return _domain_cap_stages(spark, sf_dir)["out"]
+
+
+def _domain_cap_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Stage-exposing builder (the `_simhash64_stages` pattern) so
+    tools/domain_skew_probe.py can measure the phase-1 survivor bound
+    directly: `survivors` carries at most CAP×SALT rows per source no
+    matter how many documents the hottest domain holds."""
     docs = fan_out(load(spark, sf_dir, "documents"))
     q = docs.selectExpr(
         "doc_id",
@@ -650,7 +658,7 @@ def domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # phase 2: exact rank over <= CAP*SALT rows per source
     w = Window.partitionBy("source").orderBy(*order)
-    return (
+    out = (
         survivors.withColumn("source_rank", F.row_number().over(w))
         .filter(F.col("source_rank") <= _DOMAIN_CAP)
         .select(
@@ -661,3 +669,4 @@ def domain_doc_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("source_rank").cast("bigint").alias("source_rank"),
         )
     )
+    return {"scored": q, "survivors": survivors, "out": out}

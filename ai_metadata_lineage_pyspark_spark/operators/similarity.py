@@ -91,12 +91,26 @@ _EXACT_TOPK_CTES = f"""
     SELECT query_id, neighbor_id, cosine, rank FROM exact_topk
     """,
     bench=True,
+    # Formally DEMOTED to a contracted ground-truth baseline (r11, the
+    # ngram_jaccard_pairs precedent): |Q| = corpus/_QUERY_MOD makes total
+    # work |Q|·N = quadratic BY CONTRACT — that is what a recall-eval
+    # ground truth is, and the contract cannot be pruned away. max_sf=1
+    # (not 0.1) because the sf1 anchor measured it at 4.64× wall for 10×
+    # data — still comfortably computable, and the sf1 sweeps want the
+    # true baseline present. Above sf1 the production contract is
+    # `cosine_topk_panel` (fixed |Q|, corpus-linear, 1.16× at sf1), which
+    # hybrid_search_rrf fuses; sweep tooling prints an explicit SKIP.
+    max_sf=1.0,
 )
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN: reference A36's FAISS IndexFlatL2 top-k (qa/embed_index.py:
     41-46, qa/ask.py:135-152) re-expressed as broadcast-join + windowed
     top-k, with cosine in place of L2 (equivalent ordering for normalized
-    Titan-style vectors)."""
+    Titan-style vectors).
+
+    CONTRACTED ground-truth baseline (max_sf=1): the |Q|-proportional query
+    set is quadratic by design; `cosine_topk_panel` is the corpus-linear
+    production contract at larger scale (see register() note)."""
     return _exact_topk(spark, sf_dir, panel_only=False)
 
 

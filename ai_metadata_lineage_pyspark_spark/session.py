@@ -33,6 +33,11 @@ def get_spark(app_name: str = "ai-metadata-lineage-pyspark-spark", shuffle_parti
         # geometry, not capacity, is what matters at this scale); override
         # with SPARK_GRAFT_DRIVER_MEM for bigger-SF runs
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # reliable DataFrame.checkpoint() files are NOT deleted by Spark by
+        # default; iterative fits write ~2 per round, so a 100-round evidence
+        # run would leak hundreds of dirs (r10 advice). GC-driven cleanup +
+        # the atexit fallback in ensure_checkpoint_dir keep /tmp bounded.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
@@ -50,12 +55,22 @@ def ensure_checkpoint_dir(spark: SparkSession) -> None:
     """
     sc = spark.sparkContext
     if sc.getCheckpointDir() is None:
-        import tempfile
+        user_dir = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+        if user_dir:
+            sc.setCheckpointDir(user_dir)
+        else:
+            import atexit
+            import shutil
+            import tempfile
 
-        sc.setCheckpointDir(
-            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
-            or tempfile.mkdtemp(prefix="spark-graft-ckpt-")
-        )
+            tmp = tempfile.mkdtemp(prefix="spark-graft-ckpt-")
+            # GC cleanup (cleanCheckpoints, above) is best-effort and only
+            # fires when the DataFrame is collected; remove the whole
+            # mkdtemp'd dir at interpreter exit so repeated local sessions
+            # never accumulate checkpoint litter. A user-supplied dir (the
+            # cluster deploy: HDFS/S3) is never touched.
+            atexit.register(shutil.rmtree, tmp, ignore_errors=True)
+            sc.setCheckpointDir(tmp)
 
 
 def iter_checkpoint(df, eager: bool = True):

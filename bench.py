@@ -69,12 +69,24 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # SPARK_GRAFT_BENCH_SUITES=headline[,tpch,...] runs a subset (r10: the
     # sf1 anchor times the headline suite only); default runs everything
+    known_suites = {
+        "headline", "tpch", "mining", "retrieval",
+        "extras", "extras8", "extras9", "extras10",
+    }
     suites = set(
         (
             os.environ.get("SPARK_GRAFT_BENCH_SUITES")
-            or "headline,tpch,mining,retrieval,extras,extras8,extras9,extras10"
+            or ",".join(sorted(known_suites))
         ).split(",")
     )
+    # a typo'd token would silently run nothing and record zeroed suite
+    # totals that read like a timing result (r10 advice) — fail fast instead
+    unknown = suites - known_suites
+    if unknown:
+        raise SystemExit(
+            f"bench.py: unknown SPARK_GRAFT_BENCH_SUITES token(s) {sorted(unknown)}; "
+            f"known: {sorted(known_suites)}"
+        )
     spark = get_spark("bench")
     # warm the JVM + parquet footers of every table the headline queries
     # touch, so per-query numbers measure the plan, not session startup or

@@ -102,12 +102,16 @@ def test_batched_enrichment_per_row_isolation(spark):
 
     # healthy row in the same batch as every fault: fully enriched
     assert enrichment("a_ok.py")["script_len"] > 0 and out["a_ok.py"]["enrich_ok"]
-    # timeout exhausts retries -> empty enrichment, row survives
+    # timeout exhausts retries -> empty enrichment, row survives, and the
+    # EXPLICIT fault flag is the only enrich_ok=False (r11: the flag tracks
+    # client faults, not enrichment emptiness)
     assert enrichment("b_timeout.py") == {} and not out["b_timeout.py"]["enrich_ok"]
-    # malformed reply -> A16 degrades to {} without raising
-    assert enrichment("c_malformed.py") == {} and not out["c_malformed.py"]["enrich_ok"]
-    # mid-stream-cut JSON is also an A16 degrade, not a crash
-    assert enrichment("e_cut.py") == {} and not out["e_cut.py"]["enrich_ok"]
+    # malformed reply -> A16 degrades to {} without raising; the model DID
+    # answer, so this is NOT a fault: enrich_ok stays True (a re-enqueue of
+    # enrich_ok=false rows must never loop on deterministic empty replies)
+    assert enrichment("c_malformed.py") == {} and out["c_malformed.py"]["enrich_ok"]
+    # mid-stream-cut JSON is also an A16 degrade, not a crash, not a fault
+    assert enrichment("e_cut.py") == {} and out["e_cut.py"]["enrich_ok"]
     # flaky-once succeeds on the retry
     assert enrichment("d_flaky.py")["script_len"] > 0 and out["d_flaky.py"]["enrich_ok"]
     # 12,000-char truncation rule observed by the client THROUGH the seam
@@ -121,7 +125,8 @@ def test_batched_enrichment_multi_partition(spark):
     out = enrich_scripts(df, FaultInjectingClient, max_retries=1).collect()
     ok = {r["script_path"]: r["enrich_ok"] for r in out}
     assert ok["a_ok.py"] and ok["d_flaky.py"] and ok["f_big.py"]
-    assert not ok["b_timeout.py"] and not ok["c_malformed.py"]
+    assert ok["c_malformed.py"]  # content degrade, not a client fault
+    assert not ok["b_timeout.py"]  # the only fault-degraded row
 
 
 def test_retry_backoff_sequence():
@@ -131,11 +136,12 @@ def test_retry_backoff_sequence():
         def complete(self, prompt, max_tokens, temperature):
             raise TimeoutError("injected")
 
-    merged = enrich_one_with_retry(
+    merged, faulted = enrich_one_with_retry(
         AlwaysTimeout(), "src", {"script": "s.py"}, max_retries=3, sleep=sleeps.append
     )
     assert sleeps == [1, 2, 4]  # exponential, bounded by max_retries
     assert merged == {"script": "s.py", "model_enrichment": {}}
+    assert faulted  # the explicit fault flag, not inferred from emptiness
 
 
 def test_retry_stops_after_first_success():
@@ -151,11 +157,12 @@ def test_retry_stops_after_first_success():
                 raise ConnectionError("injected")
             return json.dumps({"joins": []})
 
-    merged = enrich_one_with_retry(
+    merged, faulted = enrich_one_with_retry(
         FlakyTwice(), "src", {"script": "s.py"}, max_retries=5, sleep=sleeps.append
     )
     assert sleeps == [1, 2]  # no further attempts after success
     assert merged["model_enrichment"] == {"joins": []}
+    assert not faulted
 
 
 def test_prompt_truncation_rule_both_sections():
@@ -165,3 +172,41 @@ def test_prompt_truncation_rule_both_sections():
     facts = prompt.split("BASE FACTS:\n", 1)[1]
     assert len(script) == PROMPT_TRUNCATION
     assert len(facts.rstrip("\n")) == PROMPT_TRUNCATION
+
+
+def test_circuit_breaker_fails_fast_on_dead_client(spark):
+    """A dead client (bad credentials, misconfiguration) must fail the job
+    fast, not crawl through a corpus-sized batch paying (max_retries+1)
+    calls + backoff per row to produce a uniformly-empty result (r10
+    advice). N consecutive fault-degraded rows in one task trip the breaker."""
+    import pytest
+
+    rows = [
+        Row(script_path=f"dead_{i}.py", source=f"x = {i}  # RAISE_TIMEOUT",
+            base_facts_json=json.dumps({"script": f"dead_{i}.py"}))
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+    with pytest.raises(Exception, match="circuit breaker"):
+        enrich_scripts(
+            df, FaultInjectingClient, max_retries=0, circuit_break_after=5
+        ).collect()
+
+
+def test_circuit_breaker_streak_resets_on_healthy_row(spark):
+    """Interleaved healthy rows prove the breaker counts CONSECUTIVE faults:
+    a corpus with scattered flaky scripts must still complete end-to-end."""
+    rows = []
+    for i in range(12):
+        marker = "# RAISE_TIMEOUT" if i % 2 else f"# healthy {i}"
+        rows.append(
+            Row(script_path=f"mix_{i}.py", source=f"x = {i}  {marker}",
+                base_facts_json=json.dumps({"script": f"mix_{i}.py"}))
+        )
+    df = spark.createDataFrame(rows).coalesce(1)
+    out = enrich_scripts(
+        df, FaultInjectingClient, max_retries=0, circuit_break_after=3
+    ).collect()
+    assert len(out) == 12
+    ok = {r["script_path"]: r["enrich_ok"] for r in out}
+    assert sum(ok.values()) == 6  # every healthy row enriched, every odd row faulted

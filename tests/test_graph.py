@@ -49,3 +49,27 @@ def test_reliable_checkpoint_path_same_closure(spark, monkeypatch):
     assert durable == base == {
         ("a", "b"): 1, ("a", "c"): 2, ("a", "d"): 1, ("x", "y"): 1,
     }
+
+
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize(
+    "name", ["event_chain_closure", "neardup_components", "pagerank_trade_network"]
+)
+def test_reliable_checkpoint_parity_registry_iteratives(spark, sf_dir, monkeypatch, name):
+    """CI exercise of the cluster deploy switch (r11, verdict #6): every
+    registry operator that cuts iterative lineage via session.iter_checkpoint
+    — BFS closure, label propagation, pagerank — must produce BIT-identical
+    results under SPARK_GRAFT_RELIABLE_CKPT=1 (reliable on-disk
+    DataFrame.checkpoint) as under the localCheckpoint default. A checkpoint
+    is a materialization boundary, not a computation: any divergence means
+    round state leaked into values."""
+    from ai_metadata_lineage_pyspark_spark.registry import all_queries
+
+    fn = all_queries()[name].fn
+    monkeypatch.delenv("SPARK_GRAFT_RELIABLE_CKPT", raising=False)
+    local = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    monkeypatch.setenv("SPARK_GRAFT_RELIABLE_CKPT", "1")
+    durable = sorted(tuple(r) for r in fn(spark, sf_dir).collect())
+    assert durable == local and len(local) > 0

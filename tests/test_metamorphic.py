@@ -79,6 +79,9 @@ METAMORPHIC_QUERIES = [
     "bloom_m_sweep",
     "quality_score_rank_correlation",
     "stratified_topk_sample",
+    # r11: the salted two-phase per-domain cap consumes documents and claims
+    # an engine-exact total-order tiebreak — layout must not leak into it
+    "domain_doc_cap",
 ]
 
 

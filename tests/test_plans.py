@@ -505,3 +505,33 @@ def test_new_pair_generators_have_no_cartesian_products(q):
 def test_bloom_sweep_broadcasts_eval_positions(q):
     # the train side must never shuffle: eval positions join is broadcast
     assert I.broadcast_join_count(q("bloom_m_sweep")) >= 2
+
+
+def test_domain_doc_cap_salted_two_phase_plan(q):
+    """The per-domain cap's scale contract (r11, verdict #1): the heavy
+    full-corpus window must be keyed by (source, pmod(doc_id, SALT)) — a
+    hot domain spreads over SALT partitions — and only the BOUNDED second
+    phase (<= CAP*SALT rows per source after the salt_rank filter) may
+    exchange on source alone. A plan with a single source-keyed window over
+    the whole corpus is the 100 TB skew collapse this query exists to avoid."""
+    import re
+
+    plan = I.physical_plan(q("domain_doc_cap"))
+    # two window phases, not one
+    assert len(re.findall(r"\bWindow \[row_number", plan)) == 2
+    # exactly one salted exchange (source + pmod-derived key) and one
+    # bounded source-only exchange
+    salted = re.findall(r"Exchange hashpartitioning\(source#\d+, _w\d+#\d+L?, \d+\)", plan)
+    source_only = re.findall(r"Exchange hashpartitioning\(source#\d+, \d+\)", plan)
+    assert len(salted) == 1 and len(source_only) == 1, plan
+    assert "pmod(doc_id" in plan
+    # the source-only exchange consumes the salt-filtered survivors: in
+    # explain output the tree prints top-down, so the bounded exchange must
+    # appear ABOVE (before) the salted one
+    assert plan.index(source_only[0]) < plan.index(salted[0])
+    # rank<=CAP compiles to WindowGroupLimit with a map-side Partial pass in
+    # BOTH phases: each map task pre-prunes to CAP rows per key before the
+    # shuffle, so the exchanges never carry more than CAP rows per group
+    assert len(re.findall(r"WindowGroupLimit .*row_number\(\), 15, Partial", plan)) == 2
+    # scan pruned to exactly the consumed document columns
+    assert I.scan_columns(q("domain_doc_cap")) == [["doc_id", "text", "source", "n_chars"]]

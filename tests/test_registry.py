@@ -82,11 +82,15 @@ def test_bench_queries_are_registered():
 
 def test_max_sf_demotions_are_the_documented_set():
     """max_sf formally demotes a query to a bounded ground-truth harness —
-    the list must stay deliberate (r10: ngram_jaccard_pairs, whose TRUE
-    output is quadratic in the corpus; linear twin chargram_minhash_pairs
-    is unbounded). A new entry here needs a docstring demotion note."""
+    the list must stay deliberate. r10: ngram_jaccard_pairs (TRUE output
+    quadratic in the corpus; linear twin chargram_minhash_pairs is
+    unbounded). r11: cosine_topk (|Q| ∝ corpus ⇒ |Q|·N quadratic work by
+    contract; max_sf=1 because the sf1 anchor measured 4.64× wall for 10×
+    — still computable — and the corpus-linear twin cosine_topk_panel is
+    the production contract above). A new entry here needs a docstring
+    demotion note."""
     gated = {n: q.max_sf for n, q in all_queries().items() if q.max_sf is not None}
-    assert gated == {"ngram_jaccard_pairs": 0.1}
+    assert gated == {"ngram_jaccard_pairs": 0.1, "cosine_topk": 1.0}
 
 
 def test_fixture_scale_gating():
@@ -94,13 +98,63 @@ def test_fixture_scale_gating():
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
-    from check_oracle import fixture_scale
+    from check_oracle import fixture_scale, max_sf_skip_reason
 
     assert fixture_scale("/root/testdata/sf0.001") == 0.001
     assert fixture_scale("/root/testdata/sf0.1/") == 0.1
     assert fixture_scale("/tmp/testdata_sf1") == 1.0
-    # undeterminable -> None -> gating FAILS OPEN (query runs)
     assert fixture_scale("/tmp/somereplica") is None
+
+    qs = all_queries()
+    gated, ungated = qs["ngram_jaccard_pairs"], qs["exact_dedup"]
+    # known scale: contract applies strictly above max_sf
+    assert max_sf_skip_reason(gated, 0.1) is None
+    assert "max_sf=0.1" in max_sf_skip_reason(gated, 1.0)
+    # UNDETERMINABLE scale now fails CLOSED for contracted queries (r11
+    # advice: a quadratic harness must never run blind over a replica dir)
+    # unless --force is explicit; unbounded queries always run
+    assert "UNDETERMINABLE" in max_sf_skip_reason(gated, None)
+    assert max_sf_skip_reason(gated, None, force=True) is None
+    assert max_sf_skip_reason(ungated, None) is None
+    # the r11 demotion: cosine_topk contracted to sf<=1
+    assert max_sf_skip_reason(qs["cosine_topk"], 1.0) is None
+    assert "max_sf=1.0" in max_sf_skip_reason(qs["cosine_topk"], 10.0)
+
+
+def test_registry_covered_by_newest_final_sweep_log():
+    """Structural fix for the r9/r10 end-of-round-gate lapses (verdict r10
+    #2): twice a query was registered AFTER the committed sweep logs
+    (r9 `chargram_minhash_pairs`, r10 `domain_doc_cap`), shipping with zero
+    builder-side verification. This test makes a third recurrence
+    impossible: every registered query name must appear as PASS / ok? /
+    SKIP in the NEWEST committed `ARTIFACTS/r*_oracle_sweep_final_sf0.001.log`
+    — so registering a query without re-running and committing the sf0.001
+    sweep fails `pytest tests/` on the spot. FAIL lines do not count as
+    coverage, and a log whose tail is not ALL GREEN fails outright."""
+    import glob
+    import os
+    import re
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    logs = glob.glob(os.path.join(repo, "ARTIFACTS", "r*_oracle_sweep_final_sf0.001.log"))
+    assert logs, "no committed final sf0.001 sweep log found in ARTIFACTS/"
+    newest = max(logs, key=lambda p: int(re.match(r"r(\d+)_", os.path.basename(p)).group(1)))
+    with open(newest) as f:
+        lines = f.read().splitlines()
+    assert lines and lines[-1].strip() == "ALL GREEN", (
+        f"{os.path.basename(newest)} does not end in ALL GREEN"
+    )
+    covered = {
+        m.group(2)
+        for line in lines
+        if (m := re.match(r"(PASS|ok\?|SKIP)\s+(\w+):", line))
+    }
+    missing = sorted(set(all_queries()) - covered)
+    assert not missing, (
+        f"registered but absent from {os.path.basename(newest)}: {missing} — "
+        "run `python tools/check_oracle.py /root/testdata/sf0.001` and commit "
+        "the log BEFORE registering a query"
+    )
 
 
 def test_pyscripts_datasource_matches_text_source(spark):

@@ -35,13 +35,40 @@ def fixture_scale(sf_dir: str) -> float | None:
 
     Parses the trailing ``sf<number>`` in the directory name (covers the
     driver's /root/testdata/sf0.001..sf0.1 and replica dirs like
-    /tmp/testdata_sf1). Returns None when undeterminable — in which case
-    max_sf gating is NOT applied (fail open: run the query).
+    /tmp/testdata_sf1). Returns None when undeterminable — max_sf-gated
+    queries are then SKIPPED LOUDLY unless --force is passed (r11, advice:
+    fail-open here previously meant a quadratic ground-truth harness could
+    run ungated over a replica dir like adv10x, >35 min/engine).
     """
     import re
 
     m = re.search(r"sf_?([0-9]+(?:\.[0-9]+)?)/?$", sf_dir.rstrip("/").rsplit("/", 1)[-1])
     return float(m.group(1)) if m else None
+
+
+def max_sf_skip_reason(q, scale: float | None, force: bool = False) -> str | None:
+    """SKIP message when a max_sf-contracted query must not run at this
+    fixture scale, else None (run it). Shared by check_oracle /
+    subset_oracle so the gating semantics cannot drift.
+
+    * scale known and above the contract -> SKIP (the documented demotion);
+    * scale UNDETERMINABLE (replica dirs without an sf suffix) -> SKIP with
+      a loud warning rather than silently running an unbounded quadratic
+      baseline; --force runs it anyway (explicit operator override).
+    """
+    if q.max_sf is None:
+        return None
+    if scale is None:
+        if force:
+            return None
+        return (
+            f"fixture scale UNDETERMINABLE from dir name; refusing to run "
+            f"max_sf={q.max_sf} ground-truth harness blind (pass --force to "
+            f"override)"
+        )
+    if scale > q.max_sf:
+        return f"documented ground-truth harness, max_sf={q.max_sf} < fixture sf={scale}"
+    return None
 
 
 def canon(v) -> str:
@@ -80,8 +107,10 @@ def table_hash(cols: list[str], rows: list[tuple]) -> str:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = [a for a in sys.argv[1:] if a != "--force"]
+    force = "--force" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
     spark = get_spark("check-oracle")
     con = duckdb.connect()
     for t in TABLES:
@@ -93,11 +122,9 @@ def main() -> int:
     for name, q in sorted(all_queries().items()):
         if only and name not in only:
             continue
-        if q.max_sf is not None and scale is not None and scale > q.max_sf:
-            print(
-                f"SKIP {name}: documented ground-truth harness, "
-                f"max_sf={q.max_sf} < fixture sf={scale}"
-            )
+        skip = max_sf_skip_reason(q, scale, force)
+        if skip is not None:
+            print(f"SKIP {name}: {skip}")
             continue
         t0 = time.time()
         try:

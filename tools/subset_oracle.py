@@ -26,7 +26,7 @@ import duckdb
 
 sys.path.insert(0, ".")
 
-from check_oracle import TABLES, fixture_scale, table_hash  # noqa: E402
+from check_oracle import TABLES, fixture_scale, max_sf_skip_reason, table_hash  # noqa: E402
 
 from ai_metadata_lineage_pyspark_spark.registry import all_queries  # noqa: E402
 from ai_metadata_lineage_pyspark_spark.session import get_spark  # noqa: E402
@@ -54,8 +54,9 @@ def main() -> int:
     failures = []
     for name in subset:
         q = queries[name]
-        if q.max_sf is not None and scale is not None and scale > q.max_sf:
-            print(f"SKIP {name}: ground-truth harness, max_sf={q.max_sf} < sf={scale}")
+        skip = max_sf_skip_reason(q, scale)
+        if skip is not None:
+            print(f"SKIP {name}: {skip}")
             continue
         t0 = time.time()
         try:
