@@ -141,7 +141,7 @@ def enrich_scripts(
     scripts_df,
     client_factory,
     max_retries: int = 2,
-    circuit_break_after: int = CIRCUIT_BREAK_AFTER,
+    circuit_break_after: int | None = CIRCUIT_BREAK_AFTER,
 ):
     """Arrow-batched corpus enrichment: the mapInPandas seam a real Bedrock
     client plugs into (reference bedrock_enrich.py:169-248 run per script,
@@ -165,8 +165,13 @@ def enrich_scripts(
     a bad credential or misconfiguration would otherwise pay
     (max_retries+1) calls + ~3s backoff per row across a corpus-sized job
     and crawl to a uniformly-empty result. The task fails fast with a
-    RuntimeError instead; a healthy row resets the streak."""
+    RuntimeError instead; a healthy row resets the streak. Passing
+    `circuit_break_after=None` or any value <= 0 DISABLES the breaker
+    (r11 advice: the natural "off" value of 0 previously tripped on the
+    very first row, healthy or not, because streak=0 >= 0)."""
     import pandas as pd
+
+    breaker_on = circuit_break_after is not None and circuit_break_after > 0
 
     def gen(batches):
         client = client_factory()
@@ -177,7 +182,7 @@ def enrich_scripts(
                 base = json.loads(facts_json)
                 merged, faulted = enrich_one_with_retry(client, src, base, max_retries)
                 streak = streak + 1 if faulted else 0
-                if streak >= circuit_break_after:
+                if breaker_on and streak >= circuit_break_after:
                     raise RuntimeError(
                         f"enrichment circuit breaker: {streak} consecutive rows "
                         f"exhausted {max_retries} retries — client looks dead "

@@ -10,8 +10,8 @@ because the full-detail line outgrew the 2000-char tail):
 `queries` holds per-query STEADY seconds for the headline suite; the other
 suites' per-query steady values ride in `tpch_q`/`mining_q`/`retr_q` with
 shortened keys. The FULL record (first-run + steady for every suite) is
-written to ARTIFACTS/r{N}_bench_local.json (N inferred from existing
-BENCH_r*.json files) and referenced by `detail`.
+written to ARTIFACTS/bench_scratch.json (GITIGNORED — committed evidence
+names are opt-in via SPARK_GRAFT_BENCH_DETAIL) and referenced by `detail`.
 
 Each query is executed to completion with a cheap count-style sink (collect
 for small results) after a warmup of the Spark session + parquet footer
@@ -26,6 +26,12 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+sys.path.insert(
+    0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+)
+
+from check_oracle import fixture_scale, max_sf_skip_reason  # noqa: E402
 
 from ai_metadata_lineage_pyspark_spark.functions.cache import (  # noqa: E402
     release_models,
@@ -87,6 +93,22 @@ def main() -> None:
             f"bench.py: unknown SPARK_GRAFT_BENCH_SUITES token(s) {sorted(unknown)}; "
             f"known: {sorted(known_suites)}"
         )
+    # max_sf contract gate (r11 advice): check_oracle/subset_oracle already
+    # refuse to run a demoted ground-truth harness above its contract, but
+    # bench.py selected every q.bench query unconditionally — so cosine_topk
+    # (bench=True, max_sf=1.0) would have run its quadratic |Q|x|N| baseline
+    # ungated in any future sf>1 bench. Same shared gate, same semantics:
+    # unknown fixture scale fails CLOSED unless SPARK_GRAFT_BENCH_FORCE=1.
+    bench_scale = fixture_scale(sf_dir)
+    bench_force = os.environ.get("SPARK_GRAFT_BENCH_FORCE") == "1"
+
+    def max_sf_skip(name: str, q) -> bool:
+        reason = max_sf_skip_reason(q, bench_scale, bench_force)
+        if reason is not None:
+            print(f"# SKIP {name}: {reason}", file=sys.stderr)
+            return True
+        return False
+
     spark = get_spark("bench")
     # warm the JVM + parquet footers of every table the headline queries
     # touch, so per-query numbers measure the plan, not session startup or
@@ -206,6 +228,8 @@ def main() -> None:
     steady: dict[str, float] = {}
     if "headline" in suites:
         for name, q in queries.items():
+            if max_sf_skip(name, q):
+                continue
             timings[name], steady[name] = timed_pair(q.fn, name)
 
     # TPC-H power run: all 22 suite queries sequentially (single stream),
@@ -219,6 +243,8 @@ def main() -> None:
     tpch_steady: dict[str, float] = {}
     if "tpch" in suites:
         for qnum, name in _TPCH_SUITE:
+            if max_sf_skip(name, registry[name]):
+                continue
             key = f"q{qnum:02d}_{name}"
             tpch_timings[key], tpch_steady[key] = timed_pair(
                 registry[name].fn, f"tpch {key}"
@@ -241,6 +267,8 @@ def main() -> None:
     mining_steady: dict[str, float] = {}
     if "mining" in suites:
         for name in mining_suite:
+            if max_sf_skip(name, registry[name]):
+                continue
             mining_timings[name], mining_steady[name] = timed_pair(
                 registry[name].fn, f"mining {name}"
             )
@@ -260,6 +288,8 @@ def main() -> None:
     retr_steady: dict[str, float] = {}
     if "retrieval" in suites:
         for name in retrieval_suite:
+            if max_sf_skip(name, registry[name]):
+                continue
             retr_timings[name], retr_steady[name] = timed_pair(
                 registry[name].fn, f"retrieval {name}"
             )
@@ -282,6 +312,8 @@ def main() -> None:
     extras_steady: dict[str, float] = {}
     if "extras" in suites:
         for name in extras_suite:
+            if max_sf_skip(name, registry[name]):
+                continue
             extras_timings[name], extras_steady[name] = timed_pair(
                 registry[name].fn, f"extras {name}"
             )
@@ -335,6 +367,8 @@ def main() -> None:
     extras8_steady: dict[str, float] = {}
     if "extras8" in suites:
         for name in extras8_suite:
+            if max_sf_skip(name, registry[name]):
+                continue
             extras8_timings[name], extras8_steady[name] = timed_pair(
                 registry[name].fn, f"extras8 {name}"
             )
@@ -350,6 +384,8 @@ def main() -> None:
     extras9_steady: dict[str, float] = {}
     if "extras9" in suites:
         for name in extras9_suite:
+            if max_sf_skip(name, registry[name]):
+                continue
             extras9_timings[name], extras9_steady[name] = timed_pair(
                 registry[name].fn, f"extras9 {name}"
             )
@@ -364,6 +400,8 @@ def main() -> None:
     extras10_steady: dict[str, float] = {}
     if "extras10" in suites:
         for name in extras10_suite:
+            if max_sf_skip(name, registry[name]):
+                continue
             extras10_timings[name], extras10_steady[name] = timed_pair(
                 registry[name].fn, f"extras10 {name}"
             )
@@ -443,16 +481,14 @@ def main() -> None:
         "steady_runs": steady_runs,
     }
 
-    # full detail to ARTIFACTS/r{N}_bench_local.json; N = (max existing
-    # BENCH_r*.json round) + 1, i.e. the round currently being recorded
+    # Full detail goes to a GITIGNORED scratch path by default (r11 verdict
+    # "what's wrong" #1: the old default wrote ARTIFACTS/r{N}_bench_local.json,
+    # so the driver's post-gate rerun clobbered the builder's COMMITTED
+    # median-of-3 evidence in the work tree). Committed evidence names are
+    # opt-in via SPARK_GRAFT_BENCH_DETAIL=ARTIFACTS/r{N}_bench_local.json.
     repo = os.path.dirname(os.path.abspath(__file__))
-    rounds = [
-        int(f[7:9])
-        for f in os.listdir(repo)
-        if f.startswith("BENCH_r") and f.endswith(".json") and f[7:9].isdigit()
-    ]
     detail_path = os.environ.get("SPARK_GRAFT_BENCH_DETAIL") or os.path.join(
-        "ARTIFACTS", f"r{(max(rounds) + 1) if rounds else 0:02d}_bench_local.json"
+        "ARTIFACTS", "bench_scratch.json"
     )
     try:
         with open(os.path.join(repo, detail_path), "w") as fh:

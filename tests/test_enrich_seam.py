@@ -210,3 +210,23 @@ def test_circuit_breaker_streak_resets_on_healthy_row(spark):
     assert len(out) == 12
     ok = {r["script_path"]: r["enrich_ok"] for r in out}
     assert sum(ok.values()) == 6  # every healthy row enriched, every odd row faulted
+
+
+def test_circuit_breaker_zero_or_none_disables(spark):
+    """circuit_break_after=0 / None means breaker OFF (r11 advice): the old
+    `streak >= circuit_break_after` check tripped at streak=0 >= 0 on the
+    very FIRST row even when it was healthy, so the natural 'disable' value
+    instead failed every task immediately. Disabled means even an all-fault
+    corpus completes, degraded row-by-row, never raising."""
+    rows = [
+        Row(script_path=f"off_{i}.py", source=f"x = {i}  # RAISE_TIMEOUT",
+            base_facts_json=json.dumps({"script": f"off_{i}.py"}))
+        for i in range(8)
+    ]
+    df = spark.createDataFrame(rows).coalesce(1)
+    for off in (0, None, -1):
+        out = enrich_scripts(
+            df, FaultInjectingClient, max_retries=0, circuit_break_after=off
+        ).collect()
+        assert len(out) == 8
+        assert not any(r["enrich_ok"] for r in out)  # all fault-degraded, none raised
