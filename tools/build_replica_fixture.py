@@ -58,9 +58,25 @@ _LINKED = ["nation", "region"]
 
 
 def _caesar(r: int):
+    """Bijective per-replica character map. For r < 26 this is the original
+    pure Caesar shift (so rebuilding the sf1 fixture reproduces the r11
+    evidence byte-for-byte). Beyond 26 replicas a pure shift repeats —
+    replicas r and r+26 would carry EXACT duplicate text under new doc_ids,
+    which is a corpus-shape change, not a scale-up — so r >= 26 composes an
+    AFFINE letter map (x -> a*x + b mod 26, a coprime to 26: still a
+    bijection, so all within-replica shingle/near-dup structure is
+    preserved exactly) plus a digit Caesar keyed to the 26-block. Distinct
+    maps for every r < 12*26 = 312 replicas."""
     lower = string.ascii_lowercase
-    shifted = lower[r % 26 :] + lower[: r % 26]
-    return str.maketrans(lower + lower.upper(), shifted + shifted.upper())
+    digits = string.digits
+    block, shift = divmod(r, 26)
+    # multipliers coprime to 26; block 0 keeps a=1 (the original shift map)
+    a = (1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25)[block % 12]
+    shifted = "".join(lower[(a * i + shift) % 26] for i in range(26))
+    dshift = digits[block % 10 :] + digits[: block % 10]
+    return str.maketrans(
+        lower + lower.upper() + digits, shifted + shifted.upper() + dshift
+    )
 
 
 def _replicate_strided(table: pa.Table, keys: list[str]) -> pa.Table:
@@ -124,6 +140,19 @@ def main() -> None:
     reps = []
     for r in range(REPLICAS):
         rolled = np.roll(mat, r * 7 % mat.shape[1], axis=1)
+        # the cyclic roll repeats after `dim` replicas (r and r+64 would be
+        # EXACT duplicate vectors — the documented cos=1.0 FP-boundary
+        # divergence); compose a SIGN FLIP on the first (r*7 // dim)
+        # dimensions so (roll, flip-width) <-> r*7 is bijective and every
+        # replica's map is distinct for r*7 < 64*dim. A diagonal +-1 matrix
+        # is orthogonal, so every within-replica dot product / norm stays
+        # bit-identical. No-op while r*7 < dim — in particular for the
+        # 10-replica sf1 fixture, whose rebuilds stay byte-identical to the
+        # r11 evidence.
+        block = (r * 7) // mat.shape[1]
+        if block:
+            rolled = rolled.copy()
+            rolled[:, :block] = -rolled[:, :block]
         reps.append(
             pa.table(
                 {
