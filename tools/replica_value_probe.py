@@ -106,18 +106,38 @@ def run_oracle(sql: str, sf_dir: str) -> tuple[str, list[str], list[tuple], floa
 
 def main() -> int:
     fixtures = sys.argv[1:] or ["/tmp/testdata_sf10"]
-    spark = get_spark("replica-value-probe")
     qs = all_queries()
-    n_match = n_ceiling = n_fail = 0
+    # Fail fast on misspelled names (ADVICE r12: a KeyError mid-run could
+    # discard hours of earlier Spark/oracle work) — before the session spins up.
+    unknown = [n for n in QUERIES if n not in qs]
+    if unknown:
+        print(json.dumps({"error": "unknown queries", "names": unknown}), flush=True)
+        return 2
+    spark = get_spark("replica-value-probe")
+    n_match = n_ceiling = n_below_skip = n_fail = n_rows_only = n_never = 0
     for name in QUERIES:
         q = qs[name]
+        if q.oracle is None:
+            # Rows-only queries have no value oracle (ADVICE r12: run_oracle(None)
+            # used to crash inside con.execute and masquerade as an oracle ceiling).
+            print(json.dumps({"query": name, "status": "rows-only",
+                              "note": "no oracle registered; value check not applicable"}),
+                  flush=True)
+            n_rows_only += 1
+            continue
         verified_at = None
+        # Why the probe stepped down from the top fixture: a max_sf contract
+        # SKIP is not a DuckDB capacity ceiling (ADVICE r12) — track separately.
+        stepdown_reason = None
+        hard_fail = False
         for rank, sf_dir in enumerate(fixtures):
             scale = fixture_scale(sf_dir)
             skip = max_sf_skip_reason(q, scale)
             if skip is not None:
                 print(json.dumps({"query": name, "fixture": sf_dir, "status": "skip",
                                   "reason": skip}), flush=True)
+                if stepdown_reason is None:
+                    stepdown_reason = "max_sf_skip"
                 continue
             release_persisted()
             t0 = time.time()
@@ -131,6 +151,7 @@ def main() -> int:
                                   "error": f"{type(e).__name__}: {e}"[:400]}),
                       flush=True)
                 n_fail += 1
+                hard_fail = True
                 break
             spark_sec = time.time() - t0
             status, dcols, drows, oracle_sec = run_oracle(q.oracle, sf_dir)
@@ -146,22 +167,43 @@ def main() -> int:
                 print(json.dumps(rec), flush=True)
                 if match:
                     verified_at = sf_dir
-                    if rank > 0:
-                        n_ceiling += 1
-                    else:
+                    if rank == 0:
                         n_match += 1
+                    elif stepdown_reason == "max_sf_skip":
+                        # Matched below a contract-mandated skip, not below a
+                        # DuckDB capacity limit — a different claim (ADVICE r12).
+                        n_below_skip += 1
+                    else:
+                        n_ceiling += 1
                 else:
                     n_fail += 1
+                    hard_fail = True
                 break  # a value MISMATCH must not be laundered by stepping down
             rec["note"] = "oracle could not verify at this scale; stepping down"
             print(json.dumps(rec), flush=True)
-        # verified_at None = ran out of ladder (oracle ceiling below the
-        # smallest fallback) or a hard failure recorded above
-        print(json.dumps({"query": name, "verified_at": verified_at}), flush=True)
-    print(json.dumps({"summary": {"match_at_top": n_match,
-                                  "match_at_ceiling": n_ceiling,
-                                  "failures": n_fail}}), flush=True)
-    return 1 if n_fail else 0
+            stepdown_reason = "oracle_ceiling"
+        # Ladder exhausted without a match (and without a recorded hash
+        # MISMATCH / spark error): emit an explicit INCOMPLETE marker and
+        # count it, so a summary consumer can never mistake an unverified
+        # query for a verified one (verdict r12 "what's wrong" #1 + ADVICE).
+        if verified_at is None and not hard_fail:
+            n_never += 1
+            print(json.dumps({"query": name, "verified_at": None,
+                              "status": "INCOMPLETE",
+                              "note": "ladder exhausted; no fixture both "
+                                      "within max_sf and within oracle budget"}),
+                  flush=True)
+        else:
+            print(json.dumps({"query": name, "verified_at": verified_at}), flush=True)
+    summary = {"match_at_top": n_match,
+               "match_at_ceiling": n_ceiling,
+               "match_below_max_sf_skip": n_below_skip,
+               "rows_only": n_rows_only,
+               "never_verified": n_never,
+               "failures": n_fail}
+    summary["accounted"] = sum(summary.values()) == len(QUERIES)
+    print(json.dumps({"summary": summary}), flush=True)
+    return 1 if (n_fail or n_never) else 0
 
 
 if __name__ == "__main__":
