@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.cache import release_persisted, scoped_persist
 from ..functions.io import fan_out, load
 from ..registry import register
 from .decontam import _EVAL_MOD
@@ -430,9 +431,8 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@register(
-    "quality_score_rank_correlation",
-    oracle=_LM_SCORE_CTES
+_SPEARMAN_ORACLE = (
+    _LM_SCORE_CTES
     + f"""
     , qsig AS (
       SELECT doc_id, n_chars,
@@ -475,20 +475,13 @@ def curation_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
           // (n_docs * (n_docs * n_docs - 1))
       ) AS spearman_ppm
     FROM agg
-    """,
-)
-def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spearman rho (integer ppm) between the rule and LM quality signals.
-
-    Plan: the two per-doc signal streams join on doc_id, then two global
-    row_number ranks feed one exact integer aggregate. The global windows
-    run over the per-document SCORE table (one row per doc, not per
-    token) — corpus-row-count-sized, the same cardinality every rank
-    statistic fundamentally needs; the 100 TB variant range-partitions by
-    score with per-range offsets (the distributed-sort rank documented in
-    embedding_quantile_normalize). Output is one row; everything before
-    the windows is map-side or doc-keyed.
     """
+)
+
+
+def _quality_lm_joined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, qscore, avg_bigram_count) — the per-document signal table
+    shared by the exact and the distributed Spearman entries."""
     from .search import lm_bigram_doc_score  # noqa: PLC0415
 
     docs = fan_out(load(spark, sf_dir, "documents"))
@@ -511,18 +504,12 @@ def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFram
     )
     q = qsig.select("doc_id", qscore.alias("qscore"))
     lm = lm_bigram_doc_score(spark, sf_dir).select("doc_id", "avg_bigram_count")
-    j = q.join(lm, "doc_id")
-    r = j.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.asc("qscore"), F.asc("doc_id")))
-        .cast("bigint")
-        .alias("r1"),
-        F.row_number()
-        .over(Window.orderBy(F.asc("avg_bigram_count"), F.asc("doc_id")))
-        .cast("bigint")
-        .alias("r2"),
-    )
+    return q.join(lm, "doc_id")
+
+
+def _spearman_from_ranks(r: DataFrame) -> DataFrame:
+    """Exact integer Spearman ppm from a (r1, r2) rank table (shared tail of
+    the exact and distributed entries; see the overflow note inline)."""
     # floor(6e6*S/D) in pure BIGINT via base-1000 long division: D = n(n^2-1)
     # reaches 1.25e14 at n = 50k, so 6e6*S (or D*1e6) overflows 2^63 — the
     # split keeps every term <= D*1000 (r9 sf1-sweep overflow fix; exact by
@@ -546,6 +533,126 @@ def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFram
             " + ((a % d) * 1000 % d) * 1000 DIV d) AS spearman_ppm",
         )
     )
+
+
+@register(
+    "quality_score_rank_correlation",
+    oracle=_SPEARMAN_ORACLE,
+)
+def quality_score_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rho (integer ppm) between the rule and LM quality signals.
+
+    Plan: the two per-doc signal streams join on doc_id, then two global
+    row_number ranks feed one exact integer aggregate. The global windows
+    run over the per-document SCORE table (one row per doc, not per
+    token) — corpus-row-count-sized, the same cardinality every rank
+    statistic fundamentally needs; the registered
+    quality_score_rank_correlation_distributed twin computes the SAME
+    ranks with range-partitioned distributed-sort rank (per-range offsets,
+    no global window) and shares this entry's oracle.
+    """
+    j = _quality_lm_joined(spark, sf_dir)
+    r = j.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.asc("qscore"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r1"),
+        F.row_number()
+        .over(Window.orderBy(F.asc("avg_bigram_count"), F.asc("doc_id")))
+        .cast("bigint")
+        .alias("r2"),
+    )
+    return _spearman_from_ranks(r)
+
+
+_RANK_BUCKETS = 32
+_RANK_SAMPLE = 1024
+
+
+def _range_partitioned_rank(
+    df: DataFrame,
+    value_col: str,
+    rank_col: str,
+    sample_from: DataFrame | None = None,
+) -> DataFrame:
+    """Global row_number over (value, doc_id) WITHOUT a global window —
+    the distributed-sort rank: a bounded deterministic sample picks range
+    boundaries, every row is bucketed by the composite (value, doc_id)
+    total order, a bucket-partitioned window ranks locally, and each
+    bucket's offset (count of rows in all lower buckets) is added back via
+    a broadcast join.
+
+    Exactness does NOT depend on the sample: any monotone bucketing of the
+    total order yields rank = bucket_offset + local_rank exactly; the
+    sample only balances bucket sizes. The sample is a k-min-hash top-K
+    (TakeOrderedAndProject: map-side partial top-K, driver merge of
+    32xK rows) — fixed driver memory at any corpus size, and a pure
+    function of the data, so plans stay deterministic run-to-run (unlike
+    approxQuantile, whose GK-sketch merge order is scheduling-dependent).
+    Composite boundaries split ties of a low-cardinality value (qscore has
+    6 levels) by doc_id, so no bucket is forced to hold a whole tie-run —
+    the skew guarantee a value-only range partitioner cannot give.
+    """
+    src = sample_from if sample_from is not None else df
+    sample = (
+        src.select(value_col, "doc_id")
+        .orderBy(F.xxhash64("doc_id").asc(), F.col("doc_id").asc())
+        .limit(_RANK_SAMPLE)
+        .collect()
+    )
+    pairs = sorted((row[0], row[1]) for row in sample)
+    step = max(1, len(pairs) // _RANK_BUCKETS)
+    splits = [pairs[i] for i in range(step, len(pairs), step)][: _RANK_BUCKETS - 1]
+    v, d = F.col(value_col), F.col("doc_id")
+    bucket = F.lit(0)
+    for sv, sd in splits:
+        after = (v > F.lit(sv)) | ((v == F.lit(sv)) & (d > F.lit(sd)))
+        bucket = bucket + F.when(after, 1).otherwise(0)
+    b = df.withColumn("_rb", bucket)
+    w = Window.partitionBy("_rb").orderBy(F.asc(value_col), F.asc("doc_id"))
+    local = b.withColumn("_lr", F.row_number().over(w).cast("bigint"))
+    counts = b.groupBy("_rb").agg(F.count(F.lit(1)).cast("bigint").alias("_cnt"))
+    lower = counts.select(F.col("_rb").alias("_rb2"), F.col("_cnt").alias("_cnt2"))
+    offsets = (
+        counts.select("_rb")
+        .join(F.broadcast(lower), F.col("_rb2") < F.col("_rb"), "left")
+        .groupBy("_rb")
+        .agg(F.coalesce(F.sum("_cnt2"), F.lit(0)).cast("bigint").alias("_off"))
+    )
+    return (
+        local.join(F.broadcast(offsets), "_rb")
+        .withColumn(rank_col, (F.col("_off") + F.col("_lr")).cast("bigint"))
+        .drop("_rb", "_lr", "_off")
+    )
+
+
+@register(
+    "quality_score_rank_correlation_distributed",
+    oracle=_SPEARMAN_ORACLE,
+)
+def quality_score_rank_correlation_distributed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Spearman rho, same contract as quality_score_rank_correlation, with
+    the two global rank windows replaced by range-partitioned
+    distributed-sort ranks — the registered 100 TB twin (r12 verdict #6;
+    the swap was previously documented in the exact entry's docstring and
+    allowlist annotation only).
+
+    Plan: the shared per-doc signal table is persisted once (it feeds two
+    bounded top-K sample passes, two bucketed rank passes, and the final
+    aggregate); each rank = bucket-partitioned row_number + broadcast
+    per-bucket offsets. No window in the plan has an empty partitionSpec
+    (asserted by tests/test_plans.py's global-window audit), so no stage
+    serializes the corpus through one task; the widest shuffles are keyed
+    by 32 balanced composite ranges.
+    """
+    release_persisted()  # drop any prior invocation's cached intermediates
+    j = scoped_persist(_quality_lm_joined(spark, sf_dir))
+    r1 = _range_partitioned_rank(j, "qscore", "r1", sample_from=j)
+    r = _range_partitioned_rank(r1, "avg_bigram_count", "r2", sample_from=j)
+    return _spearman_from_ranks(r.select("doc_id", "r1", "r2"))
 
 
 # ---------------------------------------------------------------------------

@@ -432,6 +432,36 @@ def _transition_fn(key, pdf_iter, state: GroupState):
     yield out
 
 
+def transition_pairs_stream(events: DataFrame) -> DataFrame:
+    """The stateful per-batch half of the transition pipeline on an
+    arbitrary (user_id, ts_us, event_id, event_type) streaming DF —
+    shared by the registered query (memory sink, availableNow replay)
+    and tests/test_streaming_recovery.py, which drives the SAME operator
+    through a checkpointed file sink with a mid-replay stop/restart."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _transition_fn,
+        outputStructType=_TRANS_OUT_SCHEMA,
+        stateStructType=_TRANS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def rollup_transitions(out: DataFrame) -> DataFrame:
+    """Batch rollup + ppm normalization of the emitted incremental pair
+    counts (constant-cardinality input: bounded by |event_types|^2 rows
+    per user per micro-batch)."""
+    rolled = out.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
+    return rolled.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.expr(
+            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)"
+        ).alias("prob_ppm"),
+    )
+
+
 @register("streaming_transition_counts", oracle=_TRANSITION_ORACLE)
 def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming first-order Markov transition counting: GroupState holds
@@ -446,23 +476,9 @@ def streaming_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = read_events_stream(spark, sf_dir).select(
         "user_id", "ts_us", "event_id", "event_type"
     )
-    trans = events.groupBy("user_id").applyInPandasWithState(
-        _transition_fn,
-        outputStructType=_TRANS_OUT_SCHEMA,
-        stateStructType=_TRANS_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
-    )
+    trans = transition_pairs_stream(events)
     out = run_to_memory(trans, "append")
-    rolled = out.groupBy("prev_type", "next_type").agg(F.sum("n").alias("n"))
-    return rolled.select(
-        "prev_type",
-        "next_type",
-        "n",
-        F.expr(
-            "CAST(n * 1000000 DIV SUM(n) OVER (PARTITION BY prev_type) AS BIGINT)"
-        ).alias("prob_ppm"),
-    )
+    return rollup_transitions(out)
 
 
 # ---------------------------------------------------------------------------

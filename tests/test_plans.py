@@ -502,6 +502,38 @@ def test_new_pair_generators_have_no_cartesian_products(q):
         assert I.cartesian_product_count(q(name)) == 0, name
 
 
+def test_spearman_distributed_twin_plan(q):
+    """r12 verdict #6: the distributed Spearman twin must realize the
+    documented 100 TB swap — every rank window partitioned by the range
+    bucket (never an empty partitionSpec), per-bucket offsets joined back
+    by BROADCAST, and no cartesian anywhere. The exact entry keeps its two
+    global windows (allowlisted as twinned); the twin is the plan a
+    1000-executor run would ship."""
+    import re
+
+    df = q("quality_score_rank_correlation_distributed")
+    assert I.global_window_specs(df) == []
+    assert I.cartesian_product_count(df) == 0
+    plan = I.physical_plan(df)
+    # both rank windows keyed by the composite-range bucket
+    bucketed = re.findall(r"Window \[row_number\(\)[^\]]*\], \[_rb#\d+\]", plan)
+    assert len(bucketed) == 2, plan
+    # offsets rejoin the bucketed rows via broadcast, never a shuffle
+    assert "BroadcastHashJoin [_rb" in plan
+
+
+def test_spearman_distributed_twin_matches_exact(q):
+    """Value identity with the exact entry at the pinned fixture — the
+    oracle gate proves both against DuckDB; this pins them against each
+    other directly (same n_docs, sum_d2, spearman_ppm)."""
+    from ai_metadata_lineage_pyspark_spark.functions.cache import release_persisted
+
+    exact = q("quality_score_rank_correlation").collect()
+    twin = q("quality_score_rank_correlation_distributed").collect()
+    release_persisted()
+    assert [tuple(r) for r in exact] == [tuple(r) for r in twin]
+
+
 def test_bloom_sweep_broadcasts_eval_positions(q):
     # the train side must never shuffle: eval positions join is broadcast
     assert I.broadcast_join_count(q("bloom_m_sweep")) >= 2
@@ -538,14 +570,18 @@ def test_domain_doc_cap_salted_two_phase_plan(q):
 
 
 # ---------------------------------------------------------------------------
-# Full-registry plan sweeps (r11 verdict #2 and #3). ONE pass builds every
-# registered query's DataFrame at the fingerprint ledger's pinned fixture
-# (sf0.001) under the determinism contract (shuffle.partitions=32, cache and
+# Full-registry plan sweeps (r11 verdict #2 and #3; dual-fixture per r12
+# verdict #2). ONE pass per pinned fixture builds every registered query's
+# DataFrame under the determinism contract (shuffle.partitions=32, cache and
 # model memos released before each query), then two tests consume it: the
 # global-window allowlist audit and the committed-fingerprint drift gate.
+# The second fixture (sf0.1) exists because initial join strategies follow
+# size statistics — a broadcast degrading to SMJ above sf0.001 is invisible
+# to a single-fixture ledger; each fixture has its own committed ledger and
+# the sf0.1 one annotates its diffs vs sf0.001.
 # ---------------------------------------------------------------------------
 
-_LEDGER_SF_DIR = "/root/testdata/sf0.001"
+_LEDGER_SF_DIRS = ["/root/testdata/sf0.001", "/root/testdata/sf0.1"]
 
 # Every query whose OPTIMIZED logical plan contains a Window/WindowGroupLimit
 # with an EMPTY partitionSpec (a single-task global window at execution
@@ -577,10 +613,13 @@ GLOBAL_WINDOW_ALLOWLIST = {
         "(script-count-sized — dozens of docs per repo, not a fact table)"
     ),
     "quality_score_rank_correlation": (
-        "demoted-by-semantics: exact Spearman rho IS a total-order rank "
-        "statistic (2 global row_number passes over the per-doc score "
-        "table); docstring documents the 100 TB swap (range-partitioned "
-        "distributed-sort rank with per-range offsets)"
+        "twinned: exact Spearman rho IS a total-order rank statistic "
+        "(2 global row_number passes over the per-doc score table); the "
+        "registered quality_score_rank_correlation_distributed computes "
+        "the identical ranks via range-partitioned distributed-sort rank "
+        "with per-range offsets and NO global window (asserted below in "
+        "test_spearman_distributed_twin_plan and by this audit's "
+        "set-equality)"
     ),
     "token_budget_waterfill": (
         "bounded-input: the waterfill rank/prefix windows run on the "
@@ -590,8 +629,12 @@ GLOBAL_WINDOW_ALLOWLIST = {
 }
 
 
-@pytest.fixture(scope="module")
-def registry_plan_sweep(spark):
+@pytest.fixture(
+    scope="module",
+    params=_LEDGER_SF_DIRS,
+    ids=[d.rsplit("/", 1)[-1] for d in _LEDGER_SF_DIRS],
+)
+def registry_plan_sweep(request, spark):
     from ai_metadata_lineage_pyspark_spark.functions.cache import (
         release_models,
         release_persisted,
@@ -605,14 +648,14 @@ def registry_plan_sweep(spark):
         for name, rq in sorted(all_queries().items()):
             release_persisted()
             release_models()
-            df = rq.fn(spark, _LEDGER_SF_DIR)
+            df = rq.fn(spark, request.param)
             out[name] = (I.plan_fingerprint(df), I.global_window_specs(df))
     finally:
         release_persisted()
         release_models()
         spark.conf.set("spark.sql.shuffle.partitions", old_shuffle)
         spark.conf.set("spark.sql.maxMetadataStringLength", old_meta)
-    return out
+    return request.param, out
 
 
 def test_global_windows_are_allowlisted(registry_plan_sweep):
@@ -622,8 +665,11 @@ def test_global_windows_are_allowlisted(registry_plan_sweep):
     docstrings. This pins it: the exact set of global-window queries must
     equal the annotated allowlist — a new unlisted global window fails (it
     serializes its whole input through ONE task at cluster scale), and a
-    stale allowlist entry fails too (so the list never outlives a re-plan)."""
-    found = {n for n, (_, gw) in registry_plan_sweep.items() if gw}
+    stale allowlist entry fails too (so the list never outlives a re-plan).
+    Runs at BOTH pinned fixtures: the window partitionSpec is a logical
+    property, so the set must be fixture-invariant."""
+    _, sweep = registry_plan_sweep
+    found = {n for n, (_, gw) in sweep.items() if gw}
     assert found == set(GLOBAL_WINDOW_ALLOWLIST), (
         f"unlisted global windows: {sorted(found - set(GLOBAL_WINDOW_ALLOWLIST))}; "
         f"stale allowlist entries: {sorted(set(GLOBAL_WINDOW_ALLOWLIST) - found)}"
@@ -631,36 +677,40 @@ def test_global_windows_are_allowlisted(registry_plan_sweep):
 
 
 def test_plan_fingerprints_match_committed_ledger(registry_plan_sweep):
-    """r11 verdict #3: the committed per-query physical-plan fingerprint
-    ledger (ARTIFACTS/plan_fingerprints_sf0.001.json, refreshed via
-    `python tools/plan_fingerprint.py --write`) makes bench host-noise
-    adjudication mechanical — an unchanged fingerprint proves a wall-clock
-    move is host variance, not a plan regression. This test fails on ANY
-    drift between the live plans and the ledger, so a plan change can only
-    ship together with a deliberate ledger refresh in the same commit."""
+    """r11 verdict #3 (+ r12 verdict #2 for the second fixture): the
+    committed per-query physical-plan fingerprint ledgers
+    (ARTIFACTS/plan_fingerprints_<fixture>.json, refreshed via
+    `python tools/plan_fingerprint.py --write [sf_dir]`) make bench
+    host-noise adjudication mechanical — an unchanged fingerprint proves a
+    wall-clock move is host variance, not a plan regression; the sf0.1
+    ledger additionally pins size-statistics-driven join strategies that
+    the sf0.001 fixture cannot exercise. This test fails on ANY drift
+    between the live plans and the matching ledger, so a plan change can
+    only ship together with a deliberate ledger refresh in the same
+    commit."""
     import json
     import os
 
+    sf_dir, sweep = registry_plan_sweep
     ledger_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "ARTIFACTS",
-        "plan_fingerprints_sf0.001.json",
+        f"plan_fingerprints_{os.path.basename(sf_dir)}.json",
     )
     with open(ledger_path) as fh:
         ledger = json.load(fh)["queries"]
-    assert set(ledger) == set(registry_plan_sweep), (
+    assert set(ledger) == set(sweep), (
         f"ledger/registry name mismatch: only-ledger="
-        f"{sorted(set(ledger) - set(registry_plan_sweep))} only-registry="
-        f"{sorted(set(registry_plan_sweep) - set(ledger))} — refresh with "
-        "`python tools/plan_fingerprint.py --write`"
+        f"{sorted(set(ledger) - set(sweep))} only-registry="
+        f"{sorted(set(sweep) - set(ledger))} — refresh with "
+        f"`python tools/plan_fingerprint.py --write {sf_dir}`"
     )
     drifted = sorted(
-        n
-        for n, (fp, _) in registry_plan_sweep.items()
-        if ledger[n]["fingerprint"] != fp
+        n for n, (fp, _) in sweep.items() if ledger[n]["fingerprint"] != fp
     )
     assert not drifted, (
-        f"physical plans drifted from the committed ledger: {drifted} — if "
-        "intentional, refresh with `python tools/plan_fingerprint.py --write` "
-        "and commit the ledger with the plan change"
+        f"physical plans drifted from the committed {os.path.basename(sf_dir)} "
+        f"ledger: {drifted} — if intentional, refresh with "
+        f"`python tools/plan_fingerprint.py --write {sf_dir}` and commit the "
+        "ledger with the plan change"
     )
