@@ -36,3 +36,65 @@ def norm_expr(a: str) -> str:
 def cosine_from_norms_expr(a: str, b: str, a_norm: str, b_norm: str) -> str:
     """cos(a, b) with both norms precomputed (see norm_expr)."""
     return f"{dot_expr(a, b)} / ({a_norm} * {b_norm})"
+
+
+# The embeddings-table dimension contract (TESTDATA.md fixture: array<float>
+# of 64; pinned by tests/test_fixture_contract.py). At 100 TB the dimension
+# is likewise model-known ahead of the job — which is what makes the
+# unrolled variant below legal as the default pair-stage scorer.
+EMB_DIM = 64
+
+
+def dot_unrolled_expr(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """Codegen-unrolled dot product for a KNOWN fixed dimension.
+
+    Bit-identical to dot_expr: the same per-element double products summed
+    with the same left-associated IEEE double adds (aggregate's 0D seed can
+    only normalize a -0.0 first term, which cannot change any later sum or
+    comparison). The difference is EXECUTION: Catalyst higher-order
+    functions (ArrayAggregate/ZipWith) are CodegenFallback — interpreted,
+    per-element boxed — and when a pair cosine lands in a JOIN CONDITION
+    the whole predicate drops out of whole-stage codegen. The r13 sf10
+    replica probe caught semdedup's 2.5B-pair within-cluster stage running
+    exactly that shape at ~0.1M evals/s/core (hours of CPU, jstack showed
+    HashJoin.boundCondition -> ArrayAggregate.eval); this straight-line
+    arithmetic stays inside codegen at a ~40x higher eval rate. Catalyst
+    splits oversized generated methods, so 1k+ dims still compile. ANSI
+    note: element_at throws on a malformed (short) vector where the fold
+    would silently sum fewer terms — loud beats wrong; the fixture dim is
+    contract-tested."""
+    terms = " + ".join(
+        f"(cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({b}, {i}) as double))"
+        for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
+def cosine_from_norms_unrolled_expr(
+    a: str, b: str, a_norm: str, b_norm: str, dim: int = EMB_DIM
+) -> str:
+    """cos(a, b), norms precomputed, dot product codegen-unrolled — the
+    pair-stage scorer of choice whenever the dimension is model-known."""
+    return f"{dot_unrolled_expr(a, b, dim)} / ({a_norm} * {b_norm})"
+
+
+def norm_sq_unrolled_expr(a: str, dim: int = EMB_DIM) -> str:
+    """Unrolled ||a||^2 — bit-identical to norm_sq_expr by the same
+    left-assoc argument as dot_unrolled_expr."""
+    terms = " + ".join(
+        f"(cast(element_at({a}, {i}) as double)"
+        f" * cast(element_at({a}, {i}) as double))"
+        for i in range(1, dim + 1)
+    )
+    return f"({terms})"
+
+
+def cosine_unrolled_expr(a: str, b: str, dim: int = EMB_DIM) -> str:
+    """cos(a, b) fully codegen-unrolled (dot + both norms) for cross-join
+    contexts where norms are not precomputed per row."""
+    return (
+        f"{dot_unrolled_expr(a, b, dim)} / "
+        f"(sqrt({norm_sq_unrolled_expr(a, dim)})"
+        f" * sqrt({norm_sq_unrolled_expr(b, dim)}))"
+    )

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cache import memo_get, memo_put, release_persisted, scoped_persist
 from ..functions.io import fan_out, load
-from ..functions.vectors import cosine_from_norms_expr, norm_expr
+from ..functions.vectors import cosine_from_norms_unrolled_expr, norm_expr
 from ..registry import register
 from ..session import iter_checkpoint
 
@@ -771,7 +771,7 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "label", "embedding", F.expr(norm_expr("embedding")).alias("norm")
     )
-    cos = F.expr(cosine_from_norms_expr("a.embedding", "b.embedding", "a.norm", "b.norm"))
+    cos = F.expr(cosine_from_norms_unrolled_expr("a.embedding", "b.embedding", "a.norm", "b.norm"))
     return (
         emb.alias("a")
         .join(
@@ -1064,7 +1064,7 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(lsh_bucket_spark("embedding", _NEARDUP_PLANES)).alias("bucket"),
         F.expr(norm_expr("embedding")).alias("norm"),
     )
-    cos = F.expr(cosine_from_norms_expr("a.embedding", "b.embedding", "a.norm", "b.norm"))
+    cos = F.expr(cosine_from_norms_unrolled_expr("a.embedding", "b.embedding", "a.norm", "b.norm"))
     return (
         emb.alias("a")
         .join(

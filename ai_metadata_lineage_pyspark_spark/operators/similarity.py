@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cache import release_persisted, scoped_persist
 from ..functions.io import fan_out, load
-from ..functions.vectors import cosine_from_norms_expr, dot_expr, norm_expr
+from ..functions.vectors import cosine_from_norms_unrolled_expr, dot_expr, norm_expr
 from ..registry import register
 
 _TOP_K = 10
@@ -160,7 +160,7 @@ def _exact_topk(spark: SparkSession, sf_dir: str, panel_only: bool) -> DataFrame
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
             F.expr(
-                cosine_from_norms_expr("q_embedding", "c.embedding", "q_norm", "c.c_norm")
+                cosine_from_norms_unrolled_expr("q_embedding", "c.embedding", "q_norm", "c.c_norm")
             ).alias("cosine"),
         )
     )
@@ -318,7 +318,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "norm",
         "cent_id",
-        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+        F.expr(cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
     # nearest centroid: max over (cos, -cent_id) == cos DESC, cent_id ASC.
     # The argmax runs NARROW (no vector columns through the aggregate —
@@ -357,7 +357,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             "cell",
             F.expr(
-                cosine_from_norms_expr("q_embedding", "embedding", "q_norm", "norm")
+                cosine_from_norms_unrolled_expr("q_embedding", "embedding", "q_norm", "norm")
             ).alias("cosine"),
         )
     )
@@ -420,7 +420,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.vec_id").alias("neighbor_id"),
             F.col("q_bucket").alias("bucket"),
             F.expr(
-                cosine_from_norms_expr("q_embedding", "c.embedding", "q_norm", "c.norm")
+                cosine_from_norms_unrolled_expr("q_embedding", "c.embedding", "q_norm", "c.norm")
             ).alias("cosine"),
         )
     )
@@ -492,7 +492,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cent_id",
-        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+        F.expr(cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -774,10 +774,12 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_cos(a: str, b: str) -> str:
-    """Cosine over two DOUBLE arrays via the shared bit-exact folds."""
-    from ..functions.vectors import cosine_expr
+    """Cosine over two DOUBLE arrays via the shared bit-exact expressions
+    (codegen-unrolled since r13: this runs K times per row in a broadcast
+    cross join, and the fold variant drops out of whole-stage codegen)."""
+    from ..functions.vectors import cosine_unrolled_expr
 
-    return cosine_expr(a, b)
+    return cosine_unrolled_expr(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -863,7 +865,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cent_id",
-        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+        F.expr(cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     assign = (
@@ -873,7 +875,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pts = assign.join(emb, "vec_id")
     cos_ab = F.round(
-        F.expr(cosine_from_norms_expr("a.embedding", "b.embedding", "a.norm", "b.norm")), 6
+        F.expr(cosine_from_norms_unrolled_expr("a.embedding", "b.embedding", "a.norm", "b.norm")), 6
     )
     pruned = (
         pts.alias("a")
@@ -1414,7 +1416,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cent_id",
         F.expr(
-            cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
+            cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
         ).alias("cos"),
     )
     assigned = scored.groupBy("vec_id").agg(
@@ -1612,7 +1614,7 @@ def _res_pq_parts(spark: SparkSession, sf_dir: str):
         "cent_id",
         "c_mi",
         F.expr(
-            cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
+            cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
         ).alias("cos"),
     )
     assigned = scored.groupBy("vec_id").agg(
@@ -1893,7 +1895,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per vec), and the probe RANKING window runs over the fixed
     # panel only (|panel| * cells rows).
     scored_expr = F.expr(
-        cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
+        cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
     ).alias("cos")
     # narrow argmax + vector rejoin (no object-aggregate fallback sort over
     # vector-carrying rows — the ivf_topk note)
@@ -1937,7 +1939,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.expr(
-                cosine_from_norms_expr("q_embedding", "embedding", "q_norm", "norm")
+                cosine_from_norms_unrolled_expr("q_embedding", "embedding", "q_norm", "norm")
             ).alias("cosine"),
         )
     )

@@ -54,3 +54,64 @@ def test_sample_bucket_in_range_and_deterministic(spark, doc_id):
     b = df.selectExpr(f"{_BUCKET_SPARK} AS b").collect()[0]["b"]
     assert a == b
     assert 0 <= a < 100
+
+
+# ---------------------------------------------------------------------------
+# dot_unrolled_expr ≡ dot_expr (r13): the codegen-unrolled pair-stage dot
+# product must be BIT-identical to the HOF fold it replaces — same per-
+# element double products, same left-associated IEEE adds. Checked two ways:
+# hypothesis-random float vectors (adversarial magnitudes/signs), and the
+# full fixture embeddings table against itself shifted (real data, all 64
+# dims, exact equality — no tolerance).
+# ---------------------------------------------------------------------------
+
+_VEC_ST = st.lists(
+    st.floats(
+        min_value=-1e6, max_value=1e6, allow_nan=False, width=32
+    ),
+    min_size=8,
+    max_size=8,
+)
+
+
+@given(a=_VEC_ST, b=_VEC_ST)
+@_SETTINGS
+def test_dot_unrolled_bitwise_equals_fold(spark, a, b):
+    from ai_metadata_lineage_pyspark_spark.functions.vectors import (
+        dot_expr,
+        dot_unrolled_expr,
+    )
+
+    df = spark.createDataFrame([(a, b)], "a: array<float>, b: array<float>")
+    row = df.selectExpr(
+        f"{dot_expr('a', 'b')} AS fold",
+        f"{dot_unrolled_expr('a', 'b', dim=8)} AS unrolled",
+    ).collect()[0]
+    # bit-level: two IEEE doubles compare equal iff same value (+0 == -0 is
+    # the one exception, and cannot affect any downstream compare/round)
+    assert row["fold"] == row["unrolled"], (a, b)
+
+
+def test_dot_unrolled_bitwise_equals_fold_on_fixture(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ai_metadata_lineage_pyspark_spark.functions.vectors import (
+        dot_expr,
+        dot_unrolled_expr,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = emb.select(F.col("vec_id").alias("i"), F.col("embedding").alias("a"))
+    b = emb.select(
+        ((F.col("vec_id") + 7) % 50).alias("i"), F.col("embedding").alias("b")
+    )
+    mism = (
+        a.join(b, "i")
+        .selectExpr(
+            f"{dot_expr('a', 'b')} AS fold",
+            f"{dot_unrolled_expr('a', 'b')} AS unrolled",
+        )
+        .filter("fold IS DISTINCT FROM unrolled")
+        .count()
+    )
+    assert mism == 0
