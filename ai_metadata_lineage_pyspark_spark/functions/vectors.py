@@ -39,9 +39,14 @@ def cosine_from_norms_expr(a: str, b: str, a_norm: str, b_norm: str) -> str:
 
 
 # The embeddings-table dimension contract (TESTDATA.md fixture: array<float>
-# of 64; pinned by tests/test_fixture_contract.py). At 100 TB the dimension
-# is likewise model-known ahead of the job — which is what makes the
-# unrolled variant below legal as the default pair-stage scorer.
+# of 64; pinned by tests/test_fixture_contract.py::
+# test_embedding_dimension_contract, which asserts size(embedding) == EMB_DIM
+# over the WHOLE fixture — both directions matter: a SHORTER vector makes
+# element_at throw under ANSI (loud), but a LONGER one would silently
+# truncate the unrolled dot to its first EMB_DIM terms, diverging from the
+# full fold without any error). At 100 TB the dimension is likewise
+# model-known ahead of the job — which is what makes the unrolled variant
+# below legal as the default pair-stage scorer.
 EMB_DIM = 64
 
 
@@ -74,8 +79,19 @@ def dot_unrolled_expr(a: str, b: str, dim: int = EMB_DIM) -> str:
 def cosine_from_norms_unrolled_expr(
     a: str, b: str, a_norm: str, b_norm: str, dim: int = EMB_DIM
 ) -> str:
-    """cos(a, b), norms precomputed, dot product codegen-unrolled — the
-    pair-stage scorer of choice whenever the dimension is model-known."""
+    """cos(a, b), norms precomputed, dot product codegen-unrolled.
+
+    SHAPE RULE (r14 A/B, ARTIFACTS/r14_unroll_ab.md): use the unrolled
+    variant ONLY where the cosine lands in a JOIN CONDITION or a filter
+    that Catalyst fuses into one (pair joins filtered on the cosine value,
+    e.g. embedding_cosine_neardup) — there the fold's CodegenFallback
+    drops the entire predicate out of whole-stage codegen (~40x, the r13
+    sf10 finding). In PROJECTION shape (broadcast cross-join scorers
+    ranked by a window: kmeans, IVF, top-k panels) the measured result
+    INVERTS: the interpreted fold beats the 64-term generated
+    element_at chain by 1.2-5.3x (fold/unrolled 0.19-0.89 across
+    kmeans_assign / kmeans_iterate / ivf_topk / cosine_topk_panel at
+    sf0.1 and sf1), so projections use cosine_from_norms_expr."""
     return f"{dot_unrolled_expr(a, b, dim)} / ({a_norm} * {b_norm})"
 
 

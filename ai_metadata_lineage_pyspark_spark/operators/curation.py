@@ -640,6 +640,15 @@ def quality_score_rank_correlation_distributed(
     the swap was previously documented in the exact entry's docstring and
     allowlist annotation only).
 
+    CONSTRUCTION-TIME JOBS (deliberate, r13 advice): unlike every other
+    registered query, merely BUILDING this DataFrame launches two bounded
+    Spark jobs — the range boundaries are a TakeOrderedAndProject sample
+    collected eagerly so they can be embedded as bucketing literals (a
+    distributed sort's range partitioner does the same sampling pass
+    inside the engine; here it surfaces at plan-construction). This is why
+    the query is listed in plan_fingerprint.KNOWN_FIXTURE_SENSITIVE: the
+    literals, and hence the fingerprint, are per-fixture.
+
     Plan: the shared per-doc signal table is persisted once (it feeds two
     bounded top-K sample passes, two bucketed rank passes, and the final
     aggregate); each rank = bucket-partitioned row_number + broadcast

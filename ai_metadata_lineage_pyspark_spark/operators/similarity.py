@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.cache import release_persisted, scoped_persist
 from ..functions.io import fan_out, load
-from ..functions.vectors import cosine_from_norms_unrolled_expr, dot_expr, norm_expr
+from ..functions.vectors import cosine_from_norms_expr, dot_expr, norm_expr
 from ..registry import register
 
 _TOP_K = 10
@@ -160,7 +160,7 @@ def _exact_topk(spark: SparkSession, sf_dir: str, panel_only: bool) -> DataFrame
             "query_id",
             F.col("c.vec_id").alias("neighbor_id"),
             F.expr(
-                cosine_from_norms_unrolled_expr("q_embedding", "c.embedding", "q_norm", "c.c_norm")
+                cosine_from_norms_expr("q_embedding", "c.embedding", "q_norm", "c.c_norm")
             ).alias("cosine"),
         )
     )
@@ -318,7 +318,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         "norm",
         "cent_id",
-        F.expr(cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
     # nearest centroid: max over (cos, -cent_id) == cos DESC, cent_id ASC.
     # The argmax runs NARROW (no vector columns through the aggregate —
@@ -357,7 +357,7 @@ def ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"),
             "cell",
             F.expr(
-                cosine_from_norms_unrolled_expr("q_embedding", "embedding", "q_norm", "norm")
+                cosine_from_norms_expr("q_embedding", "embedding", "q_norm", "norm")
             ).alias("cosine"),
         )
     )
@@ -420,7 +420,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c.vec_id").alias("neighbor_id"),
             F.col("q_bucket").alias("bucket"),
             F.expr(
-                cosine_from_norms_unrolled_expr("q_embedding", "c.embedding", "q_norm", "c.norm")
+                cosine_from_norms_expr("q_embedding", "c.embedding", "q_norm", "c.norm")
             ).alias("cosine"),
         )
     )
@@ -492,7 +492,7 @@ def kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cent_id",
-        F.expr(cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     best = scored.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
@@ -774,12 +774,15 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _km_cos(a: str, b: str) -> str:
-    """Cosine over two DOUBLE arrays via the shared bit-exact expressions
-    (codegen-unrolled since r13: this runs K times per row in a broadcast
-    cross join, and the fold variant drops out of whole-stage codegen)."""
-    from ..functions.vectors import cosine_unrolled_expr
+    """Cosine over two DOUBLE arrays via the shared bit-exact expressions.
+    Fold variant (r14): this is PROJECTION shape — K evaluations per row in
+    a broadcast cross join, ranked by max_by/window, never a join
+    condition — and the r14 A/B measured the interpreted fold 1.1-2.5x
+    faster than the r13 codegen unroll here (see
+    functions/vectors.cosine_from_norms_unrolled_expr's shape rule)."""
+    from ..functions.vectors import cosine_expr
 
-    return cosine_unrolled_expr(a, b)
+    return cosine_expr(a, b)
 
 
 # ---------------------------------------------------------------------------
@@ -788,24 +791,173 @@ def _km_cos(a: str, b: str) -> str:
 # the embeddings, then prune near-identical points WITHIN each cluster,
 # keeping one representative per duplicate neighborhood.
 #
-# Keep rule (deterministic, join-expressible): a point is pruned iff SOME
-# lower-id point in its cluster has rounded cosine >= _SEM_T with it. The
-# paper's greedy keep-chain variant (keep x only if no KEPT earlier point
-# is within T) needs per-cluster sequential state — that is an
-# applyInPandas escape hatch over clusters when cluster sizes are bounded;
-# the any-earlier-neighbor rule prunes at most as lazily as one extra
-# representative per chain and needs only one equi-join, so it is the shape
-# that survives 100 TB.
+# Keep rule (deterministic): a point is pruned iff SOME lower-id point in
+# its cluster has rounded cosine >= _SEM_T with it. (The paper's greedy
+# keep-chain variant — keep x only if no KEPT earlier point is within T —
+# needs per-cluster sequential state; the any-earlier-neighbor rule prunes
+# at most one extra representative per chain and is order-free, so every
+# cluster scores as one data-parallel matrix product.)
 #
-# 100 TB design: the K-row centroid table broadcasts (assignment is a
-# map-side cross join + per-vec top-1, identical to kmeans_assign); the
-# pairwise stage is an equi-join keyed by cent_id — bounded per key by the
-# cluster size, which K sizing controls (SemDeDup runs K proportional to
-# corpus size precisely so clusters stay bounded); the prune decision is a
-# LEFT ANTI-shaped join on vec_id. No stage touches corpus x corpus.
+# 100 TB design (r14, replacing the r13 join-pair stage): the K-row
+# centroid table broadcasts (assignment is a map-side cross join + per-vec
+# top-1, identical to kmeans_assign); the pairwise stage is
+# groupBy(cent_id).applyInPandas — one Arrow batch per cluster, scored as a
+# tiled BLAS X @ X.T. Per-cluster work is quadratic in CLUSTER size, which
+# K sizing bounds (SemDeDup, arXiv:2303.09540 §3, runs K proportional to
+# corpus size precisely so clusters stay bounded — the production contract
+# this operator documents and the registered fixture deliberately violates
+# by pinning K=8 at every scale). No stage touches corpus x corpus.
+#
+# Why not the cent_id equi-join the r13 tree shipped: a pair join keyed by
+# cent_id has parallelism <= K (the key cardinality IS the task count) and
+# streams every candidate pair through the join iterator row-at-a-time —
+# the r13 sf10 replica probe measured ~0.1M pairs/s/core on 2.52B pairs
+# (killed at ~50 min; DuckDB's vectorized join needed 134s). The BLAS tile
+# turns the same arithmetic into dgemm at ~1e9 pair-cosines/s/task; the
+# r14 probe records the sf10 hash-MATCH (ARTIFACTS/r14_replica_value_probe
+# .md). Parallelism is still <= K tasks — that bound is inherent to
+# cluster-scoped scoring and is what the K ∝ corpus contract governs.
+#
+# Value contract under BLAS: dgemm's blocked summation is NOT bit-identical
+# to the engine's left-assoc fold, so the prune decision cannot read the
+# raw dgemm value at the rounding boundary. The scorer decides each pair
+# from the BLAS cosine only when it sits further than _SEM_BAND from the
+# decision boundary (BLAS-vs-fold drift over 64 doubles is <= ~1e-14,
+# 64*eps, five orders below the band); pairs inside the band are recomputed
+# with the exact left-assoc scalar fold and Java-HALF_UP decimal rounding —
+# the same arithmetic the r13 unrolled expression performed for EVERY pair.
+# tests/test_operators_unit.py pins scorer == join-pair restatement on the
+# full fixture and a synthetic boundary corpus.
 # ---------------------------------------------------------------------------
 
 _SEM_T = 0.4  # prune threshold on the rounded-6 cosine
+# round(cos, 6) >= 0.4 under HALF_UP crosses at this real value:
+_SEM_BOUNDARY = _SEM_T - 0.0000005
+_SEM_BAND = 1e-9  # exact-recheck half-width around the boundary
+# BLAS tile edge. Sized for CACHE, not just memory: a tile is written by
+# dgemm then re-read by ~6 elementwise/compare passes, so an L3-resident
+# tile (1024^2 doubles = 8 MB) keeps those passes off DRAM — measured 5x
+# faster than the 4096 (128 MB) tile on a 25k-member cluster, where every
+# pass streamed main memory and 8 concurrent cluster-tasks fought for
+# bandwidth.
+_SEM_TILE = 1024
+
+
+def _semdedup_pair_pruned(a, b, a_norm: float, b_norm: float) -> bool:
+    """Exact boundary decision for one pair: the left-assoc double fold
+    (bit-identical to functions/vectors.dot_unrolled_expr — same IEEE adds
+    in the same order) followed by Spark's round(double, 6) semantics
+    (BigDecimal.valueOf -> shortest decimal repr -> HALF_UP), compared to
+    the threshold. Called only for pairs within _SEM_BAND of the boundary —
+    in the fixture corpora that set is empty; this path exists so the BLAS
+    fast path can never flip a boundary case."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    acc = 0.0
+    for x, y in zip(a.tolist(), b.tolist()):
+        acc += x * y
+    cos = acc / (a_norm * b_norm)
+    rounded = Decimal(repr(cos)).quantize(
+        Decimal("0.000001"), rounding=ROUND_HALF_UP
+    )
+    return rounded >= Decimal(str(_SEM_T))
+
+
+# In-task tile threads: the pair stage has at most K concurrent tasks (one
+# Arrow group per cluster), so on any executor with more cores than resident
+# cluster-tasks the extra cores idle; dgemm releases the GIL, so a small
+# thread pool over tiles recovers them. Sized min(8, tiles): under pinned-K
+# skew the largest cluster is the straggler that runs alone at the end —
+# a wider pool lets it soak the cores its finished siblings freed, while
+# early-phase oversubscription (K*threads > cores) only blocks on memory
+# bandwidth, not spin. A single-tile cluster pays no pool overhead.
+_SEM_TILE_THREADS = 8
+
+
+def _semdedup_score_tile(mat, mat_t, inv_norms, i0, i1, j0, j1):
+    """One (i-block, j-block) tile: BLAS dot -> reciprocal-scaled cosine ->
+    (definitely-pruned mask over the j-slice, band pairs for exact recheck).
+    Reciprocal scaling (cos ~= dot * (1/na) * (1/nb)) differs from the
+    engine's dot/(na*nb) by <= 2 ulp — absorbed by _SEM_BAND (1e-9, five
+    orders wider) exactly like the dgemm-vs-fold drift; every decision
+    within the band is recomputed exactly. `mat_t` is the one-per-cluster
+    C-contiguous transpose: dgemm against a transpose VIEW of `mat` runs
+    ~3x slower than against the pre-transposed layout (measured)."""
+    import numpy as np
+
+    cos = mat[i0:i1] @ mat_t[:, j0:j1]
+    cos *= inv_norms[i0:i1, None]
+    cos *= inv_norms[None, j0:j1]
+    if i0 == j0:  # diagonal tile: only strict-upper (i < j) pairs count
+        keep_zone = np.triu(np.ones(cos.shape, dtype=bool), k=1)
+        in_mask = keep_zone & (cos >= _SEM_BOUNDARY + _SEM_BAND)
+        near = (
+            keep_zone
+            & (cos >= _SEM_BOUNDARY - _SEM_BAND)
+            & (cos <= _SEM_BOUNDARY + _SEM_BAND)
+        )
+    else:
+        in_mask = cos >= _SEM_BOUNDARY + _SEM_BAND
+        near = (cos >= _SEM_BOUNDARY - _SEM_BAND) & (
+            cos <= _SEM_BOUNDARY + _SEM_BAND
+        )
+    band = []
+    if near.any():
+        ii, jj = np.nonzero(near)
+        band = [(i0 + int(i), j0 + int(j)) for i, j in zip(ii, jj)]
+    return j0, j1, in_mask.any(axis=0), band
+
+
+def _semdedup_score_cluster(pdf):
+    """Grouped-map scorer: one cluster's (vec_id, cent_id, embedding, norm)
+    rows in, (vec_id, cent_id, kept) out. pruned[j] = any earlier-id member
+    i with rounded cosine >= _SEM_T; computed as tiled float64 dgemm over
+    the vec_id-sorted member matrix (GIL-free tiles fanned over a small
+    thread pool), with the module-note band recheck."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    n = len(pdf)
+    # array<float> cells arrive as float32 ndarrays; widening to float64 is
+    # exact, matching the engine's cast(element as double)
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    mat_t = np.ascontiguousarray(mat.T)  # one 64 x n copy per cluster
+    norms = pdf["norm"].to_numpy(dtype=np.float64)
+    inv_norms = 1.0 / norms
+    tiles = [
+        (i0, min(i0 + _SEM_TILE, j1), j0, j1)
+        for j0 in range(0, n, _SEM_TILE)
+        for j1 in (min(j0 + _SEM_TILE, n),)
+        for i0 in range(0, j1, _SEM_TILE)
+    ]
+    pruned = np.zeros(n, dtype=bool)
+    band_pairs: list[tuple[int, int]] = []
+    # reduce in THIS thread only: two i-blocks share a j-slice, so |= from
+    # worker threads would race
+    if len(tiles) > 1:
+        with ThreadPoolExecutor(min(_SEM_TILE_THREADS, len(tiles))) as pool:
+            results = pool.map(
+                lambda t: _semdedup_score_tile(mat, mat_t, inv_norms, *t), tiles
+            )
+            for j0, j1, any_in, band in results:
+                pruned[j0:j1] |= any_in
+                band_pairs.extend(band)
+    else:
+        for t in tiles:
+            j0, j1, any_in, band = _semdedup_score_tile(mat, mat_t, inv_norms, *t)
+            pruned[j0:j1] |= any_in
+            band_pairs.extend(band)
+    for i, j in band_pairs:
+        if not pruned[j] and _semdedup_pair_pruned(
+            mat[i], mat[j], norms[i], norms[j]
+        ):
+            pruned[j] = True
+    return pd.DataFrame(
+        {"vec_id": pdf["vec_id"], "cent_id": pdf["cent_id"], "kept": ~pruned}
+    )
 
 
 @register(
@@ -849,9 +1001,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: centroid assignment reuses the kmeans_assign shape (broadcast
     cross join + WindowGroupLimit top-1 per vec); the pair stage re-joins
     the (vec_id, cent_id) assignment with the embedding rows on vec_id so
-    the window shuffle never carries vectors, then self-joins on cent_id;
-    the final kept flag is a vec_id-keyed left join against the distinct
-    pruned set."""
+    the window shuffle never carries vectors, then scores each cluster as
+    one Arrow group via groupBy(cent_id).applyInPandas — a tiled BLAS
+    matrix product per cluster (see the module note for why this replaced
+    the r13 cent_id self-join, and for the exact-boundary contract).
+
+    Reference anchor: qa/embed_index.py:41-46 is the reference's only
+    similarity surface (per-corpus embed + FAISS index); this operator is
+    its production-scale semantic-dedup extension."""
     emb = fan_out(load(spark, sf_dir, "embeddings")).select(
         "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
     )
@@ -865,7 +1022,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = emb.crossJoin(cents).select(
         "vec_id",
         "cent_id",
-        F.expr(cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
+        F.expr(cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")).alias("cos"),
     )
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
     assign = (
@@ -874,23 +1031,10 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cent_id")
     )
     pts = assign.join(emb, "vec_id")
-    cos_ab = F.round(
-        F.expr(cosine_from_norms_unrolled_expr("a.embedding", "b.embedding", "a.norm", "b.norm")), 6
+    return pts.groupBy("cent_id").applyInPandas(
+        _semdedup_score_cluster,
+        schema="vec_id bigint, cent_id bigint, kept boolean",
     )
-    pruned = (
-        pts.alias("a")
-        .join(
-            pts.alias("b"),
-            (F.col("a.cent_id") == F.col("b.cent_id"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos_ab >= _SEM_T)
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
-    )
-    return assign.join(
-        pruned.withColumn("is_pruned", F.lit(True)), "vec_id", "left"
-    ).select("vec_id", "cent_id", F.col("is_pruned").isNull().alias("kept"))
 
 
 # ---------------------------------------------------------------------------
@@ -1416,7 +1560,7 @@ def ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         "cent_id",
         F.expr(
-            cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
+            cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
         ).alias("cos"),
     )
     assigned = scored.groupBy("vec_id").agg(
@@ -1614,7 +1758,7 @@ def _res_pq_parts(spark: SparkSession, sf_dir: str):
         "cent_id",
         "c_mi",
         F.expr(
-            cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
+            cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
         ).alias("cos"),
     )
     assigned = scored.groupBy("vec_id").agg(
@@ -1895,7 +2039,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # once per vec), and the probe RANKING window runs over the fixed
     # panel only (|panel| * cells rows).
     scored_expr = F.expr(
-        cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
+        cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
     ).alias("cos")
     # narrow argmax + vector rejoin (no object-aggregate fallback sort over
     # vector-carrying rows — the ivf_topk note)
@@ -1939,7 +2083,7 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
             F.expr(
-                cosine_from_norms_unrolled_expr("q_embedding", "embedding", "q_norm", "norm")
+                cosine_from_norms_expr("q_embedding", "embedding", "q_norm", "norm")
             ).alias("cosine"),
         )
     )

@@ -120,6 +120,27 @@ def test_normalizer_rejects_unknown_dtype(spark):
         normalize_events_ts(df)
 
 
+def test_embedding_dimension_contract(spark, sf_dir):
+    """Every embedding must have exactly EMB_DIM elements (r13 advice): the
+    codegen-unrolled dot (functions/vectors.dot_unrolled_expr) reads
+    element_at(1..EMB_DIM) — a SHORTER vector throws under ANSI (loud), but
+    a LONGER one would silently truncate to the first EMB_DIM terms and
+    diverge from the fold it is documented bit-identical to. Pin the
+    contract on the real fixture so dimension drift fails here first."""
+    from ai_metadata_lineage_pyspark_spark.functions.vectors import EMB_DIM
+
+    bad = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(f"embedding IS NULL OR size(embedding) <> {EMB_DIM}")
+        .limit(5)
+        .collect()
+    )
+    assert not bad, (
+        f"embedding dimension drift (expected {EMB_DIM}): "
+        f"{[(r.vec_id, None if r.embedding is None else len(r.embedding)) for r in bad]}"
+    )
+
+
 def test_documents_source_format_contract(spark, sf_dir):
     """source_priority_dedup parses priority as CAST(substr(source, 4) AS
     BIGINT): the fixture contract is source = 'src<unpadded integer>'.

@@ -189,6 +189,182 @@ def test_semdedup_keeps_cluster_minimum_and_partitions(spark, sf_dir):
         assert min(members, key=lambda r: r.vec_id).kept
 
 
+def test_semdedup_blas_scorer_matches_joinpair_restatement(spark, sf_dir):
+    """r14: the BLAS applyInPandas pair stage must reproduce the r13
+    cent_id self-join semantics value-for-value on the full fixture — the
+    join shape (below) is also exactly what the registered DuckDB oracle
+    states, so this pins the swap's bit-compatibility in-suite."""
+    from pyspark.sql import Window
+
+    from ai_metadata_lineage_pyspark_spark.functions.io import fan_out, load
+    from ai_metadata_lineage_pyspark_spark.functions.vectors import (
+        cosine_from_norms_unrolled_expr,
+        norm_expr,
+    )
+    from ai_metadata_lineage_pyspark_spark.operators import similarity as S
+
+    got = sorted(tuple(r) for r in S.semdedup_prune(spark, sf_dir).collect())
+
+    emb = fan_out(load(spark, sf_dir, "embeddings")).select(
+        "vec_id", "embedding", F.expr(norm_expr("embedding")).alias("norm")
+    )
+    cents = F.broadcast(
+        emb.filter(F.col("vec_id") < S._KM_K).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_emb"),
+            F.col("norm").alias("c_norm"),
+        )
+    )
+    scored = emb.crossJoin(cents).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            cosine_from_norms_unrolled_expr("embedding", "c_emb", "norm", "c_norm")
+        ).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("cent_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("vec_id", "cent_id")
+    )
+    pts = assign.join(emb, "vec_id")
+    cos_ab = F.round(
+        F.expr(
+            cosine_from_norms_unrolled_expr(
+                "a.embedding", "b.embedding", "a.norm", "b.norm"
+            )
+        ),
+        6,
+    )
+    pruned = (
+        pts.alias("a")
+        .join(
+            pts.alias("b"),
+            (F.col("a.cent_id") == F.col("b.cent_id"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos_ab >= S._SEM_T)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    want = sorted(
+        tuple(r)
+        for r in assign.join(
+            pruned.withColumn("p", F.lit(True)), "vec_id", "left"
+        )
+        .select("vec_id", "cent_id", F.col("p").isNull().alias("kept"))
+        .collect()
+    )
+    assert got == want
+
+
+def _scorer_brute_force(pdf):
+    """Independent restatement of the scorer's contract: exact fold +
+    HALF_UP decimal rounding for EVERY pair (no BLAS, no band)."""
+    from ai_metadata_lineage_pyspark_spark.operators.similarity import (
+        _semdedup_pair_pruned,
+    )
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    kept = []
+    for j in range(len(pdf)):
+        pruned = any(
+            _semdedup_pair_pruned(
+                pdf["embedding"][i],
+                pdf["embedding"][j],
+                pdf["norm"][i],
+                pdf["norm"][j],
+            )
+            for i in range(j)
+        )
+        kept.append(not pruned)
+    return dict(zip(pdf["vec_id"], kept))
+
+
+def test_semdedup_scorer_boundary_and_tiling(monkeypatch):
+    """Adversarial scorer corpus: exact-boundary cosines (inside the
+    recheck band), duplicates, orthogonals, and a tile edge of 4 so the
+    10-member cluster spans multiple BLAS tiles incl. a partial diagonal
+    tile. The scorer must equal the no-BLAS brute-force restatement."""
+    import numpy as np
+    import pandas as pd
+
+    from ai_metadata_lineage_pyspark_spark.operators import similarity as S
+
+    def unit(i):
+        v = np.zeros(64, dtype=np.float32)
+        v[i] = 1.0
+        return v
+
+    rows = []
+    # v0: anchor e0; v1: exact duplicate of v0 (cos 1.0, pruned);
+    # v2: orthogonal e1 (kept); v3: dot(v0,v3)=1 with a norm crafted so
+    # cos = 1/(1 * nb) lands within one ulp of the 0.3999995 HALF_UP
+    # boundary — forces the exact-recheck band path;
+    # v4: cos with v0 just below threshold (0.399999, kept);
+    # v5: cos with v0 at 0.41 (pruned); v6..v9: more orthogonal axes.
+    boundary_norm = float(np.float64(1.0) / np.float64(0.3999995))
+    specs = [
+        (0, unit(0), 1.0),
+        (1, unit(0), 1.0),
+        (2, unit(1), 1.0),
+        (3, unit(0), boundary_norm),
+        (4, unit(0), float(np.float64(1.0) / np.float64(0.399999))),
+        (5, unit(0), float(np.float64(1.0) / np.float64(0.41))),
+        (6, unit(2), 1.0),
+        (7, unit(3), 1.0),
+        (8, unit(4), 1.0),
+        (9, unit(5), 1.0),
+    ]
+    for vid, emb, norm in specs:
+        rows.append({"vec_id": vid, "cent_id": 0, "embedding": emb, "norm": norm})
+    pdf = pd.DataFrame(rows)
+
+    # sanity: v3's cosine really sits inside the recheck band
+    cos3 = 1.0 / (1.0 * boundary_norm)
+    assert abs(cos3 - S._SEM_BOUNDARY) <= S._SEM_BAND
+
+    monkeypatch.setattr(S, "_SEM_TILE", 4)  # force multi-tile + partial tiles
+    got = S._semdedup_score_cluster(pdf.copy())
+    got_map = dict(zip(got["vec_id"], got["kept"]))
+    want_map = _scorer_brute_force(pdf)
+    assert got_map == want_map
+    # the clear-cut expectations, independent of either implementation
+    assert got_map[0] and got_map[2] and got_map[4]
+    assert not got_map[1] and not got_map[5]
+
+
+def test_semdedup_pair_pruned_half_up_rounding():
+    """_semdedup_pair_pruned must reproduce Spark round(double, 6) HALF_UP
+    threshold semantics: 0.3999995 rounds UP to 0.400000 (pruned),
+    0.3999994 rounds down (kept), 0.4 exact is pruned."""
+    import numpy as np
+
+    from ai_metadata_lineage_pyspark_spark.operators.similarity import (
+        _semdedup_pair_pruned,
+    )
+
+    a = np.zeros(64, dtype=np.float32)
+    a[0] = 1.0
+    for target, want in [(0.3999995, True), (0.3999994, False), (0.4, True), (1.0, True), (0.0, False)]:
+        # dot(a, a) = 1; cos = 1 / (1 * (1/target)) ~= target
+        nb = float(np.float64(1.0) / np.float64(target)) if target else 1e18
+        got = _semdedup_pair_pruned(a, a, 1.0, nb)
+        # guard the construction: cos must land on the intended side
+        from decimal import ROUND_HALF_UP, Decimal
+
+        cos = 1.0 / (1.0 * nb)
+        expect = Decimal(repr(cos)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        ) >= Decimal("0.4")
+        assert got == expect
+        if target in (0.4, 1.0, 0.0):  # away from the half-point: exact
+            assert got == want
+
+
 def test_observed_metrics_agree_with_rollup(spark, sf_dir):
     # the audit columns and the per-type rollup come from ONE observed scan;
     # their mutual consistency is the invariant worth pinning

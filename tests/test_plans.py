@@ -418,14 +418,25 @@ def test_duplicate_substring_spans_two_pruned_scans(q):
     assert I.partial_aggregate_count(df) >= 1
 
 
-def test_semdedup_pair_join_is_cluster_keyed(q):
+def test_semdedup_pair_stage_is_cluster_grouped_arrow(q):
+    # r14: the pair stage is a cent_id-grouped Arrow scorer (BLAS per
+    # cluster), NOT a cent_id equi-join — the r13 join shape bounded
+    # parallelism by K AND streamed every candidate pair through a
+    # row-at-a-time join iterator (sf10 probe: killed at ~50 min vs the
+    # oracle's 134s). The vector pickup join stays vec_id-keyed so the
+    # assignment window never shuffles vectors.
     df = q("semdedup_prune")
+    plan = I.physical_plan(df)
     assert I.cartesian_product_count(df) == 0
-    # the pairwise stage must be keyed by cent_id (cluster-scoped), and the
-    # final kept flag by vec_id
+    assert "FlatMapGroupsInPandas" in plan
+    import re
+
+    assert re.search(r"FlatMapGroupsInPandas \[cent_id#\d+", plan), plan[:2000]
     key_sets = I.equi_join_key_sets(df)
-    assert any("cent_id" in ks for ks in key_sets)
     assert any("vec_id" in ks for ks in key_sets)
+    # no pair self-join survives: the only joins are the broadcast centroid
+    # cross join (not equi) and the vec_id vector pickup
+    assert not any("cent_id" in ks for ks in key_sets)
 
 
 def test_grouped_agg_udaf_is_salted_two_level(q):

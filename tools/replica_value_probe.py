@@ -127,8 +127,12 @@ def main() -> int:
             continue
         verified_at = None
         # Why the probe stepped down from the top fixture: a max_sf contract
-        # SKIP is not a DuckDB capacity ceiling (ADVICE r12) — track separately.
-        stepdown_reason = None
+        # SKIP is not a DuckDB capacity ceiling (ADVICE r12). Tracked as two
+        # INDEPENDENT booleans (ADVICE r13: a single last-writer-wins string
+        # lost the below-skip distinction when a skipped top rung was
+        # followed by one oracle-ceiling rung) — classification reads both.
+        saw_max_sf_skip = False
+        saw_oracle_ceiling = False
         hard_fail = False
         for rank, sf_dir in enumerate(fixtures):
             scale = fixture_scale(sf_dir)
@@ -136,8 +140,7 @@ def main() -> int:
             if skip is not None:
                 print(json.dumps({"query": name, "fixture": sf_dir, "status": "skip",
                                   "reason": skip}), flush=True)
-                if stepdown_reason is None:
-                    stepdown_reason = "max_sf_skip"
+                saw_max_sf_skip = True
                 continue
             release_persisted()
             t0 = time.time()
@@ -169,19 +172,23 @@ def main() -> int:
                     verified_at = sf_dir
                     if rank == 0:
                         n_match += 1
-                    elif stepdown_reason == "max_sf_skip":
-                        # Matched below a contract-mandated skip, not below a
-                        # DuckDB capacity limit — a different claim (ADVICE r12).
-                        n_below_skip += 1
-                    else:
+                    elif saw_oracle_ceiling:
+                        # At least one allowed rung above this match was a
+                        # real DuckDB capacity ceiling — that is the binding
+                        # limit even if max_sf also skipped higher rungs;
+                        # both flags ride in the final record.
                         n_ceiling += 1
+                    else:
+                        # Every rung above the match was a contract-mandated
+                        # max_sf SKIP — a different claim (ADVICE r12).
+                        n_below_skip += 1
                 else:
                     n_fail += 1
                     hard_fail = True
                 break  # a value MISMATCH must not be laundered by stepping down
             rec["note"] = "oracle could not verify at this scale; stepping down"
             print(json.dumps(rec), flush=True)
-            stepdown_reason = "oracle_ceiling"
+            saw_oracle_ceiling = True
         # Ladder exhausted without a match (and without a recorded hash
         # MISMATCH / spark error): emit an explicit INCOMPLETE marker and
         # count it, so a summary consumer can never mistake an unverified
@@ -194,7 +201,10 @@ def main() -> int:
                                       "within max_sf and within oracle budget"}),
                   flush=True)
         else:
-            print(json.dumps({"query": name, "verified_at": verified_at}), flush=True)
+            print(json.dumps({"query": name, "verified_at": verified_at,
+                              "saw_max_sf_skip": saw_max_sf_skip,
+                              "saw_oracle_ceiling": saw_oracle_ceiling}),
+                  flush=True)
     summary = {"match_at_top": n_match,
                "match_at_ceiling": n_ceiling,
                "match_below_max_sf_skip": n_below_skip,
