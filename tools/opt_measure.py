@@ -54,16 +54,32 @@ def get_spark_with_eventlog():
         .config("spark.ui.enabled", "false")
         .config("spark.eventLog.enabled", "true")
         .config("spark.eventLog.dir", EVDIR)
+        .config("spark.eventLog.compress", "false")
+        .config("spark.eventLog.rolling.enabled", "false")
         .getOrCreate()
     )
+
+
+def _event_lines(path: str):
+    """Yield event-log lines from a Spark 3 single file or a Spark 4
+    rolling eventlog_v2_<appid>/ directory."""
+    import glob
+
+    if os.path.isdir(path):
+        for f in sorted(glob.glob(os.path.join(path, "events_*"))):
+            with open(f) as fh:
+                yield from fh
+    else:
+        with open(path) as fh:
+            yield from fh
 
 
 def parse_events(path: str):
     jobs, stages = [], []
     job_start = {}
     stage_to_job = {}
-    with open(path) as fh:
-        for line in fh:
+    if True:
+        for line in _event_lines(path):
             try:
                 ev = json.loads(line)
             except json.JSONDecodeError:
@@ -134,7 +150,9 @@ def main() -> None:
     spark = get_spark_with_eventlog()
     sc = spark.sparkContext
     app_id = sc.applicationId
-    evpath = os.path.join(EVDIR, app_id + ".inprogress")
+    evpath = os.path.join(EVDIR, "eventlog_v2_" + app_id)
+    if not os.path.exists(evpath):
+        evpath = os.path.join(EVDIR, app_id + ".inprogress")
 
     out = open("/tmp/opt_measure.jsonl", "a")
     for name in args.names:
