@@ -1035,6 +1035,9 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
         # REJECTED: LSH near-dup components are clique-shaped, so hop-0
         # already converges and the loop runs exactly one verification
         # round — the jump join was pure overhead on every SF probed.)
+        # lazy cut: the convergence count below is the first action over the
+        # checkpointed hop output, so materialization and the "did anything
+        # move?" probe share one job instead of two driver round trips
         flagged = iter_checkpoint(
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -1045,7 +1048,8 @@ def _min_label_components(pairs: DataFrame) -> DataFrame:
                 F.coalesce(
                     F.col("nbr_label") < F.col("label"), F.lit(False)
                 ).alias("lowered"),
-            )
+            ),
+            eager=False,
         )
         changed = flagged.where("lowered").count()
         labels = flagged.select("doc_id", "label")

@@ -54,8 +54,13 @@ def bfs_closure(
     edges = iter_checkpoint(
         edges.select(F.col(src).alias("__bfs_src"), F.col(dst).alias("__bfs_dst"))
     )
+    # lazy cut: the combined count+width probe below materializes it, so the
+    # seed frontier costs one job instead of checkpoint-then-count (r14 —
+    # the whole closure is driver-latency-bound at bench scale: 51 jobs,
+    # 1.5s inside jobs vs 2.3s wall)
     frontier = iter_checkpoint(
-        seeds.select(F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth"))
+        seeds.select(F.col("seed"), F.col("seed").alias("node"), F.lit(0).alias("depth")),
+        eager=False,
     )
     # the checkpointed frontier's exact row count is a one-scan probe (it
     # doubles as the emptiness check), so the hop join can be given an
@@ -72,14 +77,15 @@ def bfs_closure(
     # plan when the closure genuinely explodes.
     broadcast_bytes = 64 << 20
     row_overhead = 28  # seed long + tuple/offset overhead in the hash relation
-    avg_node_width = (
-        frontier.agg(
-            F.avg(F.length(F.col("node").cast("string"))).alias("w")
-        ).collect()[0]["w"]
-        or 8.0
-    )
+    # ONE probe job: count + avg width together (previously two), and the
+    # action doubles as the lazy checkpoint's materialization
+    probe = frontier.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.length(F.col("node").cast("string"))).alias("w"),
+    ).collect()[0]
+    avg_node_width = probe["w"] or 8.0
     reached = frontier
-    n_frontier = frontier.count()
+    n_frontier = probe["n"]
     for depth in range(1, max_depth + 1):
         f = frontier.alias("f")
         if n_frontier * (avg_node_width + row_overhead) <= broadcast_bytes:
@@ -97,10 +103,15 @@ def bfs_closure(
             # in afterwards
             .distinct()
         )
-        # keep only newly discovered (seed, node) pairs -> min-depth semantics
+        # keep only newly discovered (seed, node) pairs -> min-depth semantics.
+        # Lazy cut + count: the emptiness probe is the first action over the
+        # checkpointed RDD, so materialization and the count share one job
+        # (the hop previously paid checkpoint-then-count = two driver round
+        # trips; across 6 hops that halves the closure's job count)
         nxt = iter_checkpoint(
             nxt.join(reached.select("seed", "node"), ["seed", "node"], "left_anti")
-            .select("seed", "node", F.lit(depth).alias("depth"))
+            .select("seed", "node", F.lit(depth).alias("depth")),
+            eager=False,
         )
         n_frontier = nxt.count()
         if n_frontier == 0:

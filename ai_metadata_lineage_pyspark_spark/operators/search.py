@@ -131,6 +131,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
+    # tf feeds both the df build and the score probe; column pruning makes
+    # the two subtrees non-identical so exchange reuse never fires, and each
+    # re-ran the corpus explode+agg (r14, same fix as the lexical rankers)
+    release_persisted()  # drop any prior invocation's cached intermediates
+    tf = scoped_persist(tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "token").withColumn(
         "score_fp",
@@ -210,6 +217,8 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-occurrence), unigram counts broadcast back into the bigram table,
     total via 1-row broadcast; one explode-shuffle each for the two count
     aggregates."""
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
     toks = fan_out(load(spark, sf_dir, "documents")).select(
         F.expr("split(lower(text), '\\\\s+')").alias("t")
     )
@@ -218,8 +227,20 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n_tok"))
     )
-    bi = (
-        toks.select(
+    # the unfiltered bigram table (vocabulary-sized) is persisted so the
+    # corpus total derives from it instead of a third corpus scan+split
+    # (Σ n_bi over ALL bigrams ≡ Σ (len(t)-1), the previous formulation) —
+    # r14: one corpus pass removed, plus the min-count filter no longer
+    # re-runs the explode+agg
+    release_persisted()  # drop any prior invocation's cached intermediates
+    bi_all = scoped_persist(
+        # size guard: Spark's sequence(1, size-1) is DESCENDING for a
+        # 1-token doc ([1, 0] — null-padded bogus pairs), where DuckDB's
+        # generate_series is empty; the guard pins both engines to "docs
+        # with at least one adjacent pair" so Σ n_bi is the exact corpus
+        # bigram total
+        toks.filter(F.size("t") >= 2)
+        .select(
             F.explode(
                 F.expr(
                     "transform(sequence(1, size(t) - 1),"
@@ -231,13 +252,9 @@ def bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p.bigram", "p.w1", "p.w2")
         .groupBy("bigram", "w1", "w2")
         .agg(F.count(F.lit(1)).alias("n_bi"))
-        .filter(F.col("n_bi") >= _PMI_MIN_COUNT)
     )
-    total = (
-        toks.select((F.size("t") - 1).alias("n"))
-        .filter(F.col("n") > 0)
-        .agg(F.sum("n").alias("t_bi"))
-    )
+    bi = bi_all.filter(F.col("n_bi") >= _PMI_MIN_COUNT)
+    total = bi_all.agg(F.sum("n_bi").alias("t_bi"))
     u1 = uni.select(F.col("token").alias("w1"), F.col("n_tok").alias("n1"))
     u2 = uni.select(F.col("token").alias("w2"), F.col("n_tok").alias("n2"))
     return (
@@ -498,13 +515,21 @@ def lexical_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast into the postings join, so serving Q queries costs one
     token-keyed probe of the postings — never a corpus scan per query.
     WindowGroupLimit prunes to top-k per query before the final sort."""
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
     queries = spark.createDataFrame(
         [(i, q) for i, q in enumerate(_SEARCH_QUERIES)], "query_id INT, qtext STRING"
     )
     qterms = queries.select(
         "query_id", F.explode(F.expr("split(qtext, '\\\\s+')")).alias("token")
     )
-    tok = (
+    # the postings table feeds BOTH the score probe and the df build; without
+    # a persist each consumer re-runs the corpus tokenize+explode+agg
+    # (column pruning makes the two subtrees non-identical, so ReuseExchange
+    # can never fold them — r14 measurement: ~2x the query's CPU in
+    # duplicated postings builds)
+    release_persisted()  # drop any prior invocation's cached intermediates
+    tok = scoped_persist(
         fan_out(load(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"))
         .where("token <> ''")
@@ -657,13 +682,20 @@ def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     two top-k lists — |panel|·k rows, trivially broadcastable. At the
     registered SFs the panel covers every query id, so results are
     unchanged from the pre-panel registration."""
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
     from .similarity import _PANEL_CAP, _QUERY_MOD, cosine_topk_panel
 
     docs = fan_out(load(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id", F.expr("split(lower(text), '\\\\s+')").alias("t")
     )
-    bif = (
+    # the bigram postings feed three consumers (df build, query-feature
+    # selection, score probe); column pruning makes the subtrees
+    # non-identical so ReuseExchange never folds them, and each re-ran the
+    # corpus tokenize+bigram-explode+agg (r14 measurement: 11s CPU inside a
+    # 4.5s query — the duplicated builds were most of it)
+    release_persisted()  # drop any prior invocation's cached intermediates
+    bif = scoped_persist(
         toks.filter(F.size("t") >= 2)
         .select(
             "doc_id",
@@ -873,7 +905,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("pair.left_tok", "pair.right_tok", "n_word")
         )
-        best = (
+        # the 1-row argmax has TWO consumers (the output union and the next
+        # round's vocabulary rewrite); persisting it halves the per-round
+        # pair-count aggregations — without it each consumer re-ran the
+        # explode+agg over the (persisted) vocabulary (r14)
+        best = scoped_persist(
             pairs.groupBy("left_tok", "right_tok")
             .agg(F.sum("n_word").alias("n_occurrences"))
             .orderBy(
@@ -1168,21 +1204,36 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # base fit: ONE full pair count (the only corpus-vocabulary-sized
-    # explode in the whole fit)
-    counts = (
+    # explode in the whole fit). Round-state checkpoints are RELIABLE but
+    # LAZY + persist-backed (r14): DataFrame.checkpoint(eager=True) cost two
+    # jobs AND two executions per round (materializing count, then the
+    # checkpoint writer recomputing the plan); with persist() before a lazy
+    # checkpoint, the next round's argmax is the job that materializes the
+    # cache, and the checkpoint file write (still written at the end of that
+    # same job) reads the cached blocks instead of recomputing the join.
+    # Durability is unchanged — the round-state files land on the checkpoint
+    # filesystem before the round's merge is consumed.
+    cached_round = (
         _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .checkpoint()
+        .persist()
     )
+    counts = cached_round.checkpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_INC_ROUNDS + 1):
         t0 = time.time()
         # 1-row argmax: collected, not checkpointed — the merge table IS
-        # the fitted model and lives on the driver (see module note)
+        # the fitted model and lives on the driver (see module note). This
+        # action also materializes the lazy round-state checkpoint above.
         best = counts.orderBy(
             F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
         ).first()
+        # the previous round's persist has served its purpose (the
+        # checkpoint files are written); drop the executor blocks
+        if cached_round is not None:
+            cached_round.unpersist()
+            cached_round = None
         if best is None:
             break
         left, right = best["left_tok"], best["right_tok"]
@@ -1204,7 +1255,7 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round state is vocabulary-sized (tens of kB here, ~MBs at 100 TB):
         # coalesce before the checkpoint write so each round materializes a
         # handful of files instead of 32 near-empty tasks ×2 frames ×R rounds
-        counts = (
+        cached_round = (
             counts.join(delta, ["left_tok", "right_tok"], "full_outer")
             .select(
                 "left_tok",
@@ -1213,8 +1264,9 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter("n > 0")
             .coalesce(4)
-            .checkpoint()
+            .persist()
         )
+        counts = cached_round.checkpoint(eager=False)
         # vocab needs lineage-cutting only for PLAN DEPTH, not for shuffle
         # reuse: between checkpoints it is a chain of narrow replace()
         # projections (pure codegen, no shuffle), so materializing it every
@@ -1228,6 +1280,10 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         if timings_path:
             with open(timings_path, "a") as fh:
                 fh.write(json.dumps({"round": r, "sec": round(time.time() - t0, 3)}) + "\n")
+    if cached_round is not None:
+        # the final round's state was never consumed by a later argmax; its
+        # persist (and unwritten lazy checkpoint) are dead weight
+        cached_round.unpersist()
     out = spark.createDataFrame(
         merges, "round bigint, left_tok string, right_tok string, n_occurrences bigint"
     )
@@ -1421,12 +1477,17 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pair.left_tok", "pair.right_tok", "w")
         )
 
-    counts = (
+    # same persist-backed LAZY reliable checkpoint as the incremental fit
+    # (r14): the greedy-prefix collect below is the job that materializes
+    # each round's state, and the checkpoint write at the end of that job
+    # reads the cached blocks instead of recomputing the full-outer join
+    cached_round = (
         _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .checkpoint()
+        .persist()
     )
+    counts = cached_round.checkpoint(eager=False)
     out_rows: list[tuple[int, int, str, str, int]] = []
     for r in range(1, _BPE_BATCH_ROUNDS + 1):
         ordered = counts.orderBy(
@@ -1453,6 +1514,11 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(picks) == _BPE_BATCH_B or len(top) < lim:
                 break  # greedy complete, or the whole pair table was scanned
             lim *= 2
+        # the round's state is checkpoint-materialized by the collect above;
+        # its backing persist is dead weight now
+        if cached_round is not None:
+            cached_round.unpersist()
+            cached_round = None
         if not picks:
             break
         out_rows.extend(
@@ -1477,7 +1543,7 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("left_tok", "right_tok")
             .agg(F.sum("w").alias("d"))
         )
-        counts = (
+        cached_round = (
             counts.join(delta, ["left_tok", "right_tok"], "full_outer")
             .select(
                 "left_tok",
@@ -1486,11 +1552,14 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter("n > 0")
             .coalesce(4)
-            .checkpoint()
+            .persist()
         )
+        counts = cached_round.checkpoint(eager=False)
         vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
         if r % _VOCAB_CKPT_EVERY == 0:
             vocab = vocab.coalesce(4).checkpoint()
+    if cached_round is not None:
+        cached_round.unpersist()
     out = spark.createDataFrame(
         out_rows,
         "round bigint, pick bigint, left_tok string, right_tok string,"
@@ -1606,6 +1675,16 @@ def sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "token")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
+    # tf feeds the df build and the weighting probe; wt feeds the signature-
+    # df build and the capped-signature probe (which itself fans into the
+    # norm pass and both self-join sides). Without the two persists every
+    # consumer re-ran its whole upstream (tf: corpus explode+agg; wt: tf +
+    # broadcast join + top-R window) — r14: the deepest duplicated-subtree
+    # stack in the lexical family.
+    release_persisted()  # drop any prior invocation's cached intermediates
+    tf = scoped_persist(tf)
     df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     wt0 = (
         tf.join(F.broadcast(df.filter(F.col("df") >= 2)), "token")
@@ -1613,7 +1692,7 @@ def sparse_cosine_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "token", "w")
     )
     sig_w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("token"))
-    wt = (
+    wt = scoped_persist(
         wt0.withColumn("rn", F.row_number().over(sig_w))
         .filter(F.col("rn") <= _SPARSE_R)
         .drop("rn")
@@ -1823,13 +1902,19 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats are ONE broadcast row; query terms broadcast into the postings
     probe, so Q queries cost one token-keyed probe. WindowGroupLimit
     prunes per-query candidates before the final sort."""
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
     queries = spark.createDataFrame(
         [(i, q) for i, q in enumerate(_SEARCH_QUERIES)], "query_id INT, qtext STRING"
     )
     qterms = queries.select(
         "query_id", F.explode(F.expr("split(qtext, '\\\\s+')")).alias("token")
     )
-    tok = (
+    # four consumers (probe, dl, corpus stats, df) each re-ran the corpus
+    # tokenize+explode+agg before this persist — column pruning makes the
+    # subtrees non-identical so ReuseExchange never folds them (r14)
+    release_persisted()  # drop any prior invocation's cached intermediates
+    tok = scoped_persist(
         fan_out(load(spark, sf_dir, "documents"))
         .select("doc_id", F.explode(F.expr("split(lower(text), '\\\\s+')")).alias("token"))
         .where("token <> ''")

@@ -1250,6 +1250,8 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
     subs = (vec_id, m, sub[16] micro-ints); codebook = broadcast (cm,
     code, c_sub); assignments = (vec_id, m, code, dist) after the
     integer argmin against the refined codebook."""
+    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
+
     emb = load(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr(
@@ -1257,18 +1259,24 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
             f" * {_KM_MICRO}) AS BIGINT))"
         ).alias("mi"),
     )
-    subs = emb.select(
-        "vec_id",
-        F.posexplode(
-            F.expr(
-                "array("
-                + ", ".join(
-                    f"slice(mi, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
-                    for m in range(_PQ_M)
+    # the per-(vector, subspace) stream feeds four consumers (codebook init,
+    # both assignment passes, the query LUT build); persist it once — r14:
+    # each consumer re-ran the scan+quantize+posexplode otherwise
+    release_persisted()  # drop any prior invocation's cached intermediates
+    subs = scoped_persist(
+        emb.select(
+            "vec_id",
+            F.posexplode(
+                F.expr(
+                    "array("
+                    + ", ".join(
+                        f"slice(mi, {m * _PQ_SUBDIM + 1}, {_PQ_SUBDIM})"
+                        for m in range(_PQ_M)
+                    )
+                    + ")"
                 )
-                + ")"
-            )
-        ).alias("m", "sub"),
+            ).alias("m", "sub"),
+        )
     )
     c0 = F.broadcast(
         subs.filter(F.col("vec_id") < _PQ_K).select(
@@ -1278,14 +1286,21 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
         )
     )
     dist = F.expr(_pq_dist_spark("sub", "c_sub"))
-    wvm = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
-    )
+    # nearest code per (vec_id, m): min over (dist, code) == dist ASC, code
+    # ASC — a map-side-combinable struct-min aggregate instead of the
+    # previous row_number window, which shuffled AND sorted the full
+    # N*M*K candidate stream (sub arrays included) per pass (r14, guide
+    # §2.3: aggregate before you shuffle). `sub` is group-constant (the
+    # vector's own subvector), so first() is deterministic in value.
     a1 = (
         subs.join(c0, F.col("m") == F.col("cm"))
         .select("vec_id", "m", "sub", "code", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(wvm))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"),
+            F.first("sub").alias("sub"),
+        )
+        .select("vec_id", "m", "sub", F.col("b.code").alias("code"))
     )
     dim_sums = a1.groupBy("m", "code").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1308,9 +1323,9 @@ def _pq_parts(spark: SparkSession, sf_dir: str):
     a2 = (
         subs.join(c1, F.col("m") == F.col("cm"))
         .select("vec_id", "m", "code", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(wvm))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code", "dist")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"), F.col("b.dist").alias("dist"))
     )
     return subs, c1, a2
 
@@ -1761,14 +1776,20 @@ def _res_pq_parts(spark: SparkSession, sf_dir: str):
             cosine_from_norms_expr("embedding", "c_emb", "norm", "c_norm")
         ).alias("cos"),
     )
-    assigned = scored.groupBy("vec_id").agg(
-        F.max_by(
-            "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
-        ).alias("cell"),
-        F.max_by(
-            "c_mi", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
-        ).alias("cell_mi"),
-        F.first("mi").alias("mi"),
+    # three consumers re-ran the full N×K broadcast cosine scoring + argmax
+    # before this persist (both residual assignment passes via rsubs, plus
+    # the candidate join); persist the corpus assignment once — r14
+    release_persisted()  # drop any prior invocation's cached intermediates
+    assigned = scoped_persist(
+        scored.groupBy("vec_id").agg(
+            F.max_by(
+                "cent_id", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell"),
+            F.max_by(
+                "c_mi", F.struct(F.col("cos"), (-F.col("cent_id")).alias("nc"))
+            ).alias("cell_mi"),
+            F.first("mi").alias("mi"),
+        )
     )
     w_cell = Window.partitionBy("vec_id").orderBy(
         F.col("cos").desc(), F.col("cent_id").asc()
@@ -1807,14 +1828,18 @@ def _res_pq_parts(spark: SparkSession, sf_dir: str):
         )
     )
     dist = F.expr(_pq_dist_spark("sub", "c_sub"))
-    wvm = Window.partitionBy("vec_id", "m").orderBy(
-        F.col("dist").asc(), F.col("code").asc()
-    )
+    # nearest code per (vec_id, m): struct-min aggregate instead of a
+    # row_number window — map-side-combinable, no sort of the N*M*K
+    # candidate stream (r14, guide §2.3; same rewrite as _pq_parts)
     a1 = (
         rsubs.join(pc0, F.col("m") == F.col("cm"))
         .select("vec_id", "m", "sub", "code", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(wvm))
-        .filter(F.col("rn") == 1)
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"),
+            F.first("sub").alias("sub"),
+        )
+        .select("vec_id", "m", "sub", F.col("b.code").alias("code"))
     )
     dim_sums = a1.groupBy("m", "code").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1837,9 +1862,9 @@ def _res_pq_parts(spark: SparkSession, sf_dir: str):
     codes = (
         rsubs.join(pc1, F.col("m") == F.col("cm"))
         .select("vec_id", "m", "code", dist.alias("dist"))
-        .withColumn("rn", F.row_number().over(wvm))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "m", "code")
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("dist"), F.col("code"))).alias("b"))
+        .select("vec_id", "m", F.col("b.code").alias("code"))
     )
     qsubs = probes.select(
         "query_id",
