@@ -450,12 +450,11 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     release_persisted()  # drop any prior invocation's cached intermediates
 
-    # hash-partition the exploded stream by vec_id ONCE before persisting:
-    # every iteration's dot-pass groupBy(vec_id) and projection-pass
-    # join(dots, vec_id) then reuse the cached partitioning (dots itself
-    # comes out of a vec_id-keyed aggregate, so the join is exchange-free on
-    # both sides) instead of re-shuffling N×64 rows per iteration (r14,
-    # guide §2.4: operations keyed the same way share one exchange)
+    # NOTE (r14): a repartition("vec_id") before this persist — intended to
+    # let all three iterations reuse one exchange (guide §2.4) — was tried
+    # and REVERTED: the extra shuffle + caching the post-shuffle layout
+    # measured 2.1s -> 5.7s steady / 1.4s -> 13.5s stage-CPU at sf0.1
+    # (tools/opt_measure.py A/B, OPTIMIZATION_r14.md §2.4-details).
     x = scoped_persist(
         load(spark, sf_dir, "embeddings")
         .select("vec_id", F.posexplode("embedding").alias("pos", "v"))
@@ -464,7 +463,6 @@ def embedding_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(pos + 1 AS BIGINT) AS dim",
             "CAST(floor(CAST(v AS DOUBLE) * 1000000) AS BIGINT) AS x_micro",
         )
-        .repartition("vec_id")
     )
     v = spark.range(1, _PI_DIMS + 1).selectExpr(
         "id AS dim", "CAST(125000 AS BIGINT) AS v_micro"

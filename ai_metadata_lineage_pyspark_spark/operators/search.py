@@ -905,11 +905,12 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .select("pair.left_tok", "pair.right_tok", "n_word")
         )
-        # the 1-row argmax has TWO consumers (the output union and the next
-        # round's vocabulary rewrite); persisting it halves the per-round
-        # pair-count aggregations — without it each consumer re-ran the
-        # explode+agg over the (persisted) vocabulary (r14)
-        best = scoped_persist(
+        # NOTE (r14): scoped_persist of this 1-row argmax (two consumers:
+        # output union + next round's vocab rewrite) was tried and REVERTED
+        # — it measured 3.6s -> 8.9s steady at sf0.1 (the persist breaks
+        # the limit-1 pushdown into a cached full aggregate; opt_measure
+        # A/B, OPTIMIZATION_r14.md §2.4-details).
+        best = (
             pairs.groupBy("left_tok", "right_tok")
             .agg(F.sum("n_word").alias("n_occurrences"))
             .orderBy(
@@ -1204,36 +1205,27 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # base fit: ONE full pair count (the only corpus-vocabulary-sized
-    # explode in the whole fit). Round-state checkpoints are RELIABLE but
-    # LAZY + persist-backed (r14): DataFrame.checkpoint(eager=True) cost two
-    # jobs AND two executions per round (materializing count, then the
-    # checkpoint writer recomputing the plan); with persist() before a lazy
-    # checkpoint, the next round's argmax is the job that materializes the
-    # cache, and the checkpoint file write (still written at the end of that
-    # same job) reads the cached blocks instead of recomputing the join.
-    # Durability is unchanged — the round-state files land on the checkpoint
-    # filesystem before the round's merge is consumed.
-    cached_round = (
+    # explode in the whole fit). NOTE (r14): persist-backed LAZY round-state
+    # checkpoints (persist() + checkpoint(eager=False), the argmax as the
+    # materializing job) were tried here and REVERTED — the A/B measured
+    # 6.9s -> 13.3s steady at sf0.1: the lazy form serializes the argmax
+    # behind the checkpoint write instead of overlapping them, and the
+    # cache adds a columnar build per round (tools/opt_measure.py,
+    # OPTIMIZATION_r14.md §2.4-details).
+    counts = (
         _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .persist()
+        .checkpoint()
     )
-    counts = cached_round.checkpoint(eager=False)
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_INC_ROUNDS + 1):
         t0 = time.time()
         # 1-row argmax: collected, not checkpointed — the merge table IS
-        # the fitted model and lives on the driver (see module note). This
-        # action also materializes the lazy round-state checkpoint above.
+        # the fitted model and lives on the driver (see module note)
         best = counts.orderBy(
             F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
         ).first()
-        # the previous round's persist has served its purpose (the
-        # checkpoint files are written); drop the executor blocks
-        if cached_round is not None:
-            cached_round.unpersist()
-            cached_round = None
         if best is None:
             break
         left, right = best["left_tok"], best["right_tok"]
@@ -1255,7 +1247,7 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         # round state is vocabulary-sized (tens of kB here, ~MBs at 100 TB):
         # coalesce before the checkpoint write so each round materializes a
         # handful of files instead of 32 near-empty tasks ×2 frames ×R rounds
-        cached_round = (
+        counts = (
             counts.join(delta, ["left_tok", "right_tok"], "full_outer")
             .select(
                 "left_tok",
@@ -1264,9 +1256,8 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter("n > 0")
             .coalesce(4)
-            .persist()
+            .checkpoint()
         )
-        counts = cached_round.checkpoint(eager=False)
         # vocab needs lineage-cutting only for PLAN DEPTH, not for shuffle
         # reuse: between checkpoints it is a chain of narrow replace()
         # projections (pure codegen, no shuffle), so materializing it every
@@ -1280,10 +1271,6 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         if timings_path:
             with open(timings_path, "a") as fh:
                 fh.write(json.dumps({"round": r, "sec": round(time.time() - t0, 3)}) + "\n")
-    if cached_round is not None:
-        # the final round's state was never consumed by a later argmax; its
-        # persist (and unwritten lazy checkpoint) are dead weight
-        cached_round.unpersist()
     out = spark.createDataFrame(
         merges, "round bigint, left_tok string, right_tok string, n_occurrences bigint"
     )
@@ -1477,17 +1464,15 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pair.left_tok", "pair.right_tok", "w")
         )
 
-    # same persist-backed LAZY reliable checkpoint as the incremental fit
-    # (r14): the greedy-prefix collect below is the job that materializes
-    # each round's state, and the checkpoint write at the end of that job
-    # reads the cached blocks instead of recomputing the full-outer join
-    cached_round = (
+    # NOTE (r14): the persist-backed LAZY round-state checkpoint tried here
+    # (and in the incremental fit) was REVERTED after the A/B measured it
+    # 2.7s -> 4.2s steady at sf0.1 — see bpe_train_merges_incremental's note.
+    counts = (
         _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .persist()
+        .checkpoint()
     )
-    counts = cached_round.checkpoint(eager=False)
     out_rows: list[tuple[int, int, str, str, int]] = []
     for r in range(1, _BPE_BATCH_ROUNDS + 1):
         ordered = counts.orderBy(
@@ -1514,11 +1499,6 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             if len(picks) == _BPE_BATCH_B or len(top) < lim:
                 break  # greedy complete, or the whole pair table was scanned
             lim *= 2
-        # the round's state is checkpoint-materialized by the collect above;
-        # its backing persist is dead weight now
-        if cached_round is not None:
-            cached_round.unpersist()
-            cached_round = None
         if not picks:
             break
         out_rows.extend(
@@ -1543,7 +1523,7 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("left_tok", "right_tok")
             .agg(F.sum("w").alias("d"))
         )
-        cached_round = (
+        counts = (
             counts.join(delta, ["left_tok", "right_tok"], "full_outer")
             .select(
                 "left_tok",
@@ -1552,14 +1532,11 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .filter("n > 0")
             .coalesce(4)
-            .persist()
+            .checkpoint()
         )
-        counts = cached_round.checkpoint(eager=False)
         vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
         if r % _VOCAB_CKPT_EVERY == 0:
             vocab = vocab.coalesce(4).checkpoint()
-    if cached_round is not None:
-        cached_round.unpersist()
     out = spark.createDataFrame(
         out_rows,
         "round bigint, pick bigint, left_tok string, right_tok string,"

@@ -444,14 +444,15 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     0.01% of the global total — the scalar-subquery-threshold pattern.
 
     Plan: one groupBy over lineitem (supplier/nation broadcast in); the
-    grouped table is persisted because BOTH the result and the 1-row global
-    total read it — column pruning specializes the two subtrees (the total
-    only needs value_c), so exchange reuse never fires and the lineitem
-    join+aggregation ran twice (r14 measurement: this was the slowest TPC-H
-    entry). The total then cross-joins back as a broadcast literal — never
-    a second scan-wide shuffle."""
-    from ..functions.cache import release_persisted, scoped_persist  # noqa: PLC0415
-
+    global total is a 1-row re-aggregation of the SAME grouped result
+    (persist-free reuse: Spark recomputes the small grouped table, or AQE
+    reuses the exchange), cross-joined back as a broadcast literal — never a
+    second scan-wide shuffle. NOTE (r14): scoped_persist of the grouped
+    table was tried and REVERTED — the A/B measured 1.14s -> 1.61s steady /
+    0.9s -> 1.8s stage-CPU at sf0.1: the duplicated subtree is one
+    broadcast join + partial agg over a columnar scan, cheaper than the
+    cache build + the pipeline barrier the persist adds
+    (tools/opt_measure.py, OPTIMIZATION_r14.md §2.4-details)."""
     s = (
         load(spark, sf_dir, "supplier")
         .join(
@@ -461,8 +462,7 @@ def important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", F.col("n_name").alias("nation"))
     )
     li = load(spark, sf_dir, "lineitem")
-    release_persisted()  # drop any prior invocation's cached intermediates
-    vals = scoped_persist(
+    vals = (
         li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("nation", "l_partkey")
         .agg(F.sum(F.expr(_PRICE_C)).alias("value_c"))
