@@ -327,6 +327,27 @@ def _verify_pairs(
 _BUCKET_CAP = 64
 
 
+def _capped_pairs_expr(cap: int) -> str:
+    """Candidate (doc_a, doc_b) pairs from a sorted bucket `ids` array as
+    ONE conditional explode: clique emission for buckets <= cap members,
+    star emission (representative = ids[0] vs the rest) past it.
+
+    A single projection over the buckets aggregate — the previous
+    clique.union(star) form re-ran the whole band/bucket subtree once per
+    union branch (Spark does no cross-branch common-subtree elimination),
+    doubling the heaviest pre-verify stage (r15, guide §2.4). Row set is
+    identical: the two branches' filters were disjoint (size <= cap vs
+    > cap), so their union equals this per-bucket CASE."""
+    return (
+        f"explode(CASE WHEN size(ids) <= {cap} THEN"
+        " flatten(transform(ids, (a, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " b -> struct(a AS doc_a, b AS doc_b))))"
+        " ELSE transform(slice(ids, 2, size(ids)),"
+        " b -> struct(ids[0] AS doc_a, b AS doc_b)) END) AS p"
+    )
+
+
 def lsh_pairs_capped(
     spark: SparkSession, sf_dir: str, bucket_cap: int = _BUCKET_CAP
 ) -> DataFrame:
@@ -340,20 +361,12 @@ def lsh_pairs_capped(
     against some other member is dropped — the price of O(k) edges."""
     release_persisted()
     sh, buckets = _shingle_buckets(spark, sf_dir)
-    clique = (
-        buckets.filter(F.size("ids") <= bucket_cap)
-        .selectExpr(
-            "explode(flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)),"
-            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
-        )
+    cand = (
+        buckets.selectExpr(_capped_pairs_expr(bucket_cap))
         .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    star = (
-        buckets.filter(F.size("ids") > bucket_cap)
-        .selectExpr("ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b")
-    )
-    return _verify_pairs(clique.union(star).distinct(), sh)
+    return _verify_pairs(cand, sh)
 
 
 # ---------------------------------------------------------------------------
@@ -731,19 +744,11 @@ def chargram_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    clique = (
-        buckets.filter(F.size("ids") <= _BUCKET_CAP)
-        .selectExpr(
-            "explode(flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)),"
-            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
-        )
+    cand = (
+        buckets.selectExpr(_capped_pairs_expr(_BUCKET_CAP))
         .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    star = buckets.filter(F.size("ids") > _BUCKET_CAP).selectExpr(
-        "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
-    )
-    cand = clique.union(star).distinct()
     return _verify_pairs(cand, sh, threshold=_NGRAM_T)
 
 
@@ -1001,11 +1006,26 @@ def neardup_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _min_label_components(pairs: DataFrame) -> DataFrame:
     """Iterative min-label propagation over an undirected pair list."""
-    # undirected edge list, materialized once (it is consumed every round)
+    # undirected edge list, materialized once (it is consumed every round).
+    # Both orientations come from ONE pass over the pair subtree — the
+    # previous pairs.union(pairs.swapped) form evaluated the entire
+    # upstream pipeline (MinHash bands -> buckets -> verify join) once per
+    # union branch, because Spark does no cross-branch common-subtree
+    # elimination (r15 opt_measure: two ~10s-CPU stages with identical
+    # input/shuffle shapes inside neardup_canonical_pick; guide §2.4)
     edges = iter_checkpoint(
-        pairs.union(
-            pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-        ).toDF("src", "dst")
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        ).select("e.src", "e.dst")
     )
     # hop 0 folds the identity labeling in: with symmetric edges every node
     # appears as dst, so "adopt min(own id, neighbors' ids)" is ONE
@@ -2131,19 +2151,11 @@ def simhash_hamming_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    clique = (
-        buckets.filter(F.size("ids") <= _BUCKET_CAP)
-        .selectExpr(
-            "explode(flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)),"
-            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
-        )
+    cand = (
+        buckets.selectExpr(_capped_pairs_expr(_BUCKET_CAP))
         .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    star = buckets.filter(F.size("ids") > _BUCKET_CAP).selectExpr(
-        "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
-    )
-    cand = clique.union(star).distinct()
     return (
         cand.join(fp.selectExpr("doc_id AS doc_a", "simhash_int AS ha"), "doc_a")
         .join(fp.selectExpr("doc_id AS doc_b", "simhash_int AS hb"), "doc_b")
@@ -2342,19 +2354,11 @@ def _simhash64_stages(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
-    clique = (
-        buckets.filter(F.size("ids") <= _BUCKET_CAP)
-        .selectExpr(
-            "explode(flatten(transform(ids, (a, i) ->"
-            " transform(slice(ids, i + 2, size(ids)),"
-            " b -> struct(a AS doc_a, b AS doc_b))))) AS p"
-        )
+    cand = (
+        buckets.selectExpr(_capped_pairs_expr(_BUCKET_CAP))
         .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    star = buckets.filter(F.size("ids") > _BUCKET_CAP).selectExpr(
-        "ids[0] AS doc_a", "explode(slice(ids, 2, size(ids))) AS doc_b"
-    )
-    cand = clique.union(star).distinct()
     return {"fp": fp, "buckets": buckets, "cand": cand}
 
 

@@ -32,6 +32,7 @@ def bfs_closure(
     max_depth: int = 6,
     src: str = "src",
     dst: str = "dst",
+    two_hop: bool = False,
 ) -> DataFrame:
     """Bounded-depth min-depth closure.
 
@@ -50,10 +51,46 @@ def bfs_closure(
       hop's join then read materialized partitions instead of recursively
       recomputing join(join(join(...))), which otherwise grows the lineage
       (and runtime) exponentially with depth.
+
+    two_hop (r15): expand the frontier by 1 AND 2 hops per round over a
+    once-materialized doubled edge list, halving the round count (and the
+    per-round driver latency that dominates deep closures) while preserving
+    exact min-depth semantics. OPT-IN per call site because the doubling
+    pass only pays for itself when the closure actually runs deep: measured
+    at sf1, event_chain_closure (6 full hops) 4.75s -> 4.37s steady with
+    jobs 42 -> 27, but lineage_downstream_scripts (terminates in ~2 hops)
+    regressed 1.54s -> 2.31s — the e2 build is pure overhead for closures
+    that die early (ARTIFACTS/r15 measurements; guide §1.2, §7.3).
     """
     edges = iter_checkpoint(
         edges.select(F.col(src).alias("__bfs_src"), F.col(dst).alias("__bfs_dst"))
     )
+    e2 = None
+    if two_hop:
+        # TWO-HOP frontier expansion (r15, guide §7.3): deep closures are
+        # driver-latency-bound at bench scale (r15 opt_measure: 42 jobs,
+        # 1.2s of job wall inside a 2.2s steady run), so halving the round
+        # count beats minimizing per-round work. One up-front edge doubling
+        # — e2 = all (src, dst) joined by paths of length exactly 2,
+        # deduplicated — lets each round expand the frontier by BOTH 1 and
+        # 2 hops; per-(seed, node) min(depth) inside the round plus the
+        # existing anti-join against `reached` preserves exact min-depth
+        # semantics (shortest-path prefix induction: a node of min-depth d
+        # has its d-1 / d-2 prefix in the previous round's frontier, so
+        # e1/e2 always supply a candidate at the true min depth). The r12
+        # two-hop REJECTION was for clique-shaped LSH components, where
+        # hop-0 already converges; deep BFS closures (event chains are
+        # paths) are the opposite shape, and e2 stays edge-scale rather
+        # than exploding quadratically.
+        e2 = iter_checkpoint(
+            edges.alias("x")
+            .join(edges.alias("y"), F.col("x.__bfs_dst") == F.col("y.__bfs_src"))
+            .select(
+                F.col("x.__bfs_src").alias("__bfs_src"),
+                F.col("y.__bfs_dst").alias("__bfs_dst"),
+            )
+            .distinct()
+        )
     # lazy cut: the combined count+width probe below materializes it, so the
     # seed frontier costs one job instead of checkpoint-then-count (r14 —
     # the whole closure is driver-latency-bound at bench scale: 51 jobs,
@@ -86,31 +123,48 @@ def bfs_closure(
     avg_node_width = probe["w"] or 8.0
     reached = frontier
     n_frontier = probe["n"]
-    for depth in range(1, max_depth + 1):
+    step = 2 if two_hop else 1
+    for k in range(1, (max_depth + step - 1) // step + 1):
         f = frontier.alias("f")
         if n_frontier * (avg_node_width + row_overhead) <= broadcast_bytes:
             f = F.broadcast(f)
-        nxt = (
-            f.join(edges.alias("e"), F.col("f.node") == F.col("e.__bfs_src"))
-            .select(
-                F.col("f.seed").alias("seed"),
-                F.col("e.__bfs_dst").alias("node"),
-            )
-            # dedup keyed on (seed, node) — the SAME keys the anti-join
-            # below needs, so the exchange introduced here satisfies the
-            # anti-join's distribution requirement and is reused instead of
-            # a second full shuffle; depth is a per-hop constant and rides
-            # in afterwards
-            .distinct()
+        cand = f.join(
+            edges.alias("e"), F.col("f.node") == F.col("e.__bfs_src")
+        ).select(
+            F.col("f.seed").alias("seed"),
+            F.col("e.__bfs_dst").alias("node"),
+            (F.col("f.depth") + F.lit(1)).alias("depth"),
         )
+        if two_hop:
+            # expand by 1 AND 2 hops in one round; the frontier is an
+            # already-materialized checkpoint, so both branches scan it
+            # (and Spark reuses the single broadcast exchange) rather than
+            # recomputing anything
+            cand = cand.unionByName(
+                f.join(e2.alias("e2"), F.col("f.node") == F.col("e2.__bfs_src"))
+                .select(
+                    F.col("f.seed").alias("seed"),
+                    F.col("e2.__bfs_dst").alias("node"),
+                    (F.col("f.depth") + F.lit(2)).alias("depth"),
+                )
+            )
+            if step * k > max_depth:
+                # odd max_depth: the final round may only take the 1-hop step
+                cand = cand.filter(F.col("depth") <= max_depth)
+        # per-round min-depth, keyed on (seed, node) — the SAME keys the
+        # anti-join below needs, so the aggregation's exchange satisfies
+        # the anti-join's distribution requirement and is reused instead
+        # of a second full shuffle (in 1-hop mode the round's depth is a
+        # frontier-wide constant, so min(depth) == the old distinct+lit)
+        nxt = cand.groupBy("seed", "node").agg(F.min("depth").alias("depth"))
         # keep only newly discovered (seed, node) pairs -> min-depth semantics.
         # Lazy cut + count: the emptiness probe is the first action over the
         # checkpointed RDD, so materialization and the count share one job
         # (the hop previously paid checkpoint-then-count = two driver round
-        # trips; across 6 hops that halves the closure's job count)
+        # trips; across the rounds that halves the closure's job count)
         nxt = iter_checkpoint(
             nxt.join(reached.select("seed", "node"), ["seed", "node"], "left_anti")
-            .select("seed", "node", F.lit(depth).alias("depth")),
+            .select("seed", "node", "depth"),
             eager=False,
         )
         n_frontier = nxt.count()
@@ -156,7 +210,10 @@ def event_chain_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("event_id").alias("src"), "dst")
     )
     seeds = events.filter(F.col("event_id") % 97 == 0).select(F.col("event_id").alias("seed"))
-    return bfs_closure(edges, seeds, max_depth=6)
+    # two_hop: the chain closure always runs its full 6 hops (path graph),
+    # the shape where halved rounds beat the one-off edge doubling (r15
+    # sf1 A/B: 4.75s -> 4.37s steady, 42 -> 27 jobs)
+    return bfs_closure(edges, seeds, max_depth=6, two_hop=True)
 
 
 # ---------------------------------------------------------------------------

@@ -1116,23 +1116,32 @@ def bpe_apply_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Per-round cost: one codegen contains()-filter + replace() scan over the
 # vocabulary (same as the full trainer's apply stage) + a pair explode of
-# the AFFECTED words only + a pair-vocabulary-sized outer merge — vs the
-# full trainer's per-round explode of EVERY token of EVERY word through a
-# shuffle. Affected-word mass shrinks as merges specialize, so per-round
-# cost flattens where the full recount stays corpus-vocabulary-sized.
-# Iteration state (vocab, counts) is RELIABLY checkpoint'd each round (r10,
-# verdict #3/#4): plan depth stays constant over the rounds instead of
-# nesting R outer joins, and — unlike the r9 localCheckpoint design — the
-# materialization is on the checkpoint filesystem, so an executor loss
-# mid-fit recomputes from the last round's files instead of killing the
-# job. The 1-row best-pair frame is COLLECTED: the merge table is the
-# model being fitted, and holding it on the driver (exactly where every
-# production BPE trainer keeps its merge list) makes the returned
-# DataFrame a pure literal — independent of any executor or checkpoint
-# state. Round count is env-overridable (SPARK_GRAFT_BPE_INC_ROUNDS) so
-# the >=100-round durability evidence runs against the same oracle
-# recurrence without bloating the registered sweep; per-round wall times
-# stream to SPARK_GRAFT_BPE_TIMINGS when set (the flat-cost artifact).
+# the AFFECTED words only, map-side-combined — vs the full trainer's
+# per-round explode of EVERY token of EVERY word through a shuffle.
+# Affected-word mass shrinks as merges specialize, so per-round cost
+# flattens where the full recount stays corpus-vocabulary-sized.
+# State placement (r15, per the r14 verdict): the PAIR-COUNT table lives
+# ON THE DRIVER — it is the model's sufficient statistic, bounded by the
+# vocabulary's distinct adjacent pairs (Heaps-law sublinear in corpus:
+# tens of kB at sf0.1, ~MBs at 100 TB), and a driver-held count table is
+# precisely how the classic heap-based BPE trainers work. Each round is
+# ONE Spark action (the aggregated affected-words delta, collected) whose
+# result folds into the driver table with exact integer arithmetic; the
+# argmax is a free driver-side scan. The earlier design (r10-r14) kept
+# counts distributed and reliably checkpoint'd each round — measured in
+# r15 at 108 jobs with only 3.7s of job wall inside a ~14s steady run,
+# i.e. ~70% pure per-round checkpoint-commit + plan-reanalysis overhead.
+# VOCAB (genuinely vocabulary-scale, the one table that must stay
+# distributed) keeps periodic RELIABLE checkpoints (r10 verdict #3/#4):
+# plan depth stays bounded and an executor loss mid-fit recomputes at
+# most _VOCAB_CKPT_EVERY narrow replace() scans; driver state needs no
+# checkpoint because a driver loss kills the fit with or without one.
+# The merge table accumulates on the driver as before, so the returned
+# DataFrame is a pure literal. Round count is env-overridable
+# (SPARK_GRAFT_BPE_INC_ROUNDS) so the >=100-round durability evidence
+# runs against the same oracle recurrence without bloating the registered
+# sweep; per-round wall times stream to SPARK_GRAFT_BPE_TIMINGS when set
+# (the flat-cost artifact).
 #
 # 30k-vocabulary frontier (documented, not yet registered): one merge per
 # round floors a 30k-merge fit at 30k sequential driver round-trips. The
@@ -1163,9 +1172,10 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver's hash check is the proof that the incremental recurrence
     reproduces the specification exactly.
 
-    Durability (r10): vocab/counts round state goes through RELIABLE
-    `DataFrame.checkpoint()` (module note above); the fitted merge table
-    accumulates on the driver, so the returned DataFrame is a literal —
+    Durability (r10/r15): the distributed vocab state goes through
+    periodic RELIABLE `DataFrame.checkpoint()`; the vocabulary-bounded
+    pair-count table and the fitted merge table live on the driver
+    (module note above), so the returned DataFrame is a literal —
     replayable from nothing but the merge list itself."""
     from ..session import ensure_checkpoint_dir
 
@@ -1205,31 +1215,45 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # base fit: ONE full pair count (the only corpus-vocabulary-sized
-    # explode in the whole fit). NOTE (r14): persist-backed LAZY round-state
-    # checkpoints (persist() + checkpoint(eager=False), the argmax as the
-    # materializing job) were tried here and REVERTED — the A/B measured
-    # 6.9s -> 13.3s steady at sf0.1: the lazy form serializes the argmax
-    # behind the checkpoint write instead of overlapping them, and the
-    # cache adds a columnar build per round (tools/opt_measure.py,
-    # OPTIMIZATION_r14.md §2.4-details).
-    counts = (
-        _pairs(vocab, "n_word")
+    # explode in the whole fit). The pair-count table itself is maintained
+    # ON THE DRIVER (r15, guide §7.3 driver round trips): it is the fitted
+    # model's sufficient statistic — vocabulary-bounded (<= one row per
+    # distinct adjacent token pair of the vocabulary: tens of kB here, ~MBs
+    # at 100 TB by Heaps' law, NEVER corpus-sized), which is exactly where
+    # the classic heap-based BPE trainers keep it. The corpus/vocab-scale
+    # work (the affected-word pair explode + map-side-combined aggregation)
+    # stays in Spark; only the aggregated (pair -> delta) rows cross to the
+    # driver, just as the 1-row argmax already did. This cuts the fit from
+    # ~2 Spark actions + one eager reliable-checkpoint WRITE per round to
+    # ONE action per round and no counts checkpoint I/O at all (r15
+    # opt_measure: 108 jobs totaling 3.7s of job wall inside a ~14s steady
+    # wall — the other ~10s was per-round checkpoint commits + plan
+    # re-analysis). Durability is unchanged-or-better: the counts now live
+    # on the driver (which any failure of kills the whole fit anyway, with
+    # or without checkpoints), and vocab keeps its periodic reliable
+    # checkpoints below. NOTE (r14): persist-backed LAZY round-state
+    # checkpoints were tried and REVERTED (6.9s -> 13.3s steady — the lazy
+    # form serialized the argmax behind the checkpoint write); this r15
+    # design removes the per-round counts materialization entirely instead.
+    counts: dict[tuple[str, str], int] = {
+        (row["left_tok"], row["right_tok"]): row["n"]
+        for row in _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .checkpoint()
-    )
+        .collect()
+    }
     merges: list[tuple[int, str, str, int]] = []
     for r in range(1, _BPE_INC_ROUNDS + 1):
         t0 = time.time()
-        # 1-row argmax: collected, not checkpointed — the merge table IS
-        # the fitted model and lives on the driver (see module note)
-        best = counts.orderBy(
-            F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
-        ).first()
-        if best is None:
+        if not counts:
             break
-        left, right = best["left_tok"], best["right_tok"]
-        merges.append((r, left, right, int(best["n"])))
+        # argmax with the engine's exact tie-break (n DESC, left ASC,
+        # right ASC). Tokens match ^[a-z]+$ (pure ASCII), so Python's
+        # code-point string order IS Spark's binary string order.
+        (left, right), n = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        merges.append((r, left, right, int(n)))
         # tokens match ^[a-z]+$, so inlining them as SQL literals is safe
         pat = f"'#{left}##{right}#'"
         rep = f"'#{left}{right}#'"
@@ -1237,35 +1261,60 @@ def bpe_train_merges_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seq", "n_word", F.expr(f"instr(seq, {pat}) > 0").alias("hit"),
             F.expr(f"replace(seq, {pat}, {rep})").alias("new_seq"),
         )
-        affected = tagged.filter("hit")
-        delta = (
-            _pairs(affected, "-n_word")
-            .unionAll(_pairs(affected, "n_word", "new_seq"))
-            .groupBy("left_tok", "right_tok")
-            .agg(F.sum("w").alias("d"))
-        )
-        # round state is vocabulary-sized (tens of kB here, ~MBs at 100 TB):
-        # coalesce before the checkpoint write so each round materializes a
-        # handful of files instead of 32 near-empty tasks ×2 frames ×R rounds
-        counts = (
-            counts.join(delta, ["left_tok", "right_tok"], "full_outer")
-            .select(
-                "left_tok",
-                "right_tok",
-                (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("n"),
+        vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
+        if r == _BPE_INC_ROUNDS:
+            # no later argmax consumes this round's delta — skip the delta
+            # build (and the final vocab checkpoint below with it): the
+            # last-round rebuild was pure wasted work (r14 advice)
+            break
+        # ONE Spark action per round: old-pair decrements and new-pair
+        # increments explode from a SINGLE scan of the affected words
+        # (struct<pair, w> arrays concatenated in-row) — the previous
+        # _pairs(old).unionAll(_pairs(new)) form ran the affected-words
+        # filter subtree once per union branch (guide §2.4)
+        delta_rows = (
+            tagged.filter("hit")
+            .withColumn(
+                "toks_old", F.expr("filter(split(seq, '##'), x -> x <> '')")
             )
-            .filter("n > 0")
-            .coalesce(4)
-            .checkpoint()
+            .withColumn(
+                "toks_new", F.expr("filter(split(new_seq, '##'), x -> x <> '')")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "concat("
+                        "zip_with(slice(toks_old, 1, size(toks_old) - 1),"
+                        " slice(toks_old, 2, size(toks_old) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok,"
+                        " -n_word AS w)),"
+                        "zip_with(slice(toks_new, 1, size(toks_new) - 1),"
+                        " slice(toks_new, 2, size(toks_new) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok,"
+                        " n_word AS w)))"
+                    )
+                ).alias("pw")
+            )
+            .groupBy("pw.left_tok", "pw.right_tok")
+            .agg(F.sum("pw.w").alias("d"))
+            .collect()
         )
+        # fold the delta into the driver-held table; drop non-positive
+        # counts (the distributed form's `filter("n > 0")`) — all integer
+        # arithmetic, bit-exact vs the former full-outer-join restatement
+        for row in delta_rows:
+            k = (row["left_tok"], row["right_tok"])
+            nv = counts.get(k, 0) + row["d"]
+            if nv > 0:
+                counts[k] = nv
+            else:
+                counts.pop(k, None)
         # vocab needs lineage-cutting only for PLAN DEPTH, not for shuffle
         # reuse: between checkpoints it is a chain of narrow replace()
         # projections (pure codegen, no shuffle), so materializing it every
         # round would buy nothing but a job's latency. Checkpoint every
-        # _VOCAB_CKPT_EVERY rounds: plan depth stays bounded, failure
-        # recovery replays at most that many narrow scans, and the fit does
-        # ~2 jobs/round instead of 3.
-        vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
+        # _VOCAB_CKPT_EVERY rounds: plan depth stays bounded and failure
+        # recovery replays at most that many narrow scans.
         if r % _VOCAB_CKPT_EVERY == 0:
             vocab = vocab.coalesce(4).checkpoint()
         if timings_path:
@@ -1464,37 +1513,42 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("pair.left_tok", "pair.right_tok", "w")
         )
 
-    # NOTE (r14): the persist-backed LAZY round-state checkpoint tried here
-    # (and in the incremental fit) was REVERTED after the A/B measured it
-    # 2.7s -> 4.2s steady at sf0.1 — see bpe_train_merges_incremental's note.
-    counts = (
-        _pairs(vocab, "n_word")
+    # Driver-held pair-count table, same design (and same r15 rationale /
+    # sizing argument) as bpe_train_merges_incremental's: one Spark action
+    # per round (the aggregated affected-words delta), no per-round counts
+    # checkpoint I/O, and the doubling count-ordered prefix the greedy
+    # needs becomes a free heapq scan of the driver table. NOTE (r14): the
+    # persist-backed LAZY round-state checkpoint tried here was REVERTED
+    # (2.7s -> 4.2s steady) — see the incremental fit's note.
+    import heapq
+
+    counts: dict[tuple[str, str], int] = {
+        (row["left_tok"], row["right_tok"]): row["n"]
+        for row in _pairs(vocab, "n_word")
         .groupBy("left_tok", "right_tok")
         .agg(F.sum("w").alias("n"))
-        .checkpoint()
-    )
+        .collect()
+    }
     out_rows: list[tuple[int, int, str, str, int]] = []
     for r in range(1, _BPE_BATCH_ROUNDS + 1):
-        ordered = counts.orderBy(
-            F.col("n").desc(), F.col("left_tok").asc(), F.col("right_tok").asc()
-        )
+        # greedy over a DOUBLING count-ordered prefix, exactly as before —
+        # (n DESC, left ASC, right ASC) == nsmallest by (-n, left, right);
+        # tokens are ^[a-z]+$ ASCII, so Python string order is Spark's
         picks: list[tuple[str, str, int]] = []
         used: set[str] = set()
         lim = 64
         while True:
-            top = ordered.limit(lim).collect()
+            top = heapq.nsmallest(
+                lim, counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
             picks, used = [], set()
-            for row in top:
+            for (left, right), n in top:
                 if len(picks) == _BPE_BATCH_B:
                     break
-                toks = {
-                    row["left_tok"],
-                    row["right_tok"],
-                    row["left_tok"] + row["right_tok"],
-                }
+                toks = {left, right, left + right}
                 if toks & used:
                     continue
-                picks.append((row["left_tok"], row["right_tok"], int(row["n"])))
+                picks.append((left, right, int(n)))
                 used |= toks
             if len(picks) == _BPE_BATCH_B or len(top) < lim:
                 break  # greedy complete, or the whole pair table was scanned
@@ -1516,25 +1570,47 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(" OR ".join(hit_terms)).alias("hit"),
             F.expr(new_seq).alias("new_seq"),
         )
-        affected = tagged.filter("hit")
-        delta = (
-            _pairs(affected, "-n_word")
-            .unionAll(_pairs(affected, "n_word", "new_seq"))
-            .groupBy("left_tok", "right_tok")
-            .agg(F.sum("w").alias("d"))
-        )
-        counts = (
-            counts.join(delta, ["left_tok", "right_tok"], "full_outer")
-            .select(
-                "left_tok",
-                "right_tok",
-                (F.coalesce("n", F.lit(0)) + F.coalesce("d", F.lit(0))).alias("n"),
-            )
-            .filter("n > 0")
-            .coalesce(4)
-            .checkpoint()
-        )
         vocab = tagged.select(F.col("new_seq").alias("seq"), "n_word")
+        if r == _BPE_BATCH_ROUNDS:
+            # nothing consumes the final round's delta — skip it (r14 advice)
+            break
+        # single-scan delta (old-pair decrements + new-pair increments in
+        # one in-row concat), aggregated map-side and folded into the
+        # driver table — see the incremental fit
+        delta_rows = (
+            tagged.filter("hit")
+            .withColumn(
+                "toks_old", F.expr("filter(split(seq, '##'), x -> x <> '')")
+            )
+            .withColumn(
+                "toks_new", F.expr("filter(split(new_seq, '##'), x -> x <> '')")
+            )
+            .select(
+                F.explode(
+                    F.expr(
+                        "concat("
+                        "zip_with(slice(toks_old, 1, size(toks_old) - 1),"
+                        " slice(toks_old, 2, size(toks_old) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok,"
+                        " -n_word AS w)),"
+                        "zip_with(slice(toks_new, 1, size(toks_new) - 1),"
+                        " slice(toks_new, 2, size(toks_new) - 1),"
+                        " (a, b) -> struct(a AS left_tok, b AS right_tok,"
+                        " n_word AS w)))"
+                    )
+                ).alias("pw")
+            )
+            .groupBy("pw.left_tok", "pw.right_tok")
+            .agg(F.sum("pw.w").alias("d"))
+            .collect()
+        )
+        for row in delta_rows:
+            k = (row["left_tok"], row["right_tok"])
+            nv = counts.get(k, 0) + row["d"]
+            if nv > 0:
+                counts[k] = nv
+            else:
+                counts.pop(k, None)
         if r % _VOCAB_CKPT_EVERY == 0:
             vocab = vocab.coalesce(4).checkpoint()
     out = spark.createDataFrame(

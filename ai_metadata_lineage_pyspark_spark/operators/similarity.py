@@ -1119,12 +1119,19 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
               & (F.col("x.doc_id") != F.col("y.doc_id")))
         .select(F.col("x.doc_id").alias("a"), F.col("y.doc_id").alias("b"))
     )
-    excl = (
-        nd.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .union(nd.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .union(exact_pairs)
-        .distinct()
-    )
+    # both orientations of the near-dup pairs in ONE pass over the LSH
+    # pipeline — the previous nd.union(nd.swapped) form ran the whole
+    # MinHash -> bands -> verify subtree once per branch (r15 opt_measure:
+    # two ~16s-CPU stages with identical shapes; guide §2.4)
+    nd_sym = nd.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")),
+                F.struct(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    excl = nd_sym.union(exact_pairs).distinct()
     kept = cands.join(
         excl,
         (cands.query_id == excl.a) & (cands.neighbor_id == excl.b),

@@ -377,8 +377,15 @@ def quantile_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(_QSK_V).alias("v"),
         F.expr(_QSK_H_SPARK).alias("hv"),
     )
-    samp = src.orderBy(F.col("hv").asc(), F.col("k").asc()).limit(_QSK_K)
-    n_all = src.agg(F.count(F.lit(1)).alias("n"))
+    # TWO fact scans total (r15, guide §2.4 — the r14-flagged form paid 4):
+    # the <=k-row sample is scoped-persisted so its THREE consumers (the
+    # sample-size census, the rank window, nothing else) share ONE bottom-k
+    # pass, the sample size comes from the cached sample instead of a
+    # second TakeOrderedAndProject over the fact table, and the n_all
+    # census rides the audit scan below instead of its own pass
+    samp = scoped_persist(
+        src.orderBy(F.col("hv").asc(), F.col("k").asc()).limit(_QSK_K)
+    )
     n_s = samp.agg(F.count(F.lit(1)).alias("ns"))
     ws = Window.orderBy(F.col("v").asc(), F.col("k").asc())
     samp_ranked = samp.select("v", "k", F.row_number().over(ws).alias("rn"))
@@ -392,20 +399,27 @@ def quantile_bottomk_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(samp_ranked), F.expr("rn = (q * ns + 99) DIV 100"))
         .select("q", F.col("v").alias("est_cents"), F.col("k").alias("est_k"))
     )
-    # true rank of each candidate: one fact-table scan, 3-row broadcast,
-    # count((v, k) <= candidate) partially aggregated map-side
+    # true rank of each candidate AND the total-row census in ONE fact
+    # scan: cross join against the 3 broadcast candidates, then per-q
+    # conditional count for the rank and unconditional count for n —
+    # count(*) within each q group IS n_all (every fact row pairs with
+    # every candidate), both partially aggregated map-side
     tr = (
-        src.join(
-            F.broadcast(est),
-            F.expr("v < est_cents OR (v = est_cents AND k <= est_k)"),
-        )
+        src.crossJoin(F.broadcast(est))
         .groupBy("q")
-        .agg(F.count(F.lit(1)).alias("true_rank"))
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(v < est_cents OR (v = est_cents AND k <= est_k)"
+                    " AS BIGINT)"
+                )
+            ).alias("true_rank"),
+            F.count(F.lit(1)).alias("n"),
+        )
         .withColumnRenamed("q", "qx")
     )
     return (
-        est.join(F.broadcast(n_all), F.lit(True))
-        .join(F.broadcast(tr), F.col("q") == F.col("qx"))
+        est.join(F.broadcast(tr), F.col("q") == F.col("qx"))
         .select(
             F.col("q").alias("quantile_pct"),
             "est_cents",

@@ -382,7 +382,14 @@ def test_quantile_sketch_sample_is_takeordered_not_global_sort(q):
     for i, line in enumerate(lines):
         if "Window " not in line and not line.lstrip(" :+-").startswith("Window"):
             continue
+        # r15: the sample is scoped-persisted (one bottom-k pass shared by
+        # the size census and the rank window), so the window may sit over
+        # an InMemoryTableScan whose CACHED child is the bottom-k — follow
+        # the cache boundary and still require TakeOrderedAndProject, never
+        # a sort over fact rows
         below = "\n".join(lines[i : i + 4])
+        if "InMemoryTableScan" in below:
+            below = "\n".join(lines[i : i + 8])
         assert "TakeOrderedAndProject" in below, (
             f"Window not fed by bounded top-k sample:\n{below}"
         )
